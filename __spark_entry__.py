@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — every implemented operator/query (SURVEY.md §2), one
+callable per name, taking (spark, sf_dir) and returning a DataFrame.
+``oracle_sql()`` — matching ANSI SQL for DuckDB over the same parquet
+tables (views: region nation customer supplier part orders lineitem
+events documents embeddings). Entries absent here get a rows-only check.
+
+All real logic lives in ``pinterest_data_pipeline400_spark``; this module
+only adapts the registry to the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +17,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing the plan modules populates the registry.
+from pinterest_data_pipeline400_spark.plans import tpch_queries  # noqa: F401
+
+try:  # widened in later milestones; keep entry importable if one module breaks
+    from pinterest_data_pipeline400_spark.plans import pinterest_queries  # noqa: F401
+except ImportError:
+    pass
+try:
+    from pinterest_data_pipeline400_spark.plans import training_data  # noqa: F401
+except ImportError:
+    pass
+try:
+    from pinterest_data_pipeline400_spark.plans import streaming_queries  # noqa: F401
+except ImportError:
+    pass
+
+from pinterest_data_pipeline400_spark.plans.registry import REGISTRY
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    q1 exercises the whole spine: parquet scan → broadcast + shuffle
+    joins → hash aggregate → window top-1 per group.
+    """
+    return tpch_queries.q1_top_priority_per_nation(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return REGISTRY.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return REGISTRY.oracles()

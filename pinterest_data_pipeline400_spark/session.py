@@ -1,0 +1,59 @@
+"""SparkSession builder with engine defaults.
+
+The reference ran on Databricks and configured nothing explicitly (its
+Spark conf was the platform's). The new engine pins the settings that
+matter for both local correctness-testing and 1000-executor scale:
+
+  * AQE on (runtime coalescing, skew-join splitting, dynamic join
+    strategy switch) — the single biggest win at 100 TB where static
+    statistics lie.
+  * ``spark.sql.shuffle.partitions`` sized to the local core count; on a
+    real cluster this is overridden to ~2-3x total cores (and AQE
+    coalesces down).
+  * Session time zone pinned to UTC so timestamp semantics are identical
+    to the DuckDB oracle and independent of the host.
+  * Arrow enabled for any pandas exchange (the slow-path UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(
+    app_name: str = "pinterest_data_pipeline400_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession with scale-aware defaults."""
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet pushdown is on by default; pin it so a conf drift can't
+        # silently disable the scan-level filters the plans rely on.
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_session() -> SparkSession:
+    """Return the active session, building one with defaults if absent."""
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session()

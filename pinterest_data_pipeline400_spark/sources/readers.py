@@ -1,0 +1,85 @@
+"""Batch sources (SURVEY.md §2.1 S1-S5).
+
+The reference read JSON topic dumps with inferred schema
+(mount.py:63-75) and Delta tables for credentials. The new engine reads:
+
+  * Parquet (columnar at rest — the default; gets filter pushdown and
+    column pruning physically, not just logically),
+  * JSON topic directories with an *explicit* schema (S1 re-done right;
+    inference available only as a compat flag),
+  * JDBC (S5) behind a thin wrapper, stub-tested (no database in CI).
+
+At 100 TB the parquet reader is the only scan on the hot path; keep data
+partitioned by a high-cardinality-enough key (e.g. date) so partition
+pruning kicks in, and never glob a fixed ``partition=0`` path the way the
+reference did (mount.py:66) — that hard-coded away all scan parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_TABLES
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-fixture table: ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver fixture tables as a dict of DataFrames.
+
+    Replaces the reference's ``exec()``-based variable creation
+    (mount.py:77-82) with a plain dict (SURVEY.md §2.10 quirk 3).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names or TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def read_json_topic(
+    spark: SparkSession,
+    topic_dir: str,
+    schema: T.StructType | None = None,
+    infer_compat: bool = False,
+) -> DataFrame:
+    """Read a topic's JSON dump directory (reference S1, mount.py:63-75).
+
+    The reference always inferred (``option("inferschema","true")``);
+    here an explicit schema is required unless ``infer_compat=True``.
+    Reads the whole topic tree (all partitions), not a hard-coded
+    ``partition=0`` glob.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not infer_compat:
+        raise ValueError(
+            "explicit schema required; pass infer_compat=True for the "
+            "reference's inference behavior"
+        )
+    return reader.json(topic_dir)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source (reference S5: SQLAlchemy against RDS MySQL,
+    batch_emul.py:61,109). Thin wrapper so tests can monkeypatch;
+    no driver jar ships with the engine."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

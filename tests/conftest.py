@@ -1,0 +1,69 @@
+"""Shared pytest fixtures: one SparkSession per test session, plus the
+oracle-parity comparator that mirrors the driver's check (sort columns by
+name, order-insensitive row compare, exact values after rounding)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pinterest_data_pipeline400_spark.schemas import TESTDATA_TABLES
+from pinterest_data_pipeline400_spark.session import build_session
+
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+# Parity tests run at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF=0.01
+# to replicate the driver's correctness gate exactly.
+SF0001 = os.path.join(TESTDATA_ROOT, f"sf{os.environ.get('SPARK_GRAFT_TEST_SF', '0.001')}")
+SF001 = os.path.join(TESTDATA_ROOT, "sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="pytest", cpus=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(SF0001, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's compare: sort columns by name, then sort rows."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                av.astype(float), bv.astype(float), check_names=False,
+                rtol=0, atol=0, obj=f"{name}.{col}",
+            )
+        else:
+            pd.testing.assert_series_equal(
+                av, bv, check_names=False, check_dtype=False, obj=f"{name}.{col}"
+            )
