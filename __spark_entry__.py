@@ -17,21 +17,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Importing the plan modules populates the registry.
-from pinterest_data_pipeline400_spark.plans import tpch_queries  # noqa: F401
+import importlib
 
-try:  # widened in later milestones; keep entry importable if one module breaks
-    from pinterest_data_pipeline400_spark.plans import pinterest_queries  # noqa: F401
-except ImportError:
-    pass
-try:
-    from pinterest_data_pipeline400_spark.plans import training_data  # noqa: F401
-except ImportError:
-    pass
-try:
-    from pinterest_data_pipeline400_spark.plans import streaming_queries  # noqa: F401
-except ImportError:
-    pass
+# Importing the plan modules populates the registry.
+from pinterest_data_pipeline400_spark.plans import pinterest_queries, tpch_queries  # noqa: F401
+
+
+def _import_plan_module(name: str) -> None:
+    """Import a not-yet-shipped plan module. Only a missing module itself
+    is tolerated; a genuine ImportError raised *inside* an existing
+    module propagates (so a broken dependency can't silently drop its
+    queries from the correctness gate)."""
+    modname = f"pinterest_data_pipeline400_spark.plans.{name}"
+    try:
+        importlib.import_module(modname)
+    except ModuleNotFoundError as exc:
+        if exc.name != modname:
+            raise
+
+
+_import_plan_module("training_data")
+_import_plan_module("streaming_queries")
 
 from pinterest_data_pipeline400_spark.plans.registry import REGISTRY
 

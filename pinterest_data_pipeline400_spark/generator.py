@@ -1,0 +1,332 @@
+"""Seeded generator for pinterest-shaped dirty fixtures (FIXTURES.md §A).
+
+Replaces the reference's REST emulators (batch_emul.py:90-171,
+stream_emul.py:91-174 — SURVEY.md shorthand): instead of replaying one
+random MySQL row at a time over HTTP, we synthesize the three tables
+(`pin_raw`, `geo_raw`, `user_raw`, joined 1:1 on the shared `ind` key per
+batch_emul.py:100) directly to parquet, plus Kinesis-envelope JSONL files
+for the streaming path (stream_emul.py:116-133 envelope shape).
+
+Determinism: the reference seeds `random.seed(100)` (batch_emul.py:13);
+we use a fixed numpy PCG64 seed per scale factor so the same sf always
+produces byte-identical tables — this is what lets the DuckDB oracle SQL
+read *the same parquet* the Spark queries read.
+
+Dirty-data grammar (the cleaning operators' test subject):
+  * ``''`` / ``'NA'`` / ``'N/A'`` tokens (null-normalized, mount.py:99),
+  * follower_count strings: plain digits, ``25k`` / ``1.5M`` forms, junk
+    (``User Info Error``) — parse semantics mount.py:102-119,
+  * ``multi-video(story page format)`` media type (mount.py:151-154),
+  * ``Local save in `` prefix on save_location (mount.py:164),
+  * ~1% exact duplicate rows (dropDuplicates, mount.py:157),
+  * geo/user timestamps as ISO strings (batch JSON inference leaves them
+    as strings; the clean pipelines cast — mount.py:193,217).
+
+The generator also guarantees an ODD number of parseable follower_count
+values so the imputation median (mount.py:127-131, exact approxQuantile)
+is a unique element and every median definition — Spark approxQuantile,
+Spark percentile, DuckDB quantile_cont/disc — agrees exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES_ROOT = os.path.join(REPO_ROOT, ".fixtures", "pinterest")
+
+SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
+BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
+
+DIRTY_TOKENS = ["", "NA", "N/A"]
+
+CATEGORIES = [
+    "tattoos", "art", "beauty", "travel", "diy-and-crafts", "finance",
+    "vehicles", "education", "christmas", "quotes", "home-decor",
+    "event-planning",
+]
+COUNTRIES = [
+    "United States", "India", "Brazil", "United Kingdom", "Germany",
+    "France", "Canada", "Australia", "Japan", "Mexico", "Italy", "Spain",
+    "Netherlands", "Sweden", "Norway", "Poland", "Turkey", "Russia",
+    "China", "South Korea", "Argentina", "Chile", "Colombia", "Egypt",
+    "Nigeria", "Kenya", "South Africa", "Indonesia", "Thailand", "Vietnam",
+]
+FIRST_NAMES = [
+    "James", "Mary", "John", "Patricia", "Robert", "Jennifer", "Michael",
+    "Linda", "William", "Elizabeth", "David", "Barbara", "Richard",
+    "Susan", "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen",
+]
+LAST_NAMES = [
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
+    "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
+    "Wilson", "Anderson", "Thomas", "Taylor", "Moore", "Jackson", "Martin",
+]
+WORDS = [
+    "vintage", "modern", "cozy", "minimal", "rustic", "boho", "classic",
+    "dream", "easy", "quick", "simple", "best", "top", "ideas", "guide",
+    "style", "home", "art", "craft", "photo", "look", "trend", "color",
+    "light", "space", "plan", "tips", "fun", "wild", "calm",
+]
+
+
+def sf_rows(sf_name: str) -> int:
+    """Row count for a scale-factor dir name like ``sf0.01``.
+
+    sf0.01 reproduces the reference's ~11k rows; counts scale linearly
+    with sf and floor at 1,000 so the tiny smoke sf still exercises every
+    dirty-data branch.
+    """
+    sf = float(sf_name.removeprefix("sf"))
+    return max(1_000, int(BASE_ROWS * sf / 0.01))
+
+
+def parse_follower_count_py(count: str | None) -> int | None:
+    """Reference-exact parse (mount.py:102-119): used here only to count
+    parseable values when enforcing the odd-median invariant."""
+    if count is None:
+        return None
+    if "k" in count:
+        try:
+            return int(float(count.replace("k", "")) * 1000)
+        except ValueError:
+            return None
+    if "M" in count:
+        try:
+            return int(float(count.replace("M", "")) * 1000000)
+        except ValueError:
+            return None
+    try:
+        return int(count)
+    except ValueError:
+        return None
+
+
+def _dirty_mask(rng: np.random.Generator, n: int, frac: float) -> np.ndarray:
+    return rng.random(n) < frac
+
+
+def _inject_dirty(rng: np.random.Generator, values: np.ndarray, frac: float) -> np.ndarray:
+    out = values.astype(object)
+    mask = _dirty_mask(rng, len(values), frac)
+    tokens = rng.choice(DIRTY_TOKENS, size=int(mask.sum()))
+    out[mask] = tokens
+    return out
+
+
+def _text(rng: np.random.Generator, n: int, lo: int, hi: int) -> np.ndarray:
+    lengths = rng.integers(lo, hi, n)
+    pool = rng.choice(WORDS, size=(n, hi))
+    return np.array([" ".join(pool[i, : lengths[i]]) for i in range(n)], dtype=object)
+
+
+def _follower_counts(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Mixture over the dirty grammar of mount.py:102-119."""
+    kind = rng.choice(
+        ["plain", "k", "k_frac", "M", "M_frac", "junk", "dirty"],
+        size=n,
+        p=[0.40, 0.18, 0.07, 0.10, 0.05, 0.12, 0.08],
+    )
+    plain = rng.integers(0, 999_999, n)
+    kint = rng.integers(1, 999, n)
+    kfrac = rng.integers(10, 99, n)
+    mint = rng.integers(1, 99, n)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        t = kind[i]
+        if t == "plain":
+            out[i] = str(plain[i])
+        elif t == "k":
+            out[i] = f"{kint[i]}k"
+        elif t == "k_frac":
+            out[i] = f"{kfrac[i] / 10:.1f}k"
+        elif t == "M":
+            out[i] = f"{mint[i]}M"
+        elif t == "M_frac":
+            out[i] = f"{kfrac[i] / 10:.1f}M"
+        elif t == "junk":
+            out[i] = "User Info Error"
+        else:
+            out[i] = DIRTY_TOKENS[int(plain[i]) % 3]
+    return out
+
+
+def _iso_timestamps(rng: np.random.Generator, n: int, lo: str, hi: str) -> np.ndarray:
+    lo_s = pd.Timestamp(lo).value // 10**9
+    hi_s = pd.Timestamp(hi).value // 10**9
+    secs = rng.integers(lo_s, hi_s, n)
+    return np.array(
+        [pd.Timestamp(s, unit="s").strftime("%Y-%m-%d %H:%M:%S") for s in secs],
+        dtype=object,
+    )
+
+
+def build_tables(n: int, seed: int = SEED) -> dict[str, pd.DataFrame]:
+    """Build the three raw tables as pandas DataFrames (deterministic)."""
+    rng = np.random.default_rng(seed)
+
+    # --- pin_raw (schema kinesis.py:94-107; 12 columns) -------------------
+    idx = np.arange(n)
+    category = rng.choice(CATEGORIES, size=n, p=_skewed(len(CATEGORIES)))
+    pin = pd.DataFrame(
+        {
+            "index": idx.astype(np.int32),
+            "unique_id": [
+                f"{rng.integers(0, 2**32):08x}-{i:04x}-4000-8000-{rng.integers(0, 2**48):012x}"
+                for i in range(n)
+            ],
+            "title": _inject_dirty(rng, _text(rng, n, 2, 6), 0.05),
+            "description": _inject_dirty(rng, _text(rng, n, 6, 18), 0.05),
+            "poster_name": _inject_dirty(
+                rng,
+                np.array(
+                    [
+                        f"{rng.choice(FIRST_NAMES)} {rng.choice(LAST_NAMES)}"
+                        for _ in range(n)
+                    ],
+                    dtype=object,
+                ),
+                0.05,
+            ),
+            "follower_count": _follower_counts(rng, n),
+            "tag_list": _inject_dirty(
+                rng,
+                np.array(
+                    [",".join(rng.choice(WORDS, size=rng.integers(1, 6))) for _ in range(n)],
+                    dtype=object,
+                ),
+                0.04,
+            ),
+            "is_image_or_video": _media_types(rng, n),
+            "image_src": np.array(
+                [f"https://i.pinimg.com/originals/{i:06d}.jpg" for i in idx], dtype=object
+            ),
+            "downloaded": rng.integers(0, 2, n).astype(np.int32),
+            "save_location": np.array(
+                [f"Local save in /data/{c}" for c in category], dtype=object
+            ),
+            "category": _inject_dirty(rng, category.astype(object), 0.03),
+        }
+    )
+
+    # --- geo_raw (schema kinesis.py:75-81) --------------------------------
+    geo = pd.DataFrame(
+        {
+            "ind": idx.astype(np.int32),
+            "timestamp": _iso_timestamps(rng, n, "2017-01-01", "2022-12-31"),
+            "latitude": np.round(rng.uniform(-90, 90, n), 6),
+            "longitude": np.round(rng.uniform(-180, 180, n), 6),
+            "country": rng.choice(COUNTRIES, size=n, p=_skewed(len(COUNTRIES))).astype(object),
+        }
+    )
+
+    # --- user_raw (schema kinesis.py:118-124; age is a STRING) ------------
+    ages = rng.integers(16, 71, n).astype(str).astype(object)
+    dirty_age = _dirty_mask(rng, n, 0.02)
+    ages[dirty_age] = rng.choice(DIRTY_TOKENS, size=int(dirty_age.sum()))
+    user = pd.DataFrame(
+        {
+            "ind": idx.astype(np.int32),
+            "first_name": rng.choice(FIRST_NAMES, size=n).astype(object),
+            "last_name": rng.choice(LAST_NAMES, size=n).astype(object),
+            "age": ages,
+            "date_joined": _iso_timestamps(rng, n, "2014-01-01", "2021-12-31"),
+        }
+    )
+
+    # ~1% exact full-row duplicates in pin (dropDuplicates target,
+    # mount.py:157): overwrite row i with a copy of row j — models a
+    # re-delivered event, so `index` duplicates too.
+    n_dup = max(1, n // 100)
+    dup_dst = rng.choice(n, size=n_dup, replace=False)
+    dup_src = rng.choice(np.setdiff1d(np.arange(n), dup_dst), size=n_dup, replace=False)
+    for c in pin.columns:  # column-wise keeps each column's dtype intact
+        vals = pin[c].to_numpy()
+        vals[dup_dst] = vals[dup_src]
+        pin[c] = vals
+
+    # Odd-median invariant: flip one untouched row's follower_count so the
+    # count of parseable values is odd (see module docstring).
+    parseable = pin["follower_count"].map(parse_follower_count_py).notna().sum()
+    if parseable % 2 == 0:
+        touched = set(dup_dst) | set(dup_src)
+        flip = next(i for i in range(n) if i not in touched)
+        cur = parse_follower_count_py(pin.at[flip, "follower_count"])
+        pin.at[flip, "follower_count"] = "User Info Error" if cur is not None else "777"
+
+    return {"pin_raw": pin, "geo_raw": geo, "user_raw": user}
+
+
+def _skewed(k: int) -> np.ndarray:
+    """Zipf-ish probability vector — realistic key skew for groupBy/window."""
+    w = 1.0 / np.arange(1, k + 1)
+    return w / w.sum()
+
+
+def _media_types(rng: np.random.Generator, n: int) -> np.ndarray:
+    vals = rng.choice(
+        ["image", "video", "multi-video(story page format)", "__dirty__"],
+        size=n,
+        p=[0.60, 0.27, 0.10, 0.03],
+    ).astype(object)
+    dirty = vals == "__dirty__"
+    vals[dirty] = rng.choice(DIRTY_TOKENS, size=int(dirty.sum()))
+    return vals
+
+
+def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
+    """Write parquet + streaming JSONL for one scale factor; returns dir."""
+    out_dir = os.path.join(root, sf_name)
+    os.makedirs(out_dir, exist_ok=True)
+    tables = build_tables(sf_rows(sf_name))
+    for name, df in tables.items():
+        df.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
+
+    # Streaming envelopes (stream_emul.py:116-133): one JSON object per
+    # line, `Data` holding the serialized inner record. PartitionKey is
+    # spread over 8 keys — the reference hardcoded "1" (single shard, no
+    # parallelism; SURVEY.md §4 flags it), our generator fixes that.
+    for name, df in tables.items():
+        topic = name.removesuffix("_raw")
+        stream_dir = os.path.join(out_dir, "stream", topic)
+        os.makedirs(stream_dir, exist_ok=True)
+        records = df.to_dict(orient="records")
+        n_files = 4
+        per = (len(records) + n_files - 1) // n_files
+        for f in range(n_files):
+            chunk = records[f * per : (f + 1) * per]
+            path = os.path.join(stream_dir, f"part-{f:04d}.jsonl")
+            with open(path, "w") as fh:
+                for rec in chunk:
+                    key = rec.get("ind", rec.get("index", 0))
+                    envelope = {
+                        "StreamName": f"streaming-{topic}",
+                        "PartitionKey": str(int(key) % 8),
+                        "Data": json.dumps(rec, default=str),
+                    }
+                    fh.write(json.dumps(envelope) + "\n")
+    # done marker written last: readers treat its presence as "complete"
+    with open(os.path.join(out_dir, "_DONE"), "w") as fh:
+        fh.write("ok\n")
+    return out_dir
+
+
+def ensure_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
+    """Idempotently materialize fixtures for a scale factor."""
+    out_dir = os.path.join(root, sf_name)
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    return write_fixtures(sf_name, root)
+
+
+def fixture_dir_for(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to the pinterest
+    fixture dir of the same scale, generating it if missing."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    if not sf_name.startswith("sf"):
+        sf_name = "sf0.01"
+    return ensure_fixtures(sf_name)

@@ -38,11 +38,14 @@ def top_per_group(
 ) -> DataFrame:
     """Top-k rows per group (reference W1+P7). Caller must include a
     deterministic tiebreak in ``order_by``."""
+    rn = "__rn"
+    while rn in df.columns:  # never clobber a caller column
+        rn += "_"
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= k)
+        .drop(rn)
     )
 
 

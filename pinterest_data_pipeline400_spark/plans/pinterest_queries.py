@@ -1,0 +1,570 @@
+"""Pinterest-literal pipelines and queries (SURVEY.md §2.10) over the
+seeded dirty fixtures, each with a DuckDB oracle over the SAME parquet.
+
+This is the compat API surface: the three cleaning pipelines
+(mount.py:96-174, 178-199, 203-223) plus the eight canonical queries
+(mount.py:227-445), re-expressed as declarative DataFrame plans. The
+oracle SQL strings reconstruct the identical semantics as DuckDB CTEs
+reading the same fixture parquet — so the driver's value-hash compare
+covers the *whole* pipeline, cleaning included.
+
+Determinism rules (SURVEY.md §7 hard parts 3-4), applied on BOTH sides:
+  * every row_number window carries a deterministic tiebreak column
+    (the reference's bare ``ORDER BY count DESC`` ties are engine-luck);
+  * medians default to exact interpolated percentile (Spark
+    ``percentile`` == DuckDB ``quantile_cont``); the scale path
+    (``percentile_approx`` sketch) is behind ``config.percentile_exact``;
+  * the imputation median is unique by fixture construction (odd count
+    of parseable values — generator.py), so approxQuantile(rel=0.0),
+    ``percentile`` and ``quantile_cont`` all agree.
+
+Scale notes: the three cleaned tables are persisted per (session,
+fixture) — clean once, query many. Joins use ``on='ind'`` (single key
+column; SURVEY.md §2.10 quirk 4 fix); the 3-way join shuffles each side
+once on ``ind`` and every query's groupBy then re-shuffles on its own
+key. pq3b is orderBy+limit (TakeOrderedAndProject), never a
+one-partition window.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import percentile_accuracy, percentile_exact
+from ..generator import FIXTURES_ROOT, ensure_fixtures, fixture_dir_for
+from ..operators.analytics import global_top, median_by, top_per_group
+from ..operators.clean import clean_geo, clean_pin, clean_user
+from ..schemas import PIN_CLEAN_COLUMNS
+from .registry import REGISTRY
+
+# The driver's correctness gate runs at sf0.01; its oracle SQL is a static
+# string, so it must point at the sf0.01 fixtures. Materialize them at
+# import time (pure pandas, ~1.5s, idempotent) so the oracle side can
+# never observe a missing file regardless of execution order.
+ORACLE_FX = ensure_fixtures("sf0.01")
+
+
+# --------------------------------------------------------------------------
+# Spark side: raw loads + cleaned-table cache
+# --------------------------------------------------------------------------
+
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def raw_tables(spark: SparkSession, fx_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(os.path.join(fx_dir, f"{name}.parquet"))
+        for name in ("pin_raw", "geo_raw", "user_raw")
+    }
+
+
+def cleaned_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Clean-once-query-many: the cleaned pin/geo/user tables, persisted
+    per (session, fixture dir). ``sf_dir`` is the driver's testdata dir;
+    it maps to the same-scale pinterest fixture dir."""
+    fx_dir = fixture_dir_for(sf_dir)
+    key = (id(spark), fx_dir)
+    if key not in _CACHE:
+        raw = raw_tables(spark, fx_dir)
+        tables = {
+            "pin": clean_pin(raw["pin_raw"]),
+            "geo": clean_geo(raw["geo_raw"]),
+            "user": clean_user(raw["user_raw"]),
+        }
+        for df in tables.values():
+            df.persist()
+        _CACHE[key] = tables
+    return _CACHE[key]
+
+
+def _median(col: str, alias: str) -> F.Column:
+    """Exact percentile for oracle runs, percentile_approx for scale."""
+    if percentile_exact():
+        return F.percentile(col, 0.5).alias(alias)
+    return F.percentile_approx(col, 0.5, percentile_accuracy()).alias(alias)
+
+
+# Age buckets, batch form: mount.py:313-318 ('+50' / 'Unknown' labels).
+def _age_group_batch() -> F.Column:
+    a = F.col("age")
+    return (
+        F.when(a.between(18, 24), "18-24")
+        .when(a.between(25, 35), "25-35")
+        .when(a.between(36, 50), "36-50")
+        .when(a > 50, "+50")
+        .otherwise("Unknown")
+    )
+
+
+# Age buckets, SQL-view form: mount.py:393-398 ('50+' label, NO else → NULL).
+_AGE_GROUP_SQL_FORM = (
+    "CASE WHEN age BETWEEN 18 AND 24 THEN '18-24' "
+    "WHEN age BETWEEN 25 AND 35 THEN '25-35' "
+    "WHEN age BETWEEN 36 AND 50 THEN '36-50' "
+    "WHEN age > 50 THEN '50+' END"
+)
+
+_AGE_GROUP_BATCH_SQL = (
+    "CASE WHEN age BETWEEN 18 AND 24 THEN '18-24' "
+    "WHEN age BETWEEN 25 AND 35 THEN '25-35' "
+    "WHEN age BETWEEN 36 AND 50 THEN '36-50' "
+    "WHEN age > 50 THEN '+50' ELSE 'Unknown' END"
+)
+
+
+# --------------------------------------------------------------------------
+# Oracle side: DuckDB CTEs reconstructing the cleaned tables
+# --------------------------------------------------------------------------
+
+_PIN_STRING_COLS = [
+    "unique_id", "title", "description", "poster_name", "follower_count",
+    "tag_list", "is_image_or_video", "image_src", "save_location", "category",
+]
+
+_PARSE_FC = """CASE
+      WHEN follower_count IS NULL THEN NULL
+      WHEN contains(follower_count, 'k')
+        THEN TRY_CAST(trunc(TRY_CAST(replace(follower_count, 'k', '') AS DOUBLE) * 1000) AS INTEGER)
+      WHEN contains(follower_count, 'M')
+        THEN TRY_CAST(trunc(TRY_CAST(replace(follower_count, 'M', '') AS DOUBLE) * 1000000) AS INTEGER)
+      ELSE TRY_CAST(follower_count AS INTEGER)
+    END"""
+
+
+def _ctes(fx: str) -> str:
+    """The WITH-clause body every pinterest oracle shares: null-normalize
+    → parse → impute-median → fill/normalize → DISTINCT (full 12-col row,
+    mirroring dropDuplicates-before-projection) for pin; row-wise cleans
+    for geo/user."""
+    nn = ",\n        ".join(
+        f"CASE WHEN {c} IN ('', 'NA', 'N/A') THEN NULL ELSE {c} END AS {c}"
+        for c in _PIN_STRING_COLS
+    )
+    return f"""
+    pin_src AS (SELECT * FROM read_parquet('{fx}/pin_raw.parquet')),
+    pin_nn AS (SELECT "index", downloaded,
+        {nn}
+      FROM pin_src),
+    pin_parsed AS (SELECT * REPLACE ({_PARSE_FC} AS follower_count) FROM pin_nn),
+    pin_median AS (SELECT CAST(trunc(quantile_cont(follower_count, 0.5)) AS INTEGER) AS m
+                   FROM pin_parsed),
+    pin_rows AS (SELECT
+        CAST("index" AS INTEGER) AS ind,
+        unique_id, title, description,
+        COALESCE(follower_count, (SELECT m FROM pin_median)) AS follower_count,
+        COALESCE(poster_name, 'Unknown') AS poster_name,
+        tag_list,
+        CASE WHEN COALESCE(is_image_or_video, 'Unknown') = 'multi-video(story page format)'
+             THEN 'video' ELSE COALESCE(is_image_or_video, 'Unknown') END AS is_image_or_video,
+        image_src,
+        replace(save_location, 'Local save in ', '') AS save_location,
+        COALESCE(category, 'Unknown') AS category,
+        downloaded
+      FROM pin_parsed),
+    pin AS (SELECT DISTINCT * FROM pin_rows),
+    geo AS (SELECT CAST(ind AS INTEGER) AS ind, country, latitude, longitude,
+                   TRY_CAST("timestamp" AS TIMESTAMP) AS ts
+            FROM read_parquet('{fx}/geo_raw.parquet')),
+    usr AS (SELECT CAST(ind AS INTEGER) AS ind,
+                   concat_ws(' ', first_name, last_name) AS user_name,
+                   TRY_CAST(age AS INTEGER) AS age,
+                   TRY_CAST(date_joined AS TIMESTAMP) AS date_joined
+            FROM read_parquet('{fx}/user_raw.parquet'))"""
+
+
+def _oracle(body: str) -> str:
+    return f"WITH {_ctes(ORACLE_FX)}\n    {body}"
+
+
+# 3-way join (mount.py:233-234), single `ind` key on both sides.
+_JOINED_SQL = (
+    "SELECT p.*, g.country, g.ts, u.user_name, u.age, u.date_joined "
+    "FROM pin p JOIN geo g USING (ind) JOIN usr u USING (ind)"
+)
+
+
+def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = cleaned_tables(spark, sf_dir)
+    return (
+        t["pin"]
+        .join(t["geo"], on="ind", how="inner")
+        .join(t["user"], on="ind", how="inner")
+        .withColumnRenamed("timestamp", "ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# cleaning pipelines as registry entries
+# --------------------------------------------------------------------------
+
+@REGISTRY.register(
+    "pin_clean",
+    oracle=_oracle(
+        "SELECT " + ", ".join(PIN_CLEAN_COLUMNS) + " FROM pin"
+    ),
+    doc="pin cleaning pipeline (mount.py:96-174): na.replace, native "
+    "follower_count parse, median imputation, fills, dedup, rename, "
+    "regexp prefix strip",
+)
+def pin_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cleaned_tables(spark, sf_dir)["pin"]
+
+
+@REGISTRY.register(
+    "geo_clean",
+    oracle=_oracle(
+        'SELECT ind, country, latitude AS coord_lat, longitude AS coord_lon, '
+        'ts AS "timestamp" FROM geo'
+    ),
+    doc="geo cleaning pipeline (mount.py:178-199): array(lat,lon) "
+    "coordinates, timestamp cast. Compared via array elements (driver "
+    "hash needs scalar columns); the array itself is asserted in pytest.",
+)
+def geo_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = cleaned_tables(spark, sf_dir)["geo"]
+    return geo.select(
+        "ind",
+        "country",
+        F.col("coordinates")[0].alias("coord_lat"),
+        F.col("coordinates")[1].alias("coord_lon"),
+        "timestamp",
+    )
+
+
+@REGISTRY.register(
+    "user_clean",
+    oracle=_oracle("SELECT ind, user_name, age, date_joined FROM usr"),
+    doc="user cleaning pipeline (mount.py:203-223): concat_ws user_name, "
+    "timestamp cast, explicit int age (quirk 5)",
+)
+def user_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cleaned_tables(spark, sf_dir)["user"]
+
+
+# --------------------------------------------------------------------------
+# the eight canonical queries
+# --------------------------------------------------------------------------
+
+@REGISTRY.register(
+    "pq1_top_category_per_country",
+    oracle=_oracle(f"""
+    , joined AS ({_JOINED_SQL}),
+    counted AS (SELECT country, category, count(category) AS category_count
+                FROM joined GROUP BY country, category),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY country
+                 ORDER BY category_count DESC, category ASC) AS rn
+               FROM counted)
+    SELECT country, category, category_count FROM ranked WHERE rn = 1"""),
+    doc="Q1 (mount.py:227-248): most popular category per country — "
+    "3-way join → groupBy-count → window top-1 (deterministic tiebreak)",
+)
+def pq1_top_category_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counted = (
+        _joined(spark, sf_dir)
+        .groupBy("country", "category")
+        .agg(F.count("category").alias("category_count"))
+    )
+    return top_per_group(
+        counted, ["country"], [F.col("category_count").desc(), F.col("category").asc()]
+    ).select("country", "category", "category_count")
+
+
+@REGISTRY.register(
+    "pq2_category_count_per_year",
+    oracle=_oracle(f"""
+    , joined AS ({_JOINED_SQL})
+    SELECT CAST(year(ts) AS INT) AS post_year, category,
+           count(category) AS category_count
+    FROM joined
+    WHERE year(ts) BETWEEN 2018 AND 2022
+    GROUP BY 1, 2"""),
+    doc="Q2 (mount.py:250-268): category post counts per year 2018-2022",
+)
+def pq2_category_count_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _joined(spark, sf_dir)
+        .withColumn("post_year", F.year("ts"))
+        .filter(F.col("post_year").between(2018, 2022))
+        .groupBy("post_year", "category")
+        .agg(F.count("category").alias("category_count"))
+    )
+
+
+@REGISTRY.register(
+    "pq3a_top_user_per_country",
+    oracle=_oracle(f"""
+    , joined AS ({_JOINED_SQL}),
+    summed AS (SELECT country, poster_name,
+                      CAST(sum(follower_count) AS BIGINT) AS follower_count
+               FROM joined GROUP BY country, poster_name),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY country
+                 ORDER BY follower_count DESC, poster_name ASC) AS rn
+               FROM summed)
+    SELECT country, poster_name, follower_count FROM ranked WHERE rn = 1"""),
+    doc="Q3a (mount.py:270-289): user with most followers per country — "
+    "groupBy-sum → window top-1",
+)
+def pq3a_top_user_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summed = (
+        _joined(spark, sf_dir)
+        .groupBy("country", "poster_name")
+        .agg(F.sum("follower_count").alias("follower_count"))
+    )
+    return top_per_group(
+        summed, ["country"], [F.col("follower_count").desc(), F.col("poster_name").asc()]
+    ).select("country", "poster_name", "follower_count")
+
+
+@REGISTRY.register(
+    "pq3b_top_country_overall",
+    oracle=_oracle(f"""
+    , joined AS ({_JOINED_SQL}),
+    summed AS (SELECT country, poster_name,
+                      CAST(sum(follower_count) AS BIGINT) AS follower_count
+               FROM joined GROUP BY country, poster_name),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY country
+                 ORDER BY follower_count DESC, poster_name ASC) AS rn
+               FROM summed),
+    top_user AS (SELECT country, follower_count FROM ranked WHERE rn = 1)
+    SELECT country, follower_count FROM top_user
+    ORDER BY follower_count DESC, country ASC LIMIT 1"""),
+    doc="Q3b (mount.py:292-300): country of the globally top user. The "
+    "reference's one-partition window (W2) is replaced by orderBy+limit "
+    "(TakeOrderedAndProject) — same result, scale-safe",
+)
+def pq3b_top_country_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top_users = pq3a_top_user_per_country(spark, sf_dir)
+    return global_top(
+        top_users, [F.col("follower_count").desc(), F.col("country").asc()]
+    ).select("country", "follower_count")
+
+
+@REGISTRY.register(
+    "pq4_top_category_per_age_group",
+    oracle=_oracle(f"""
+    , joined AS ({_JOINED_SQL}),
+    bucketed AS (SELECT {_AGE_GROUP_BATCH_SQL} AS age_group, category FROM joined),
+    counted AS (SELECT age_group, category, count(category) AS category_count
+                FROM bucketed GROUP BY age_group, category),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY age_group
+                 ORDER BY category_count DESC, category ASC) AS rn
+               FROM counted)
+    SELECT age_group, category, category_count FROM ranked WHERE rn = 1"""),
+    doc="Q4 (mount.py:302-331): most popular category per age group — "
+    "CASE bucket → groupBy-count → window top-1",
+)
+def pq4_top_category_per_age_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counted = (
+        _joined(spark, sf_dir)
+        .withColumn("age_group", _age_group_batch())
+        .groupBy("age_group", "category")
+        .agg(F.count("category").alias("category_count"))
+    )
+    return top_per_group(
+        counted, ["age_group"], [F.col("category_count").desc(), F.col("category").asc()]
+    ).select("age_group", "category", "category_count")
+
+
+@REGISTRY.register(
+    "pq4_sql",
+    oracle=_oracle(f"""
+    , joined AS ({_JOINED_SQL}),
+    bucketed AS (SELECT {_AGE_GROUP_BATCH_SQL} AS age_group, category FROM joined),
+    counted AS (SELECT age_group, category, count(category) AS category_count
+                FROM bucketed GROUP BY age_group, category),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY age_group
+                 ORDER BY category_count DESC, category ASC) AS rn
+               FROM counted)
+    SELECT age_group, category, category_count FROM ranked WHERE rn = 1"""),
+    doc="Q4 as pure SQL over temp views (S9 + §3.3 SQL entry point, "
+    "mount.py:389-398 pattern; expr-string window = W3). Same oracle as "
+    "pq4 — the parity test asserts SQL twin ≡ DataFrame plan.",
+)
+def pq4_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = cleaned_tables(spark, sf_dir)
+    t["pin"].createOrReplaceTempView("pin_v")
+    t["geo"].createOrReplaceTempView("geo_v")
+    t["user"].createOrReplaceTempView("user_v")
+    return spark.sql(f"""
+        WITH joined AS (
+          SELECT p.category, u.age
+          FROM pin_v p JOIN geo_v g USING (ind) JOIN user_v u USING (ind)
+        ),
+        counted AS (
+          SELECT {_AGE_GROUP_BATCH_SQL} AS age_group, category,
+                 count(category) AS category_count
+          FROM joined GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY age_group
+            ORDER BY category_count DESC, category ASC) AS rn
+          FROM counted
+        )
+        SELECT age_group, category, category_count FROM ranked WHERE rn = 1
+    """)
+
+
+@REGISTRY.register(
+    "pq5_median_followers_per_age_group",
+    oracle=_oracle(f"""
+    , joined AS ({_JOINED_SQL}),
+    bucketed AS (SELECT {_AGE_GROUP_BATCH_SQL} AS age_group, follower_count FROM joined)
+    SELECT age_group, quantile_cont(follower_count, 0.5) AS median_follower_count
+    FROM bucketed GROUP BY age_group"""),
+    doc="Q5 (mount.py:333-363): median follower count per age group. "
+    "Defined as the percentile over the FULL group (SURVEY §2.10 quirk 2 "
+    "decision — matches Q7/Q8 semantics); the reference's manual "
+    "row_number scaffolding survives verbatim as pq5_manual_median.",
+)
+def pq5_median_followers_per_age_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _joined(spark, sf_dir).withColumn("age_group", _age_group_batch())
+    return bucketed.groupBy("age_group").agg(
+        _median("follower_count", "median_follower_count")
+    )
+
+
+@REGISTRY.register(
+    "pq5_manual_median",
+    oracle=_oracle(f"""
+    , joined AS ({_JOINED_SQL}),
+    bucketed AS (SELECT {_AGE_GROUP_BATCH_SQL} AS age_group, follower_count FROM joined),
+    windowed AS (SELECT age_group, follower_count,
+                        row_number() OVER (PARTITION BY age_group
+                                           ORDER BY follower_count) AS rn,
+                        count(*) OVER (PARTITION BY age_group) AS total_count
+                 FROM bucketed),
+    middle AS (SELECT * FROM windowed
+               WHERE rn = total_count / 2 OR rn = total_count / 2 + 1)
+    SELECT age_group, quantile_cont(follower_count, 0.5) AS median_follower_count
+    FROM middle GROUP BY age_group"""),
+    doc="The reference's manual-median scaffolding, reproduced faithfully "
+    "(mount.py:347-363): expr-string row_number (W3) + windowed count(*) "
+    "(W4) + disjunctive rank filter (P9), then percentile of the <=2 "
+    "middle rows. Quirk preserved: odd-sized groups select NO rows "
+    "(total/2 is fractional) and vanish from the output — both engines "
+    "agree because the arithmetic is identical.",
+)
+def pq5_manual_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _joined(spark, sf_dir).withColumn("age_group", _age_group_batch())
+    windowed = bucketed.withColumn(
+        "rn", F.expr("row_number() OVER (PARTITION BY age_group ORDER BY follower_count)")
+    ).withColumn("total_count", F.expr("count(*) OVER (PARTITION BY age_group)"))
+    middle = windowed.filter(
+        (F.col("rn") == F.col("total_count") / 2)
+        | (F.col("rn") == F.col("total_count") / 2 + 1)
+    )
+    return middle.groupBy("age_group").agg(
+        F.percentile("follower_count", 0.5).alias("median_follower_count")
+    )
+
+
+@REGISTRY.register(
+    "pq6_users_joined_per_year",
+    oracle=_oracle("""
+    SELECT CAST(year(date_joined) AS INT) AS post_year,
+           count(*) AS number_users_joined
+    FROM usr
+    WHERE year(date_joined) BETWEEN 2015 AND 2020
+    GROUP BY 1"""),
+    doc="Q6 (mount.py:365-381): users joined per year 2015-2020",
+)
+def pq6_users_joined_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    user = cleaned_tables(spark, sf_dir)["user"]
+    return (
+        user.withColumn("post_year", F.year("date_joined"))
+        .filter(F.col("post_year").between(2015, 2020))
+        .groupBy("post_year")
+        .agg(F.count(F.lit(1)).alias("number_users_joined"))
+    )
+
+
+@REGISTRY.register(
+    "pq6b_users_joined_distinct",
+    oracle=_oracle("""
+    , dedup AS (SELECT DISTINCT user_name, age, date_joined,
+                       CAST(year(date_joined) AS INT) AS post_year
+                FROM usr)
+    SELECT post_year, count(user_name) AS number_users_joined
+    FROM dedup GROUP BY post_year"""),
+    doc="Q6 distinct variant (mount.py:412-421): drop ind → distinct → "
+    "count(user_name) — no year filter in the reference's code",
+)
+def pq6b_users_joined_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    user = cleaned_tables(spark, sf_dir)["user"]
+    return (
+        user.withColumn("post_year", F.year("date_joined"))
+        .drop("ind")
+        .distinct()
+        .groupBy("post_year")
+        .agg(F.count("user_name").alias("number_users_joined"))
+    )
+
+
+@REGISTRY.register(
+    "pq7_median_followers_by_join_year",
+    oracle=_oracle(f"""
+    , pin_user AS (SELECT p.follower_count, u.user_name, u.date_joined
+                   FROM pin p JOIN usr u USING (ind)),
+    dedup AS (SELECT DISTINCT user_name, date_joined, follower_count FROM pin_user)
+    SELECT CAST(year(date_joined) AS INT) AS post_year,
+           quantile_cont(follower_count, 0.5) AS median_follower_count
+    FROM dedup GROUP BY 1"""),
+    doc="Q7 (mount.py:400-410): median follower count by joining year — "
+    "pin⋈user → distinct(user_name,date_joined,follower_count) → year → "
+    "median. Note: pin⋈user only (no geo), per the reference's "
+    "pin_user_age_group view (mount.py:389-391).",
+)
+def pq7_median_followers_by_join_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = cleaned_tables(spark, sf_dir)
+    pin_user = t["pin"].join(t["user"], on="ind", how="inner")
+    return (
+        pin_user.select("user_name", "date_joined", "follower_count")
+        .distinct()
+        .withColumn("post_year", F.year("date_joined"))
+        .groupBy("post_year")
+        .agg(_median("follower_count", "median_follower_count"))
+        .orderBy("post_year")
+    )
+
+
+@REGISTRY.register(
+    "pq8_median_followers_by_year_age_group",
+    oracle=_oracle(f"""
+    , pin_user AS (SELECT p.follower_count, u.user_name, u.date_joined,
+                          {_AGE_GROUP_SQL_FORM} AS age_group
+                   FROM pin p JOIN usr u USING (ind)),
+    dedup AS (SELECT DISTINCT user_name, age_group, date_joined, follower_count
+              FROM pin_user)
+    SELECT CAST(year(date_joined) AS INT) AS post_year, age_group,
+           quantile_cont(follower_count, 0.5) AS median_follower_count
+    FROM dedup GROUP BY 1, 2"""),
+    doc="Q8 (mount.py:435-445): median follower count by joining year x "
+    "age group. Uses the SQL-view bucket form ('50+', no ELSE → NULL "
+    "group for under-18/unknown ages — mount.py:393-398) faithfully; the "
+    "reference's comment mentions a 2015-2020 filter its code never "
+    "applies, so neither do we.",
+)
+def pq8_median_followers_by_year_age_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = cleaned_tables(spark, sf_dir)
+    pin_user = (
+        t["pin"]
+        .join(t["user"], on="ind", how="inner")
+        .withColumn("age_group", F.expr(_AGE_GROUP_SQL_FORM))
+    )
+    return (
+        pin_user.select("user_name", "age_group", "date_joined", "follower_count")
+        .distinct()
+        .withColumn("post_year", F.year("date_joined"))
+        .groupBy("post_year", "age_group")
+        .agg(_median("follower_count", "median_follower_count"))
+        .orderBy("post_year", "age_group")
+    )

@@ -31,10 +31,10 @@ keys align. The global argmax (q3b) uses orderBy+limit
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.analytics import bucketize, global_top, top_per_group
+from ..operators.analytics import global_top, top_per_group
 from ..sources.readers import read_parquet_table
 from .registry import REGISTRY
 

@@ -19,8 +19,15 @@ from pinterest_data_pipeline400_spark.session import build_session
 TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 # Parity tests run at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF=0.01
 # to replicate the driver's correctness gate exactly.
-SF0001 = os.path.join(TESTDATA_ROOT, f"sf{os.environ.get('SPARK_GRAFT_TEST_SF', '0.001')}")
-SF001 = os.path.join(TESTDATA_ROOT, "sf0.01")
+TEST_SF_NAME = f"sf{os.environ.get('SPARK_GRAFT_TEST_SF', '0.001')}"
+TEST_SF_DIR = os.path.join(TESTDATA_ROOT, TEST_SF_NAME)
+
+
+def rewrite_oracle_sf(sql: str) -> str:
+    """Registry oracles hardcode the driver's sf0.01 fixture paths (the
+    driver contract needs static strings); local tests at another sf
+    rewrite the path to the same-scale fixture dir."""
+    return sql.replace("/sf0.01/", f"/{TEST_SF_NAME}/")
 
 
 @pytest.fixture(scope="session")
@@ -33,7 +40,7 @@ def spark():
 def duck():
     con = duckdb.connect()
     for name in TESTDATA_TABLES:
-        path = os.path.join(SF0001, f"{name}.parquet")
+        path = os.path.join(TEST_SF_DIR, f"{name}.parquet")
         if os.path.exists(path):
             con.execute(
                 f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"

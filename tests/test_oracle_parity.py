@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import SF0001, assert_frames_match
+from tests.conftest import TEST_SF_DIR, assert_frames_match, rewrite_oracle_sf
 
 SPECS = sorted(entrymod.queries().keys())
 ORACLES = entrymod.oracle_sql()
@@ -17,12 +17,12 @@ ORACLES = entrymod.oracle_sql()
 @pytest.mark.parametrize("name", SPECS)
 def test_query_matches_oracle(spark, duck, name):
     fn = entrymod.queries()[name]
-    spark_pdf = fn(spark, SF0001).toPandas()
+    spark_pdf = fn(spark, TEST_SF_DIR).toPandas()
     if name not in ORACLES:
         # rows-only contract: must run and return a stable schema
         assert spark_pdf is not None
         return
-    oracle_pdf = duck.execute(ORACLES[name]).fetchdf()
+    oracle_pdf = duck.execute(rewrite_oracle_sf(ORACLES[name])).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
