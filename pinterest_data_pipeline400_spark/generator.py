@@ -42,6 +42,9 @@ FIXTURES_ROOT = os.path.join(REPO_ROOT, ".fixtures", "pinterest")
 SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
+#: Bump when the generated content changes; stale fixture dirs regenerate.
+FIXTURE_VERSION = "2"
+
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
 CATEGORIES = [
@@ -309,17 +312,54 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
                         "Data": json.dumps(rec, default=str),
                     }
                     fh.write(json.dumps(envelope) + "\n")
+    # planted-duplicate document corpus (dedup operators' test subject)
+    docs_dup(sf_rows(sf_name) // 10, seed=SEED + 1).to_parquet(
+        os.path.join(out_dir, "docs_dup.parquet"), index=False
+    )
+
     # done marker written last: readers treat its presence as "complete"
     with open(os.path.join(out_dir, "_DONE"), "w") as fh:
-        fh.write("ok\n")
+        fh.write(FIXTURE_VERSION + "\n")
     return out_dir
 
 
+def docs_dup(n_base: int, seed: int) -> pd.DataFrame:
+    """Document corpus with planted exact and near duplicates.
+
+    ~3% exact copies and ~10% near duplicates (a few tokens swapped —
+    word-shingle Jaccard typically 0.6-0.9 against the original), so the
+    dedup operators (exact md5 groupBy, MinHash-LSH) have real targets.
+    """
+    rng = np.random.default_rng(seed)
+    n_base = max(n_base, 200)
+    lengths = rng.integers(20, 60, n_base)
+    texts = [" ".join(rng.choice(WORDS, size=lengths[i])) for i in range(n_base)]
+    rows: list[tuple[int, str, str]] = [(i, texts[i], "base") for i in range(n_base)]
+    next_id = n_base
+    for _ in range(max(1, int(n_base * 0.03))):  # exact dups
+        src = int(rng.integers(0, n_base))
+        rows.append((next_id, texts[src], f"exact_of_{src}"))
+        next_id += 1
+    for _ in range(max(1, int(n_base * 0.10))):  # near dups
+        src = int(rng.integers(0, n_base))
+        toks = texts[src].split(" ")
+        n_edit = max(1, len(toks) // 20)
+        for _ in range(n_edit):
+            toks[int(rng.integers(0, len(toks)))] = str(rng.choice(WORDS))
+        rows.append((next_id, " ".join(toks), f"near_of_{src}"))
+        next_id += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text", "provenance"])
+
+
 def ensure_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
-    """Idempotently materialize fixtures for a scale factor."""
+    """Idempotently materialize fixtures for a scale factor; regenerates
+    when FIXTURE_VERSION changed."""
     out_dir = os.path.join(root, sf_name)
-    if os.path.exists(os.path.join(out_dir, "_DONE")):
-        return out_dir
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == FIXTURE_VERSION:
+                return out_dir
     return write_fixtures(sf_name, root)
 
 

@@ -1,0 +1,393 @@
+"""LLM-training-data operators over the driver's ``documents`` and
+``embeddings`` tables — the north-star extension surface (BASELINE.json):
+dedup, text analysis, and similarity search, each designed for 100 TB
+and oracle-checked against DuckDB at test scale.
+
+Scale design notes (the whole point of these):
+  * Exact dedup = hash-groupBy on a content fingerprint — a single
+    shuffle on the md5 key (uniformly distributed, no skew). Never a
+    self-join.
+  * Brute-force KNN broadcasts the (tiny) query side and streams the
+    candidate side once — BroadcastNestedLoopJoin by construction, which
+    IS the correct baseline at scale: one pass over 100 TB, k queries
+    held in memory. The IVF variant turns that into a hash equi-join on
+    the cell id (here: the ``label`` column as the pre-computed coarse
+    cell), i.e. candidates shrink by the cell fan-out — the scale path.
+  * All float comparisons are rounded to 6 dp on BOTH sides before
+    ranking, and every ranking carries a vec_id tiebreak — fold order
+    of a 64-dim dot product differs between engines in the last ulp.
+  * Text stats aggregate exact integer sums (token counts, char
+    counts); averages are derived from those sums at the end — integer
+    sums are order-independent, double sums are not.
+
+Determinism bridge: Spark ``md5``/``regexp``/array lambdas and DuckDB
+``md5``/``regexp_extract_all``/list lambdas agree on ASCII content, so
+the oracles check values, not just shapes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..generator import ensure_fixtures, fixture_dir_for
+from ..operators.dedup import minhash_near_dup_pairs, minhash_oracle_sql
+from .registry import REGISTRY
+
+# Planted-duplicate corpus lives with the pinterest fixtures (sf0.01 for
+# the driver's oracle runs; generated at import, idempotent).
+_ORACLE_FX = ensure_fixtures("sf0.01")
+
+K_NEIGHBORS = 3
+N_QUERIES = 8  # query set = vec_id < 8
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+EN_RATIO_THRESHOLD = 0.04
+
+# BPE-ish tokenizer classes: letter runs | single digits | single
+# non-alnum marks (whitespace never a token).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------------------------------------------------------
+# text normalization / tokenization helpers (shared column expressions)
+# --------------------------------------------------------------------------
+
+def norm_text(col: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased content key."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of already-normalized text."""
+    return F.split(col, " ")
+
+
+def ws_token_count(col: Column) -> Column:
+    """Token count of RAW text, 0 for blank (split('') yields [''])."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WS_COUNT_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+# --------------------------------------------------------------------------
+# dedup + fingerprinting
+# --------------------------------------------------------------------------
+
+@REGISTRY.register(
+    "docs_dedup_exact",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents)
+    SELECT fingerprint,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS dup_count
+    FROM fp GROUP BY fingerprint""",
+    doc="Exact dedup: normalized-content md5 → hash groupBy, keeper = "
+    "min(doc_id). One shuffle on a uniform key; scale-safe at 100 TB.",
+)
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id", F.md5(F.encode(norm_text(F.col("text")), "UTF-8")).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "docs_fingerprint",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+    SELECT doc_id,
+           md5(norm) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' '))
+             AS bag_md5
+    FROM n""",
+    doc="Per-document fingerprints: content md5 (exact identity) + "
+    "order-insensitive token-bag md5 (reorder-invariant identity). Both "
+    "narrow projections — no shuffle at all.",
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = norm_text(F.col("text"))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(norm))))
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("content_md5"),
+        F.md5(F.encode(bag, "UTF-8")).alias("bag_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+@REGISTRY.register(
+    "docs_text_stats",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             length(text) AS n_chars,
+             {_WS_COUNT_SQL} AS n_ws_tokens,
+             len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_ws_tokens) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+           round(CAST(sum(n_ws_tokens) AS DOUBLE) / count(*), 4) AS avg_ws_tokens
+    FROM per_doc GROUP BY source""",
+    doc="Corpus stats per source: char/whitespace-token/BPE-ish-token "
+    "counts. Exact integer partial sums (map-side combinable); averages "
+    "derived from the sums so cross-engine float order can't drift.",
+)
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_ws_tokens").cast("long").alias("sum_ws_tokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("sum_bpe_tokens"),
+        F.round(F.sum("n_ws_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_ws_tokens"
+        ),
+    )
+
+
+@REGISTRY.register(
+    "docs_lang_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split({_NORM_SQL}, ' ') AS tokens
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang,
+             len(tokens) AS n_tokens,
+             len(list_filter(tokens, t -> t IN ({', '.join("'" + w + "'" for w in STOPWORDS)})))
+               AS stop_hits,
+             CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
+               AS sum_token_chars
+      FROM toks)
+    SELECT doc_id,
+           n_tokens, stop_hits, sum_token_chars,
+           round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS en_ratio,
+           round(CAST(sum_token_chars AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+           CASE WHEN n_tokens > 0
+                 AND CAST(stop_hits AS DOUBLE) / n_tokens >= {EN_RATIO_THRESHOLD}
+                THEN 'en' ELSE 'und' END AS lang_pred,
+           lang AS lang_given
+    FROM feat""",
+    doc="Language-ID heuristic (stopword-hit ratio) + quality features "
+    "(token count, mean token length) per document. Pure narrow "
+    "projection over array lambdas — codegen, no shuffle, no UDF.",
+)
+def docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tokens = ws_tokens(norm_text(F.col("text")))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    feat = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_given"),
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).alias("stop_hits"),
+        F.aggregate(
+            F.transform(tokens, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+        ).cast("long").alias("sum_token_chars"),
+    )
+    ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        "sum_token_chars",
+        F.round(ratio, 6).alias("en_ratio"),
+        F.round(F.col("sum_token_chars").cast("double") / F.col("n_tokens"), 4).alias(
+            "mean_token_len"
+        ),
+        F.when((F.col("n_tokens") > 0) & (ratio >= EN_RATIO_THRESHOLD), "en")
+        .otherwise("und")
+        .alias("lang_pred"),
+        "lang_given",
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, built from
+    zip_with + aggregate folds (JVM-side, no UDF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+_COS_SQL = (
+    "round(list_cosine_similarity("
+    "list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qemb, x -> CAST(x AS DOUBLE))), 6)"
+)
+
+
+@REGISTRY.register(
+    "emb_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {K_NEIGHBORS}""",
+    doc="Brute-force cosine top-k: broadcast the tiny query side, stream "
+    "candidates once (BroadcastNestedLoopJoin — the correct exact "
+    "baseline: one scan of the corpus per query batch). Rounded to 6 dp "
+    "+ vec_id tiebreak on both engines.",
+)
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    pairs = (
+        embs.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(_as_double(F.col("embedding")), _as_double(F.col("qemb"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@REGISTRY.register(
+    "docs_dup_exact_groups",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+                FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet'))
+    SELECT fingerprint, min(doc_id) AS keeper_doc_id, count(*) AS dup_count
+    FROM fp GROUP BY fingerprint HAVING count(*) >= 2""",
+    doc="Exact-duplicate groups over the planted-duplicate corpus "
+    "(docs_dup fixture: ~3% exact copies): md5 groupBy, only groups "
+    "with 2+ members.",
+)
+def docs_dup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    return (
+        dup.select(
+            "doc_id", F.md5(F.encode(norm_text(F.col("text")), "UTF-8")).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+@REGISTRY.register(
+    "docs_dup_minhash_pairs",
+    oracle=minhash_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL),
+    doc="MinHash-LSH near-duplicate pairs over the planted-duplicate "
+    "corpus (~10% near copies): 12 md5 minhashes → 6 bands × 2 rows → "
+    "band-key equi-join → exact-Jaccard verify ≥ 0.5. Never all-pairs; "
+    "plan asserted CartesianProduct-free in tests.",
+)
+def docs_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return minhash_near_dup_pairs(normed)
+
+
+@REGISTRY.register(
+    "emb_knn_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qemb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id, e.label, {_COS_SQL} AS cosine
+      FROM embeddings e JOIN q ON e.label = q.qlabel
+      WHERE e.vec_id <> q.qid),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, label, cosine, rank
+    FROM ranked WHERE rank <= {K_NEIGHBORS}""",
+    doc="IVF-style top-k: `label` plays the coarse-quantizer cell id; "
+    "candidates come from an equi-join on the cell (hash join, "
+    "broadcastable query side) instead of a full scan — candidate set "
+    "shrinks by the cell fan-out. The scale path for ANN.",
+)
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qemb"),
+    )
+    pairs = (
+        embs.join(F.broadcast(queries), embs.label == queries.qlabel)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine(_as_double(F.col("embedding")), _as_double(F.col("qemb"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+        .select("query_id", "neighbor_id", "label", "cosine", "rank")
+    )

@@ -1,0 +1,105 @@
+"""Tests for the LLM-training-data operators beyond the generic oracle
+parity run: planted-duplicate recall, plan-shape assertions (the
+scale-design contracts), and KNN sanity."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pinterest_data_pipeline400_spark.generator import ensure_fixtures
+from pinterest_data_pipeline400_spark.plans import training_data as td
+from tests.conftest import TEST_SF_DIR, TEST_SF_NAME
+
+
+@pytest.fixture(scope="module")
+def dup_corpus():
+    fx = ensure_fixtures(TEST_SF_NAME)
+    return pd.read_parquet(os.path.join(fx, "docs_dup.parquet"))
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_finds_planted_dups(spark, dup_corpus):
+    """Every planted exact copy must be found; near-copies (a few token
+    edits, jaccard mostly ≥ 0.5) at high recall. Deterministic: fixture
+    seed and md5 hashing are fixed."""
+    out = td.docs_dup_minhash_pairs(spark, TEST_SF_DIR).toPandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    planted = dup_corpus[dup_corpus.provenance.str.contains("_of_")]
+    exact = planted[planted.provenance.str.startswith("exact_of_")]
+    near = planted[planted.provenance.str.startswith("near_of_")]
+
+    def hit(row):
+        src = int(row.provenance.split("_of_")[1])
+        return (min(src, row.doc_id), max(src, row.doc_id)) in pairs
+
+    assert all(hit(r) for _, r in exact.iterrows())
+    near_hits = sum(1 for _, r in near.iterrows() if hit(r))
+    assert near_hits >= 0.9 * len(near), (near_hits, len(near))
+    # verification threshold respected
+    assert (out.jaccard >= 0.5).all()
+
+
+def test_minhash_plan_has_no_cartesian(spark):
+    """The LSH contract: candidates come from an equi-join on band_key —
+    an all-pairs plan at 100 TB is a non-starter."""
+    plan = _physical_plan(td.docs_dup_minhash_pairs(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_exact_dedup_matches_pandas(spark, dup_corpus):
+    out = td.docs_dup_exact_groups(spark, TEST_SF_DIR).toPandas()
+    norm = (
+        dup_corpus.text.str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+    )
+    want_groups = norm.groupby(norm).size()
+    want = want_groups[want_groups >= 2]
+    assert len(out) == len(want)
+    assert out.dup_count.sum() == want.sum()
+
+
+def test_knn_bruteforce_sanity(spark):
+    out = td.emb_knn_bruteforce(spark, TEST_SF_DIR).toPandas()
+    assert set(out.query_id) == set(range(td.N_QUERIES))
+    assert (out.groupby("query_id").size() == td.K_NEIGHBORS).all()
+    assert (out.query_id != out.neighbor_id).all()  # self excluded
+    assert out.cosine.between(-1.0000001, 1.0000001).all()
+    # ranks are 1..k per query, best-first
+    for _, grp in out.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, td.K_NEIGHBORS + 1))
+        assert (g.cosine.diff().dropna() <= 1e-12).all()
+
+
+def test_knn_ivf_stays_in_cell(spark):
+    embs = td._embs(spark, TEST_SF_DIR).toPandas()
+    labels = dict(zip(embs.vec_id, embs.label))
+    out = td.emb_knn_ivf(spark, TEST_SF_DIR).toPandas()
+    # IVF contract: every neighbor comes from the query's own cell
+    assert all(labels[q] == labels[n] for q, n in zip(out.query_id, out.neighbor_id))
+
+
+def test_knn_ivf_plan_is_equi_join(spark):
+    """The IVF scale contract: hash/broadcast equi-join on the cell id,
+    not a nested-loop scan of everything."""
+    plan = _physical_plan(td.emb_knn_ivf(spark, TEST_SF_DIR))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_is_subset_quality_of_bruteforce(spark):
+    """IVF inspects only the query's cell, so its best neighbor can never
+    beat brute force; with this data's weak cluster structure it must
+    still find *a* neighbor for every query."""
+    bf = td.emb_knn_bruteforce(spark, TEST_SF_DIR).toPandas()
+    ivf = td.emb_knn_ivf(spark, TEST_SF_DIR).toPandas()
+    best_bf = bf[bf["rank"] == 1].set_index("query_id").cosine
+    best_ivf = ivf[ivf["rank"] == 1].set_index("query_id").cosine
+    for q in best_ivf.index:
+        assert best_ivf[q] <= best_bf[q] + 1e-9
