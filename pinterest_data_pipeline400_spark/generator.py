@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "2"
+FIXTURE_VERSION = "3"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -312,6 +312,29 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
                         "Data": json.dumps(rec, default=str),
                     }
                     fh.write(json.dumps(envelope) + "\n")
+    # At-least-once delivery simulation: the geo stream re-emitted with
+    # ~1% duplicated envelopes (same record delivered twice) — the
+    # watermarked stateful-dedup operator's test subject. The parquet
+    # table stays duplicate-free, so "stream + dedup == batch table"
+    # is oracle-checkable.
+    rng2 = np.random.default_rng(SEED + 7)
+    geo_records = tables["geo_raw"].to_dict(orient="records")
+    redelivered = list(geo_records)
+    for i in sorted(rng2.choice(len(geo_records), size=max(1, len(geo_records) // 100), replace=False)):
+        redelivered.append(geo_records[int(i)])
+    rd_dir = os.path.join(out_dir, "stream", "geo_redelivery")
+    os.makedirs(rd_dir, exist_ok=True)
+    per = (len(redelivered) + 3) // 4
+    for f in range(4):
+        with open(os.path.join(rd_dir, f"part-{f:04d}.jsonl"), "w") as fh:
+            for rec in redelivered[f * per : (f + 1) * per]:
+                envelope = {
+                    "StreamName": "streaming-geo",
+                    "PartitionKey": str(int(rec["ind"]) % 8),
+                    "Data": json.dumps(rec, default=str),
+                }
+                fh.write(json.dumps(envelope) + "\n")
+
     # planted-duplicate document corpus (dedup operators' test subject)
     docs_dup(sf_rows(sf_name) // 10, seed=SEED + 1).to_parquet(
         os.path.join(out_dir, "docs_dup.parquet"), index=False

@@ -177,12 +177,19 @@ def clean_pin(
     return df.select(*PIN_CLEAN_COLUMNS)
 
 
-def clean_geo(df: DataFrame) -> DataFrame:
+def clean_geo(df: DataFrame, drop_nulls: bool = False) -> DataFrame:
     """geo cleaning pipeline (mount.py:178-199): coordinates =
     array(latitude, longitude) → drop lat/lon → cast timestamp →
-    fixed column order."""
+    fixed column order.
+
+    drop_nulls=True inserts the streaming path's full-row ``dropna()``
+    at its reference position (kinesis.py:255) — i.e. AFTER the array
+    build, so a null latitude does NOT drop the row (array() is never
+    null); only null ind/country/timestamp do."""
     df = df.withColumn("coordinates", F.array(F.col("latitude"), F.col("longitude")))
     df = df.drop("latitude", "longitude")
+    if drop_nulls:
+        df = df.na.drop()
     df = df.withColumn("timestamp", F.col("timestamp").try_cast(T.TimestampType()))
     df = df.withColumn("ind", F.col("ind").cast(T.IntegerType()))
     return df.select(*GEO_CLEAN_COLUMNS)

@@ -134,11 +134,13 @@ _PARSE_FC = """CASE
     END"""
 
 
-def _ctes(fx: str) -> str:
+def _ctes(fx: str, pin_impute: str = "(SELECT m FROM pin_median)") -> str:
     """The WITH-clause body every pinterest oracle shares: null-normalize
-    → parse → impute-median → fill/normalize → DISTINCT (full 12-col row,
+    → parse → impute → fill/normalize → DISTINCT (full 12-col row,
     mirroring dropDuplicates-before-projection) for pin; row-wise cleans
-    for geo/user."""
+    for geo/user. ``pin_impute`` defaults to the batch median
+    (mount.py:127-131); the streaming oracles pass the constant 1000
+    (kinesis.py:186)."""
     nn = ",\n        ".join(
         f"CASE WHEN {c} IN ('', 'NA', 'N/A') THEN NULL ELSE {c} END AS {c}"
         for c in _PIN_STRING_COLS
@@ -154,7 +156,7 @@ def _ctes(fx: str) -> str:
     pin_rows AS (SELECT
         CAST("index" AS INTEGER) AS ind,
         unique_id, title, description,
-        COALESCE(follower_count, (SELECT m FROM pin_median)) AS follower_count,
+        COALESCE(follower_count, {pin_impute}) AS follower_count,
         COALESCE(poster_name, 'Unknown') AS poster_name,
         tag_list,
         CASE WHEN COALESCE(is_image_or_video, 'Unknown') = 'multi-video(story page format)'

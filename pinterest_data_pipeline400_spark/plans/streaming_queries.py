@@ -1,0 +1,157 @@
+"""Streaming registry entries (SURVEY.md §2.8): the reference's three
+Kinesis→clean→append pipelines (kinesis.py:34-297) run to completion
+over the generator's envelope JSONL with Trigger.AvailableNow, then the
+committed sink is read back and compared to a DuckDB oracle over the
+SAME underlying records.
+
+Each entry is a full T1→T2→clean→T3→T4 round trip per call (fresh sink
++ checkpoint, so the driver's run is deterministic and self-contained);
+the checkpoint-restart and batch≡stream equivalence guarantees are
+exercised in tests/test_streaming.py.
+
+Why these are oracle-checkable at all: the envelope JSONL serializes the
+exact rows of the raw parquet tables, and AvailableNow drains everything
+— so stream output ≡ a batch query over the parquet, expressible in SQL.
+The watermarked-dedup entry reads the *re-delivered* geo stream (~1%
+duplicated envelopes): stateful dedup must reconstruct exactly the
+duplicate-free parquet table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..generator import fixture_dir_for
+from ..streaming import (
+    RAW_SCHEMAS,
+    clean_stream,
+    decode_stream,
+    dedup_stream,
+    read_envelope_stream,
+    write_stream_append,
+)
+from .pinterest_queries import ORACLE_FX, _ctes
+from .registry import REGISTRY
+
+_WORK_ROOT = "/tmp/spark_graft_stream"
+
+
+def _run_entry(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    topic: str,
+    build: "callable",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run one streaming pipeline to a fresh sink; return the sink df."""
+    fx = fixture_dir_for(sf_dir)
+    stream_dir = os.path.join(fx, "stream", topic)
+    base = os.path.join(_WORK_ROOT, f"{name}_{os.path.basename(fx)}")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    for d in (sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    streamed = build(read_envelope_stream(spark, stream_dir))
+    query = write_stream_append(streamed, sink, ckpt)
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(f"{name} did not drain in {timeout_sec}s")
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.read.parquet(sink)
+
+
+@REGISTRY.register(
+    "stream_clean_pin",
+    oracle=f"""WITH {_ctes(ORACLE_FX, pin_impute="1000")}
+    SELECT ind, unique_id, title, description, follower_count, poster_name,
+           tag_list, is_image_or_video, image_src, save_location, category
+    FROM pin""",
+    doc="Full streaming pin pipeline (kinesis.py:147-236): envelope "
+    "file-stream → CAST/from_json/flatten decode → clean with the "
+    "constant-1000 imputation (quirk 1: approxQuantile is an action, "
+    "unavailable on streams) → stateful dropDuplicates → checkpointed "
+    "append sink; sink read back and hash-compared to the batch-SQL "
+    "equivalent.",
+)
+def stream_clean_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_entry(
+        spark, sf_dir, "stream_clean_pin", "pin",
+        lambda raw: clean_stream(decode_stream(raw, RAW_SCHEMAS["pin"]), "pin"),
+    )
+
+
+@REGISTRY.register(
+    "stream_clean_geo",
+    oracle=f"""WITH {_ctes(ORACLE_FX)}
+    SELECT ind, country, latitude AS coord_lat, longitude AS coord_lon,
+           ts AS "timestamp"
+    FROM geo""",
+    doc="Streaming geo pipeline (kinesis.py:246-269): decode → "
+    "array(lat,lon) → stream-only dropna() → cast → append sink. "
+    "Array compared element-wise (driver hash needs scalars).",
+)
+def stream_clean_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run_entry(
+        spark, sf_dir, "stream_clean_geo", "geo",
+        lambda raw: clean_stream(decode_stream(raw, RAW_SCHEMAS["geo"]), "geo"),
+    )
+    return out.select(
+        "ind", "country",
+        F.col("coordinates")[0].alias("coord_lat"),
+        F.col("coordinates")[1].alias("coord_lon"),
+        "timestamp",
+    )
+
+
+@REGISTRY.register(
+    "stream_clean_user",
+    oracle=f"""WITH {_ctes(ORACLE_FX)}
+    SELECT ind, user_name, age, date_joined FROM usr
+    WHERE ind IS NOT NULL AND user_name IS NOT NULL""",
+    doc="Streaming user pipeline (kinesis.py:273-297): decode → "
+    "concat_ws user_name → dropna(subset=[ind,user_name]) → cast → "
+    "append sink. The reference's discarded dropna(how='all') no-op "
+    "(kinesis.py:281) is not reproduced (quirk 6).",
+)
+def stream_clean_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_entry(
+        spark, sf_dir, "stream_clean_user", "user",
+        lambda raw: clean_stream(decode_stream(raw, RAW_SCHEMAS["user"]), "user"),
+    )
+
+
+@REGISTRY.register(
+    "stream_dedup_watermarked",
+    oracle=f"""WITH {_ctes(ORACLE_FX)}
+    SELECT ind, country, latitude AS coord_lat, longitude AS coord_lon,
+           ts AS "timestamp"
+    FROM geo""",
+    doc="Watermarked stateful dedup (the bounded-state form of T3 the "
+    "reference lacks — kinesis.py:213 grows state forever): the "
+    "re-delivered geo stream (~1% duplicate envelopes, at-least-once "
+    "delivery) is deduped on (ind) behind a 10-minute watermark on "
+    "event time; output must reconstruct the duplicate-free table "
+    "exactly. State is bounded by the watermark horizon at scale.",
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(raw: DataFrame) -> DataFrame:
+        decoded = decode_stream(raw, RAW_SCHEMAS["geo"])
+        deduped = dedup_stream(decoded, keys=["ind"], watermark_col="timestamp")
+        return clean_stream(deduped, "geo")
+
+    out = _run_entry(
+        spark, sf_dir, "stream_dedup_watermarked", "geo_redelivery", build
+    )
+    return out.select(
+        "ind", "country",
+        F.col("coordinates")[0].alias("coord_lat"),
+        F.col("coordinates")[1].alias("coord_lon"),
+        "timestamp",
+    )

@@ -1,0 +1,159 @@
+"""Structured Streaming path (SURVEY.md §2.8, T1-T5).
+
+The reference consumes three Kinesis streams in Databricks
+(kinesis.py:34-68), decodes ``CAST(data AS STRING)`` → ``from_json`` →
+``select("data.*")`` (kinesis.py:83-85), applies the same cleaning as
+batch (with the constant-1000 imputation, kinesis.py:184-187, because
+``approxQuantile`` is an action), and appends to Delta tables with
+checkpoints (kinesis.py:232-236).
+
+This engine swaps the Kinesis source (a Databricks-only connector) for a
+file stream over the generator's Kinesis-envelope JSONL — an infra swap,
+not a semantics change (SURVEY.md §7): the envelope carries the record
+as a JSON string in ``Data`` exactly like a Kinesis record's data blob,
+and ``startingOffsets=earliest`` ≙ reading the directory from the start.
+
+Scale notes:
+  * ``dropDuplicates`` on a stream is STATEFUL dedup; the reference runs
+    it unwatermarked (kinesis.py:213) ⇒ state grows forever. That
+    compat-exact mode exists here, plus the correct form:
+    ``withWatermark(event_time, delay).dropDuplicates(keys)`` — state
+    bounded by the watermark horizon (T3 design note in SURVEY §2.8).
+  * The append sink + checkpoint gives exactly-once into the sink dir
+    (offsets + state committed per micro-batch; T4).
+  * ``Trigger.AvailableNow`` drains everything pending then stops —
+    deterministic for tests and the driver, micro-batched like
+    production.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.clean import clean_geo, clean_pin, clean_user
+from .schemas import GEO_RAW, PIN_RAW, USER_RAW
+
+#: Kinesis-envelope wire schema (stream_emul.py:116-133 analog).
+ENVELOPE = T.StructType(
+    [
+        T.StructField("StreamName", T.StringType(), True),
+        T.StructField("PartitionKey", T.StringType(), True),
+        T.StructField("Data", T.StringType(), True),
+    ]
+)
+
+RAW_SCHEMAS = {"pin": PIN_RAW, "geo": GEO_RAW, "user": USER_RAW}
+
+
+def read_envelope_stream(
+    spark: SparkSession, stream_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """T1: file-stream source over envelope JSONL, from the beginning
+    (the reference's ``initialPosition: earliest``, kinesis.py:38)."""
+    reader = spark.readStream.schema(ENVELOPE)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(stream_dir)
+
+
+def decode_stream(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """T2 decode, exactly the reference's three steps (kinesis.py:83-85):
+    selectExpr CAST → from_json against the fixed StructType → struct
+    flatten. (P2, F7, P3.)"""
+    return (
+        raw.selectExpr("CAST(Data AS STRING) AS data")
+        .withColumn("data", F.from_json(F.col("data"), schema))
+        .select(F.col("data.*"))
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    watermark_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """T3: stateful streaming dedup. Default = the reference's
+    compat-exact unbounded ``dropDuplicates()`` (kinesis.py:213); pass
+    ``watermark_col`` for the bounded-state production form
+    (``dropDuplicatesWithinWatermark``: per-key state evicted once the
+    watermark passes — re-deliveries land within the delay in any
+    at-least-once system, so semantics match unbounded dedup there)."""
+    if watermark_col is None:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def clean_stream(decoded: DataFrame, table: str) -> DataFrame:
+    """The shared cleaning ops applied on the stream (kinesis.py:147-288):
+    pin uses the constant-1000 imputation (no actions on a stream); geo
+    adds the stream-only dropna() (kinesis.py:255); user drops rows with
+    null keys (kinesis.py:285)."""
+    if table == "pin":
+        return clean_pin(decoded, impute="constant")
+    if table == "geo":
+        # stream-only dropna() at its reference position (kinesis.py:255);
+        # the discarded dropna(how='all') of kinesis.py:281 is a reference
+        # no-op bug we do NOT reproduce (SURVEY §2.10 quirk 6)
+        return clean_geo(decoded, drop_nulls=True)
+    if table == "user":
+        return clean_user(decoded, drop_null_keys=True)
+    raise ValueError(f"unknown table {table!r}")
+
+
+def write_stream_append(
+    df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+):
+    """T4: append-mode sink with checkpointed exactly-once delivery
+    (kinesis.py:232-236; parquet stands in for the Delta table — same
+    sink API, `.format("delta")` works unchanged where Delta ships)."""
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", sink_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_pipeline_to_sink(
+    spark: SparkSession,
+    stream_dir: str,
+    table: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """source → decode → clean → dedup-on-stream → checkpointed append;
+    drains all pending input (AvailableNow) and returns when committed."""
+    raw = read_envelope_stream(spark, stream_dir)
+    cleaned = clean_stream(decode_stream(raw, RAW_SCHEMAS[table]), table)
+    query = write_stream_append(cleaned, sink_dir, checkpoint_dir)
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(f"stream {table} did not drain in {timeout_sec}s")
+    finally:
+        if query.isActive:
+            query.stop()
+
+
+def fresh_dirs(base: str) -> tuple[str, str]:
+    """(sink, checkpoint) under ``base``, wiped — T5 checkpoint reset
+    (the reference's dbutils.fs.rm, kinesis.py:138)."""
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    return sink, ckpt
