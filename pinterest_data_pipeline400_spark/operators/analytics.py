@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..config import percentile_accuracy, percentile_exact
+
 
 def top_per_group(
     df: DataFrame,
@@ -60,28 +62,40 @@ def global_top(df: DataFrame, order_by: Sequence[Column], k: int = 1) -> DataFra
     return df.orderBy(*order_by).limit(k)
 
 
+def median_expr(
+    value: str | Column, exact: bool | None = None, accuracy: int | None = None
+) -> Column:
+    """The engine's median aggregate (reference A4:
+    ``percentile_approx(col, 0.5)``, mount.py:357,408,431,443).
+
+    exact (default: ``config.percentile_exact()``, i.e. the
+    ``SPARK_GRAFT_PERCENTILE_MODE`` env switch):
+      * True  → ``percentile`` — exact interpolated, matches DuckDB
+        ``quantile_cont`` bit-for-bit. Oracle mode. Buffers per-group
+        values in an ObjectHashAggregate → unbounded per-group state;
+        fine at test scale, a scale-killer on 100 TB groups.
+      * False → ``percentile_approx`` — single-pass KLL-style sketch,
+        bounded memory, mergeable partials (map-side combine works).
+        The 100 TB mode; rank error ≤ 1/accuracy.
+    """
+    if exact is None:
+        exact = percentile_exact()
+    if exact:
+        return F.percentile(value, 0.5)
+    return F.percentile_approx(value, 0.5, accuracy or percentile_accuracy())
+
+
 def median_by(
     df: DataFrame,
     group_by: Sequence[str],
-    value_col: str,
+    value_col: str | Column,
     alias: str,
-    exact: bool = True,
-    accuracy: int = 10000,
+    exact: bool | None = None,
+    accuracy: int | None = None,
 ) -> DataFrame:
-    """Group-wise median (reference A4: ``percentile_approx(col, 0.5)``,
-    mount.py:357,408,431,443).
-
-    exact=True uses ``percentile`` (interpolated, matches DuckDB's
-    ``quantile_cont``) — the oracle-checked mode. exact=False uses the
-    ``percentile_approx`` sketch — the 100 TB mode (single pass, bounded
-    memory, mergeable partials).
-    """
-    agg = (
-        F.percentile(value_col, 0.5)
-        if exact
-        else F.percentile_approx(value_col, 0.5, accuracy)
-    )
-    return df.groupBy(*group_by).agg(agg.alias(alias))
+    """Group-wise median via :func:`median_expr` (see there for the
+    exact-vs-sketch scale tradeoff and the env switch)."""
+    return df.groupBy(*group_by).agg(median_expr(value_col, exact, accuracy).alias(alias))
 
 
 def bucketize(col: Column, edges: Sequence[tuple[float, float, str]], otherwise: str) -> Column:

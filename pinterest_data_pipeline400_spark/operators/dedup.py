@@ -92,15 +92,24 @@ def minhash_near_dup_pairs(
     """(doc_a, doc_b, jaccard) for pairs with exact shingle-set Jaccard
     ≥ tau among LSH band-collision candidates. ``norm_col`` must hold
     pre-normalized text."""
+    # Spread the input BEFORE the heavy projections: shingling and the
+    # NUM_HASHES md5 signature run through interpreted higher-order
+    # functions (array lambdas are not whole-stage-codegen'd), so a
+    # single-split input serializes them onto one core. On a real
+    # cluster the input arrives in many splits and this exchange is a
+    # cheap rebalance of (id, text) rows.
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     tokens = F.split(F.col(norm_col), " ")
     shingled = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(tokens, F.col(norm_col)).alias("sh"),
-    )
+    ).persist()  # feeds banding + both verification sides
     sig = minhash_signature(F.col("sh"))
+    # persisted: the self-join below consumes `banded` twice; without a
+    # cache each side would recompute the whole signature projection
     banded = shingled.select(
         "doc_id", F.explode(band_keys(sig)).alias("band_key")
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, on="band_key")  # equi-join: never a cartesian product

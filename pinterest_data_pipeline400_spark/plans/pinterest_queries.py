@@ -33,9 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import percentile_accuracy, percentile_exact
 from ..generator import FIXTURES_ROOT, ensure_fixtures, fixture_dir_for
-from ..operators.analytics import global_top, median_by, top_per_group
+from ..operators.analytics import bucketize, global_top, median_expr, top_per_group
 from ..operators.clean import clean_geo, clean_pin, clean_user
 from ..schemas import PIN_CLEAN_COLUMNS
 from .registry import REGISTRY
@@ -81,22 +80,24 @@ def cleaned_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def _median(col: str, alias: str) -> F.Column:
-    """Exact percentile for oracle runs, percentile_approx for scale."""
-    if percentile_exact():
-        return F.percentile(col, 0.5).alias(alias)
-    return F.percentile_approx(col, 0.5, percentile_accuracy()).alias(alias)
+    """Exact percentile for oracle runs, percentile_approx sketch for
+    scale — the engine-wide env switch (see operators.analytics)."""
+    return median_expr(col).alias(alias)
 
 
 # Age buckets, batch form: mount.py:313-318 ('+50' / 'Unknown' labels).
+# between() bounds are inclusive on both sides, exactly like the
+# reference's chained when(between) — bucketize shares that semantic.
+_AGE_EDGES = [
+    (18, 24, "18-24"),
+    (25, 35, "25-35"),
+    (36, 50, "36-50"),
+    (51, 2_147_483_647, "+50"),  # age > 50 on an int column
+]
+
+
 def _age_group_batch() -> F.Column:
-    a = F.col("age")
-    return (
-        F.when(a.between(18, 24), "18-24")
-        .when(a.between(25, 35), "25-35")
-        .when(a.between(36, 50), "36-50")
-        .when(a > 50, "+50")
-        .otherwise("Unknown")
-    )
+    return bucketize(F.col("age"), _AGE_EDGES, otherwise="Unknown")
 
 
 # Age buckets, SQL-view form: mount.py:393-398 ('50+' label, NO else → NULL).

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.analytics import global_top, top_per_group
+from ..operators.analytics import global_top, median_expr, top_per_group
 from ..sources.readers import read_parquet_table
 from .registry import REGISTRY
 
@@ -264,7 +264,7 @@ def q5_median_price_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("balance_bucket", _balance_bucket())
         .groupBy("balance_bucket")
         .agg(
-            (F.percentile(_cents("o_totalprice"), 0.5) / 100.0).alias(
+            (median_expr(_cents("o_totalprice")) / 100.0).alias(
                 "median_order_price"
             )
         )
@@ -328,7 +328,7 @@ def q7_median_acctbal_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         first_orders.join(customer, first_orders.o_custkey == customer.c_custkey)
         .groupBy("join_year")
-        .agg((F.percentile(_cents("c_acctbal"), 0.5) / 100.0).alias("median_acctbal"))
+        .agg((median_expr(_cents("c_acctbal")) / 100.0).alias("median_acctbal"))
     )
 
 
@@ -360,5 +360,5 @@ def q8_median_acctbal_by_year_segment(spark: SparkSession, sf_dir: str) -> DataF
     return (
         first_orders.join(customer, first_orders.o_custkey == customer.c_custkey)
         .groupBy("join_year", "c_mktsegment")
-        .agg((F.percentile(_cents("c_acctbal"), 0.5) / 100.0).alias("median_acctbal"))
+        .agg((median_expr(_cents("c_acctbal")) / 100.0).alias("median_acctbal"))
     )

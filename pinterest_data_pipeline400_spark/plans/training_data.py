@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..generator import ensure_fixtures, fixture_dir_for
 from ..operators.dedup import minhash_near_dup_pairs, minhash_oracle_sql
+from ..operators.multimodal import extract_features, media_from_documents
 from .registry import REGISTRY
 
 # Planted-duplicate corpus lives with the pinterest fixtures (sf0.01 for
@@ -51,8 +52,16 @@ EN_RATIO_THRESHOLD = 0.04
 BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """documents scan. ``spread=True`` rebalances the rows across all
+    cores first — used by queries whose hot path is interpreted
+    (array-lambda projections, Arrow mapInPandas): those do not
+    whole-stage-codegen, so a single-split local file would serialize
+    them onto one task. A cluster-scale input is already multi-split."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +139,7 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "narrow projections — no shuffle at all.",
 )
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     norm = norm_text(F.col("text"))
     bag = F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(norm))))
     return docs.select(
@@ -165,7 +174,7 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "derived from the sums so cross-engine float order can't drift.",
 )
 def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     per_doc = docs.select(
         "source",
         F.length("text").alias("n_chars"),
@@ -212,7 +221,7 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection over array lambdas — codegen, no shuffle, no UDF.",
 )
 def docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     tokens = ws_tokens(norm_text(F.col("text")))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     feat = docs.select(
@@ -307,6 +316,37 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K_NEIGHBORS)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@REGISTRY.register(
+    "multimodal_features",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             octet_length(encode(text)) AS byte_len,
+             ascii(text) AS first_byte
+      FROM documents)
+    SELECT media_id, media_type, byte_len, first_byte,
+           CAST(byte_len % 64 + 16 AS INT) AS width,
+           CAST((byte_len // 64) % 64 + 16 AS INT) AS height,
+           CAST(CASE WHEN media_type = 'video' THEN byte_len % 30 + 1 ELSE 1 END AS INT)
+             AS n_frames
+    FROM media""",
+    doc="Multimodal plumbing: binary payload column + typed metadata "
+    "through an Arrow-batched mapInPandas feature extractor. The decode "
+    "itself is a deterministic stub (operators/multimodal.py — real "
+    "codecs are a documented NotImplementedError integration point); "
+    "the schema, batching, and byte transport are real and "
+    "value-checked by this oracle.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT spread: each extra partition of a mapInPandas
+    # stage costs a Python worker spin-up, which dwarfs the per-row work
+    # at local fixture scale. At 100 TB the input's natural splits give
+    # the parallelism and the worker pool amortizes across batches.
+    media = media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media)
 
 
 @REGISTRY.register(

@@ -45,6 +45,12 @@ def build_session(
         # Parquet pushdown is on by default; pin it so a conf drift can't
         # silently disable the scan-level filters the plans rely on.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Local fixtures are single ~10-30 MB parquet files; the 128 MB
+        # default would scan them in ONE task and serialize every
+        # expression-heavy projection (md5 minhashing, parsing). 16 MB
+        # mimics the multi-split parallelism a real cluster gets from
+        # many files. On a production cluster leave this at default.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
