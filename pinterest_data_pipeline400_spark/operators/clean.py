@@ -209,5 +209,8 @@ def clean_user(df: DataFrame, drop_null_keys: bool = False) -> DataFrame:
     df = df.withColumn("age", F.col("age").try_cast(T.IntegerType()))
     df = df.withColumn("ind", F.col("ind").cast(T.IntegerType()))
     if drop_null_keys:
-        df = df.na.drop(subset=["ind", "user_name"])
+        # kinesis.py:285 dropna(subset=...) ≡ an isNotNull conjunction
+        # (reference P10, kinesis.py:183) — expressed as a filter so the
+        # predicate can reach the scan when the source is columnar
+        df = df.filter(F.col("ind").isNotNull() & F.col("user_name").isNotNull())
     return df.select(*USER_CLEAN_COLUMNS)

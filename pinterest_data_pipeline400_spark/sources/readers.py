@@ -70,6 +70,17 @@ def read_json_topic(
     return reader.json(topic_dir)
 
 
+def sample_rows(df: DataFrame, n: int = 1, seed: int = 100) -> DataFrame:
+    """O3 analog: the emulators' random-offset row sampling
+    (``SELECT * FROM t LIMIT {random_row}, 1``, batch_emul.py:109) as a
+    seeded ``ORDER BY rand(seed) LIMIT n`` — deterministic given the
+    seed, executed as TakeOrderedAndProject (no global sort
+    materialization)."""
+    from pyspark.sql import functions as F
+
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

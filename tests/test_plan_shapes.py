@@ -1,0 +1,82 @@
+"""Physical-plan contracts (the 100 TB design assertions, SURVEY.md §4):
+filters reach the parquet scan, projections prune the read schema, small
+dims broadcast, the global argmax compiles to TakeOrderedAndProject, and
+the cleaning hot path stays free of Python UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline400_spark.plans import tpch_queries as tq
+from tests.conftest import TEST_SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown(spark):
+    """A raw-column predicate must appear in PushedFilters at the scan —
+    this is what partition/row-group skipping hangs off at 100 TB."""
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q2 projects 2 of lineitem's 16 columns; the scan must read only
+    those (physical pruning, not just a logical Project)."""
+    plan = _plan(tq.q2_yearly_counts(spark, TEST_SF_DIR))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_shipdate" in read_schema and "l_returnflag" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_small_dim_broadcasts(spark):
+    """nation (25 rows) must join as a broadcast, never a shuffle."""
+    plan = _plan(tq.q1_top_priority_per_nation(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_argmax_is_take_ordered(spark):
+    """q3b replaces the reference's one-partition window (mount.py:295-299)
+    with orderBy+limit — must compile to TakeOrderedAndProject."""
+    plan = _plan(tq.q3b_top_nation_overall(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udf_in_any_registered_query(spark):
+    """The whole registered surface (except the Arrow-batched multimodal
+    extractor, which is the designed Python boundary) stays JVM-side:
+    no row-at-a-time BatchEvalPython anywhere."""
+    import __spark_entry__ as em
+
+    for name, fn in em.queries().items():
+        if name.startswith("stream_"):
+            continue  # streaming entries execute eagerly; covered below
+        plan = _plan(fn(spark, TEST_SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        if name != "multimodal_features":
+            assert "MapInPandas" not in plan, name
+
+
+def test_clean_pipeline_is_narrow_plus_one_shuffle(spark):
+    """The pin cleaning chain must be pure narrow projections plus
+    EXACTLY ONE exchange (the dropDuplicates hash shuffle), with no
+    Python boundary anywhere — the native parse keeps the whole
+    pipeline JVM-side where the reference's UDF would split it."""
+    from pinterest_data_pipeline400_spark.generator import ensure_fixtures
+    from pinterest_data_pipeline400_spark.operators.clean import clean_pin
+    from tests.conftest import TEST_SF_NAME
+
+    fx = ensure_fixtures(TEST_SF_NAME)
+    # drop any persisted cleaned tables: the cache manager would swap an
+    # InMemoryTableScan into this (identical) plan fragment and hide the
+    # shuffle structure being asserted
+    spark.catalog.clearCache()
+    df = spark.read.parquet(f"{fx}/pin_raw.parquet")
+    plan = _plan(clean_pin(df))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the dedup, nothing else
