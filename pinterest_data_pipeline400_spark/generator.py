@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "3"
+FIXTURE_VERSION = "5"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -340,10 +340,43 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "docs_dup.parquet"), index=False
     )
 
+    # planted near-duplicate embeddings (embedding-cosine dedup subject)
+    emb_dup(sf_rows(sf_name) // 2, seed=SEED + 2).to_parquet(
+        os.path.join(out_dir, "emb_dup.parquet"), index=False
+    )
+
     # done marker written last: readers treat its presence as "complete"
     with open(os.path.join(out_dir, "_DONE"), "w") as fh:
         fh.write(FIXTURE_VERSION + "\n")
     return out_dir
+
+
+def emb_dup(n_base: int, seed: int, dim: int = 64) -> pd.DataFrame:
+    """Unit-norm float32 embeddings with planted duplicates: ~2% exact
+    copies and ~10% near copies (small additive noise then renormalize —
+    cosine ≈ 0.99+ against the source), for the embedding-cosine
+    near-dup operator."""
+    rng = np.random.default_rng(seed)
+    n_base = max(n_base, 200)
+    vecs = rng.standard_normal((n_base, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows: list[tuple[int, list[float], str]] = [
+        (i, vecs[i].astype(np.float32).tolist(), "base") for i in range(n_base)
+    ]
+    next_id = n_base
+    for _ in range(max(1, int(n_base * 0.02))):  # exact copies
+        src = int(rng.integers(0, n_base))
+        rows.append((next_id, rows[src][1], f"exact_of_{src}"))
+        next_id += 1
+    for _ in range(max(1, int(n_base * 0.10))):  # near copies
+        src = int(rng.integers(0, n_base))
+        # noise sized so cosine ~ 1 - sigma^2*dim/2 = ~0.9954 stays above
+        # the 0.99 verify threshold with margin
+        v = vecs[src] + 0.012 * rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((next_id, v.astype(np.float32).tolist(), f"near_of_{src}"))
+        next_id += 1
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "provenance"])
 
 
 def docs_dup(n_base: int, seed: int) -> pd.DataFrame:

@@ -134,6 +134,203 @@ def minhash_near_dup_pairs(
     return verified.filter(F.col("jaccard") >= tau)
 
 
+# --------------------------------------------------------------------------
+# SimHash: 60-bit token-set fingerprint, banded hamming-distance dedup
+# --------------------------------------------------------------------------
+#
+# bit_j(doc) = sign of Σ_tokens (±1 depending on bit j of the token's
+# 60-bit md5-derived hash). Banding: 4 × 15-bit chunks — by pigeonhole,
+# any pair with hamming distance ≤ 3 shares at least one intact band, so
+# the candidate equi-join on (band_index, band_value) is recall-complete
+# up to distance 3 (and opportunistic beyond). All integer/bit
+# arithmetic — identical in Spark and DuckDB, so oracle-checkable.
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+# Near-dup verify threshold: unrelated shingle sets land at hamming
+# ~30/60 (independent fingerprints), light edits at ~5-20, so 15
+# separates cleanly. Band recall is pigeonhole-COMPLETE only to 3;
+# beyond that a pair is found iff one 15-bit band survives intact —
+# identical on both engines, so parity is unaffected.
+DEFAULT_MAX_HAMMING = 15
+
+#: 60-bit token hash from the first 15 md5 hex chars (fits signed int64).
+_TOKEN_HASH_SPARK = "CAST(conv(substr(md5(encode(token, 'UTF-8')), 1, 15), 16, 10) AS BIGINT)"
+_TOKEN_HASH_DUCK = "CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)"
+
+
+def _simhash_value_sql(engine: str) -> str:
+    """Σ_j 2^j · [Σ_tokens(±1 by bit j) > 0] as one generated expression
+    over an exploded (doc_id, h) table — identical text for both engines
+    apart from nothing (pure arithmetic)."""
+    terms = [
+        f"(CASE WHEN sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def simhash_docs(docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm") -> DataFrame:
+    """(doc_id, simhash bigint) per document over distinct word
+    3-shingles. Shingles, not bare tokens: over a small vocabulary the
+    token SET barely distinguishes documents (every doc contains most
+    words), while the shingle space is combinatorially larger — the
+    fingerprint then reflects local word order, like the minhash twin."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    tokens = F.split(F.col(norm_col), " ")
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens, F.col(norm_col))).alias("token"),
+    ).select("doc_id", F.expr(_TOKEN_HASH_SPARK).alias("h"))
+    return exploded.groupBy("doc_id").agg(
+        F.expr(_simhash_value_sql("spark")).alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` bits that
+    collide in ≥1 of the 4 bands (recall-complete ≤ 3 by pigeonhole).
+    Candidate generation is an equi-join on (band index, band bits) —
+    never all-pairs."""
+    sims = simhash_docs(docs, id_col, norm_col).persist()
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_oracle_sql(
+    parquet_path: str, norm_sql: str, max_hamming: int = DEFAULT_MAX_HAMMING
+) -> str:
+    """DuckDB mirror of :func:`simhash_near_dup_pairs` (same constants)."""
+    band_exprs = ", ".join(
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH src AS (SELECT doc_id, {norm_sql} AS norm
+                 FROM read_parquet('{parquet_path}')),
+    t AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
+    shingled AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(t) < {SHINGLE_WORDS} THEN [norm]
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+      FROM t),
+    toks AS (SELECT doc_id, unnest(sh) AS token FROM shingled),
+    hashed AS (SELECT doc_id, {_TOKEN_HASH_DUCK} AS h FROM toks),
+    sims AS (SELECT doc_id, {_simhash_value_sql("duck")} AS simhash
+             FROM hashed GROUP BY doc_id),
+    bands AS (SELECT doc_id, simhash,
+                     unnest([{band_exprs}]) AS band_val,
+                     unnest(range({SIMHASH_BANDS})) AS band_idx
+              FROM sims),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sim_a, b.simhash AS sim_b
+             FROM bands a JOIN bands b USING (band_idx, band_val)
+             WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: sign-bucket LSH + exact cosine verify
+# --------------------------------------------------------------------------
+
+EMB_SIGN_DIMS = 8
+DEFAULT_COSINE_TAU = 0.99
+
+
+def embedding_near_dup_pairs(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = DEFAULT_COSINE_TAU,
+) -> DataFrame:
+    """(id_a, id_b, cosine) for pairs with cosine ≥ tau that share a
+    hyperplane-sign bucket (signs of the first EMB_SIGN_DIMS
+    coordinates → 2^8 buckets). Candidates come from an equi-join on
+    the bucket id — never an all-pairs product. Near-identical vectors
+    agree on every sign with high probability; a production deployment
+    would multi-probe the lowest-|coordinate| bit to recover the
+    boundary cases (missed identically by the oracle, so parity holds).
+    """
+    from ..plans.training_data import cosine  # local import, avoids cycle
+
+    bucket = None
+    for i in range(EMB_SIGN_DIMS):
+        bit = F.when(F.get(F.col(vec_col), i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    keyed = embs.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+    )
+    a = keyed.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    b = keyed.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+def embedding_near_dup_oracle_sql(parquet_path: str, tau: float = DEFAULT_COSINE_TAU) -> str:
+    """DuckDB mirror of :func:`embedding_near_dup_pairs`."""
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(EMB_SIGN_DIMS)
+    )
+    return f"""
+    WITH keyed AS (SELECT vec_id, embedding, {bucket} AS bucket
+                   FROM read_parquet('{parquet_path}')),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+              FROM keyed a JOIN keyed b USING (bucket)
+              WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {tau}"""
+
+
 def minhash_oracle_sql(parquet_path: str, norm_sql: str, tau: float = DEFAULT_TAU) -> str:
     """DuckDB mirror of :func:`minhash_near_dup_pairs` — generated from
     the same constants so the two can't drift."""

@@ -33,7 +33,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..generator import ensure_fixtures, fixture_dir_for
-from ..operators.dedup import minhash_near_dup_pairs, minhash_oracle_sql
+from ..operators.dedup import (
+    embedding_near_dup_oracle_sql,
+    embedding_near_dup_pairs,
+    minhash_near_dup_pairs,
+    minhash_oracle_sql,
+    simhash_near_dup_pairs,
+    simhash_oracle_sql,
+)
 from ..operators.multimodal import extract_features, media_from_documents
 from .registry import REGISTRY
 
@@ -384,6 +391,34 @@ def docs_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
     normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
     return minhash_near_dup_pairs(normed)
+
+
+@REGISTRY.register(
+    "docs_dup_simhash_pairs",
+    oracle=simhash_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL),
+    doc="SimHash near-dup pairs over the planted-duplicate corpus: "
+    "60-bit token-set fingerprint (md5-derived ±1 bit votes), 4x15-bit "
+    "band equi-join (pigeonhole-complete to hamming ≤ 3), bit_count "
+    "verify. Pure integer arithmetic — identical in DuckDB, fully "
+    "oracle-checked.",
+)
+def docs_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return simhash_near_dup_pairs(normed)
+
+
+@REGISTRY.register(
+    "emb_neardup_pairs",
+    oracle=embedding_near_dup_oracle_sql(f"{_ORACLE_FX}/emb_dup.parquet"),
+    doc="Embedding-cosine near-dup over planted near-identical vectors "
+    "(emb_dup fixture): hyperplane-sign bucket (2^8 cells) equi-join "
+    "for candidates, exact rounded-cosine ≥ 0.99 verify. Never "
+    "all-pairs; sign-flip misses are identical on both engines.",
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "emb_dup.parquet"))
+    return embedding_near_dup_pairs(embs)
 
 
 @REGISTRY.register(

@@ -53,6 +53,62 @@ def test_minhash_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_simhash_finds_exact_and_close_dups(spark, dup_corpus):
+    """SimHash recall profile: hamming 0 (exact copies) must all be
+    found (pigeonhole-complete band recall to distance 3); heavier
+    token edits degrade gracefully. MinHash is the high-recall
+    near-dup operator; SimHash is the cheap fingerprint-distance one."""
+    out = td.docs_dup_simhash_pairs(spark, TEST_SF_DIR).toPandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    planted = dup_corpus[dup_corpus.provenance.str.contains("_of_")]
+    exact = planted[planted.provenance.str.startswith("exact_of_")]
+
+    def hit(row):
+        src = int(row.provenance.split("_of_")[1])
+        return (min(src, row.doc_id), max(src, row.doc_id)) in pairs
+
+    assert all(hit(r) for _, r in exact.iterrows())
+    assert (out.hamming <= 15).all()
+    assert (out[out.hamming == 0].doc_a != out[out.hamming == 0].doc_b).all()
+
+
+def test_simhash_plan_has_no_cartesian(spark):
+    plan = _physical_plan(td.docs_dup_simhash_pairs(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_embedding_neardup_finds_planted(spark):
+    """Sign-bucket LSH + cosine verify: every exact vector copy is found
+    (identical signs, cosine 1.0); near copies at high recall (0.03
+    noise rarely flips one of the 8 leading signs)."""
+    import pandas as pd
+    from pinterest_data_pipeline400_spark.generator import ensure_fixtures
+
+    fx = ensure_fixtures(TEST_SF_NAME)
+    emb = pd.read_parquet(os.path.join(fx, "emb_dup.parquet"))
+    out = td.emb_neardup_pairs(spark, TEST_SF_DIR).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    planted = emb[emb.provenance.str.contains("_of_")]
+    exact = planted[planted.provenance.str.startswith("exact_of_")]
+    near = planted[planted.provenance.str.startswith("near_of_")]
+
+    def hit(row):
+        src = int(row.provenance.split("_of_")[1])
+        return (min(src, row.vec_id), max(src, row.vec_id)) in pairs
+
+    assert all(hit(r) for _, r in exact.iterrows())
+    near_hits = sum(1 for _, r in near.iterrows() if hit(r))
+    assert near_hits >= 0.7 * len(near), (near_hits, len(near))
+    assert (out.cosine >= 0.99).all()
+
+
+def test_embedding_neardup_plan_is_equi_join(spark):
+    plan = _physical_plan(td.emb_neardup_pairs(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_exact_dedup_matches_pandas(spark, dup_corpus):
     out = td.docs_dup_exact_groups(spark, TEST_SF_DIR).toPandas()
     norm = (
