@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 import importlib
 
 # Importing the plan modules populates the registry.
-from pinterest_data_pipeline400_spark.plans import pinterest_queries, tpch_queries  # noqa: F401
+from pinterest_data_pipeline400_spark.plans import (  # noqa: F401
+    events_queries,
+    pinterest_queries,
+    tpch_queries,
+)
 
 
 def _import_plan_module(name: str) -> None:

@@ -1,0 +1,217 @@
+"""Event-stream analytics over the driver's ``events`` table — the
+time-series surface the reference never built (SURVEY.md §2.8 lists
+event-time windows, lag/lead, and windowed aggregation as absent; a
+production pinterest-style pipeline needs them, so they are first-class
+here): tumbling event-time windows, gap-based sessionization, JSON
+property extraction, and a watermarked STREAMING windowed aggregation
+whose emitted-window semantics are mirrored exactly by the oracle.
+
+Determinism rules as everywhere: money-ish doubles aggregated as
+integer cents, second-granularity integer date arithmetic, event_id
+tiebreaks in every ordering.
+
+Scale notes:
+  * Tumbling windows are a plain hash aggregate on (window, key) — the
+    partial/final split map-side combines; no state beyond the group.
+  * Sessionization = lag + conditional running sum over
+    (user, time) — one shuffle on user_id, state bounded per user.
+    This is the batch twin of ``applyInPandasWithState`` sessionizing;
+    at 100 TB the same plan holds (users partition evenly).
+  * The streaming variant holds only open windows in state (watermark
+    evicts), demonstrating bounded-state event-time aggregation the
+    reference's unwatermarked pipeline could not do.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import REGISTRY
+
+SESSION_GAP_SEC = 1800  # 30 minutes
+STREAM_WM_DELAY = "10 minutes"
+
+# ts is TIMESTAMP(NANOS) in the driver's parquet; with
+# spark.sql.legacy.parquet.nanosAsLong (session.py) it arrives as the
+# raw int64 and is converted below. The fixture's values are
+# microsecond-aligned, so DIV 1000 is lossless and both engines see
+# identical instants (DuckDB reads the NANOS column natively).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+#: integer ns → µs → TimestampType; DIV keeps 1.7e18-scale values exact
+#: (a double division would lose precision past 2^53)
+_TS_FROM_NANOS = "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.expr(_TS_FROM_NANOS))
+
+
+@REGISTRY.register(
+    "ev_windowed_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY 1, 2""",
+    doc="Tumbling 1-hour event-time windows per event type: count + "
+    "exact integer-cents sum. groupBy(window(ts)) — the windowed "
+    "aggregation surface the reference lacked.",
+)
+def ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+@REGISTRY.register(
+    "ev_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sessions GROUP BY user_id, session_id""",
+    doc="Gap-based sessionization (30-min inactivity): lag over "
+    "(user, time) marks session starts, a running sum numbers them, "
+    "then per-session stats. lag/lead + running-frame windows — absent "
+    "from the reference, core for behavioral pipelines.",
+)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sessions = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_sec > SESSION_GAP_SEC), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+@REGISTRY.register(
+    "ev_props_extract",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events)
+    SELECT event_type, CAST(k // 10 AS INT) AS k_decile,
+           count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY 1, 2""",
+    doc="Batch from_json (F7 on the batch path): parse the props JSON "
+    "column against a fixed schema, bucket and aggregate the extracted "
+    "field. JSON decode stays JVM-side (no UDF).",
+)
+def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.withColumn("k_decile", F.floor(F.col("k") / 10).cast("int"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").cast("long").alias("sum_k"))
+    )
+
+
+@REGISTRY.register(
+    "ev_stream_windowed",
+    oracle=f"""
+    WITH finalized AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, ts
+      FROM events)
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM finalized
+    GROUP BY 1, 2
+    HAVING window_start + INTERVAL '1 hour'
+           <= (SELECT max(ts) FROM events) - INTERVAL '{STREAM_WM_DELAY}'""",
+    doc="STREAMING watermarked tumbling-window aggregation: events "
+    "replayed through a file stream, 10-min watermark, append-mode "
+    "sink. Append mode emits only windows the final watermark "
+    "(max event time - delay) has passed — the oracle's HAVING clause "
+    "mirrors that emission rule exactly, so the committed sink is "
+    "value-checked, not just counted. Bounded state: the watermark "
+    "evicts closed windows.",
+)
+def ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    base = f"/tmp/spark_graft_stream/ev_windowed_{os.path.basename(os.path.normpath(sf_dir))}"
+    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
+    for d in (in_dir, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(in_dir)
+        .withColumn("ts", F.expr(_TS_FROM_NANOS))
+    )
+    agg = (
+        stream.withWatermark("ts", STREAM_WM_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError("ev_stream_windowed did not drain")
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.read.parquet(sink)

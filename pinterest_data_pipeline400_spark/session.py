@@ -51,6 +51,10 @@ def build_session(
         # mimics the multi-split parallelism a real cluster gets from
         # many files. On a production cluster leave this at default.
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # The driver's events.parquet stores TIMESTAMP(NANOS), which
+        # Spark cannot map to its microsecond TimestampType; read the
+        # raw int64 and convert explicitly (events_queries._events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
