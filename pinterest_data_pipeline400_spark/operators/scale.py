@@ -1,0 +1,100 @@
+"""Scale techniques as first-class operators: bucketed co-located
+joins and salted skew joins.
+
+These are the two levers SURVEY.md §4 calls out for the 100 TB target
+beyond what AQE gives automatically:
+
+  * **Bucketing** (`write_bucketed` + `bucketed_join_ready`): persist
+    both join sides pre-hashed into the same number of buckets on the
+    join key. Catalyst then plans the join WITHOUT a shuffle on either
+    side (SortMergeJoin over co-located buckets) — at 100 TB that
+    deletes the dominant cost of repeated fact⋈fact joins. Verified by
+    a plan test asserting zero Exchange operators in the bucketed join.
+  * **Salting** (`salted_join`): explicit skew mitigation for joins
+    where one key dominates (the reference's Kinesis partition-key "1"
+    hotspot is the canonical example — stream_emul.py:132). The hot
+    side's keys are split into ``salt`` sub-keys; the small side is
+    replicated ``salt`` times; the join runs on (key, salt) so the hot
+    key's rows spread over ``salt`` tasks. AQE's skew-join splitting
+    covers sort-merge cases adaptively; explicit salting remains the
+    tool when the skew is known and extreme (or for aggregations,
+    where AQE cannot split a single hot group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (+sorted) managed table. Both sides
+    of a recurring join written this way (same cols, same bucket count)
+    join shuffle-free."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist; clear orphans or saveAsTable
+    # refuses with LOCATION_ALREADY_EXISTS
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    force_sort_merge: bool = False,
+) -> DataFrame:
+    """Join two same-bucketed tables; with matching bucket specs the
+    sort-merge plan contains no Exchange (asserted in tests).
+
+    ``force_sort_merge`` adds the MERGE hint — at fixture scale Catalyst
+    would otherwise pick a broadcast join (whose BroadcastExchange hides
+    the co-location win this operator exists to demonstrate); at real
+    scale both sides exceed the broadcast threshold and SMJ is the
+    natural choice with no hint."""
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")  # hints attach to join INPUTS, not results
+    return left.join(spark.table(right_table), on=on)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each key of the (skewed) big
+    side over ``salt`` sub-partitions and replicate the small side to
+    match. Output equals ``big.join(small, on, how)`` exactly; the hot
+    key's work runs on ``salt`` tasks instead of one.
+
+    Use when one key's row count dwarfs the rest (power-law keys) and
+    the small side is too big to broadcast outright but cheap to
+    replicate ``salt``×.
+    """
+    big_salted = big.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    small_replicated = small.withColumn("__salt", salts)
+    out = big_salted.join(small_replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
