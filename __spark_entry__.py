@@ -54,6 +54,9 @@ def entry(spark: SparkSession) -> DataFrame:
     q1 exercises the whole spine: parquet scan → broadcast + shuffle
     joins → hash aggregate → window top-1 per group.
     """
+    from pinterest_data_pipeline400_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # the driver's session, not our builder's
     return tpch_queries.q1_top_priority_per_nation(spark, SF0001)
 
 

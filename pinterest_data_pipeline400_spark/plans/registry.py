@@ -35,8 +35,20 @@ class Registry:
         def deco(fn: QueryFn) -> QueryFn:
             if name in self._specs:
                 raise ValueError(f"duplicate query name: {name}")
-            self._specs[name] = QuerySpec(name, fn, oracle, doc)
-            return fn
+
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                # The driver hands queries ITS OWN session (not our
+                # builder's): pin the correctness-critical runtime confs
+                # (UTC, nanos parquet reads, pushdown) on every call.
+                from ..session import ensure_runtime_confs
+
+                ensure_runtime_confs(spark)
+                return fn(spark, sf_dir)
+
+            wrapped.__name__ = fn.__name__
+            wrapped.__doc__ = fn.__doc__
+            self._specs[name] = QuerySpec(name, wrapped, oracle, doc)
+            return fn  # callers (and intra-module calls) keep the raw fn
 
         return deco
 

@@ -63,6 +63,28 @@ def build_session(
     return spark
 
 
+#: Runtime-settable SQL confs every query depends on for correctness —
+#: applied defensively per query call because the DRIVER may hand us a
+#: session it built itself (entry()/queries() contract), without this
+#: module's builder defaults:
+#:   * UTC session time zone: timestamp wall-clocks must match the
+#:     DuckDB oracle regardless of host TZ;
+#:   * nanosAsLong: the driver's events.parquet stores TIMESTAMP(NANOS),
+#:     unreadable by Spark otherwise (converted in events_queries);
+#:   * parquet filter pushdown pinned on (scan-level filters).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the correctness-critical runtime confs to ANY session."""
+    for k, v in RUNTIME_CONFS.items():
+        spark.conf.set(k, v)
+
+
 def get_session() -> SparkSession:
     """Return the active session, building one with defaults if absent."""
     active = SparkSession.getActiveSession()
