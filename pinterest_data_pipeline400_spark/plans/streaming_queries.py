@@ -32,6 +32,7 @@ from ..streaming import (
     decode_stream,
     dedup_stream,
     read_envelope_stream,
+    stateful_running_counts,
     write_stream_append,
 )
 from .pinterest_queries import ORACLE_FX, _ctes
@@ -125,6 +126,67 @@ def stream_clean_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "stream_clean_user", "user",
         lambda raw: clean_stream(decode_stream(raw, RAW_SCHEMAS["user"]), "user"),
     )
+
+
+@REGISTRY.register(
+    "stream_stateful_user_counts",
+    oracle="""
+    WITH split AS (SELECT (max(event_id) + 1) // 2 AS s FROM events),
+    b1 AS (SELECT user_id, count(*) AS c FROM events
+           WHERE event_id < (SELECT s FROM split) GROUP BY user_id),
+    tot AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+    SELECT user_id, CAST(c AS BIGINT) AS n_events_so_far FROM b1
+    UNION ALL
+    SELECT user_id, CAST(c AS BIGINT) FROM tot
+    WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                      WHERE event_id >= (SELECT s FROM split))""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running event counts, fed in two phases over ONE "
+    "checkpoint — phase 1 streams the first half of events, the query "
+    "stops, phase 2 streams the rest and resumes the state store. The "
+    "sink therefore holds each user's phase-1 running total AND the "
+    "final total — exactly the two-stage expression the oracle builds, "
+    "proving both the Arrow-batched state update and state recovery "
+    "across restarts.",
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    base = os.path.join(
+        _WORK_ROOT, f"stateful_counts_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
+    for d in (in_dir, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    split = (ev.event_id.max() + 1) // 2
+
+    from ..plans.events_queries import EVENTS_SCHEMA
+
+    def drain_phase(frame: "pd.DataFrame", fname: str) -> None:
+        frame.to_parquet(os.path.join(in_dir, fname), index=False)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+        counts = stateful_running_counts(stream)
+        query = (
+            counts.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("stateful counts did not drain")
+        finally:
+            if query.isActive:
+                query.stop()
+
+    drain_phase(ev[ev.event_id < split], "part-0000.parquet")
+    drain_phase(ev[ev.event_id >= split], "part-0001.parquet")
+    return spark.read.parquet(sink)
 
 
 @REGISTRY.register(

@@ -83,6 +83,13 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     """Apply the correctness-critical runtime confs to ANY session."""
     for k, v in RUNTIME_CONFS.items():
         spark.conf.set(k, v)
+    # A foreign session usually carries the 200-partition default; size
+    # shuffles (and, more importantly, streaming state stores, which pin
+    # their partition count at first checkpoint) to the actual core
+    # count. AQE coalesces batch shuffles anyway; state stores don't.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
 
 
 def get_session() -> SparkSession:

@@ -148,6 +148,39 @@ def run_pipeline_to_sink(
             query.stop()
 
 
+def stateful_running_counts(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    escape hatch for semantics built-in streaming aggregates can't
+    express — SURVEY.md §1.4): a per-key running event counter that
+    emits the updated total once per micro-batch the key appears in.
+
+    Arrow-batched per group; state is one bigint per key, persisted in
+    the checkpoint state store — so totals survive query restarts (the
+    entry drives two separate runs over one checkpoint to prove it).
+    At scale, state is partitioned by key across executors and each
+    micro-batch touches only the keys present in it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, batches, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events_so_far": [total]})
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events_so_far long",
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def fresh_dirs(base: str) -> tuple[str, str]:
     """(sink, checkpoint) under ``base``, wiped — T5 checkpoint reset
     (the reference's dbutils.fs.rm, kinesis.py:138)."""
