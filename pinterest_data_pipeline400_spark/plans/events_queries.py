@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import STREAM_STATE_PARTITIONS, scoped_shuffle_partitions
 from .registry import REGISTRY
 
 SESSION_GAP_SEC = 1800  # 30 minutes
@@ -189,29 +190,30 @@ def ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(d, exist_ok=True)
     shutil.copy(src, os.path.join(in_dir, "events.parquet"))
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(in_dir)
-        .withColumn("ts", F.expr(_TS_FROM_NANOS))
-    )
-    agg = (
-        stream.withWatermark("ts", STREAM_WM_DELAY)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
-    )
-    query = (
-        agg.writeStream.format("parquet")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .option("path", sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not query.awaitTermination(300):
-            raise TimeoutError("ev_stream_windowed did not drain")
-    finally:
-        if query.isActive:
-            query.stop()
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(in_dir)
+            .withColumn("ts", F.expr(_TS_FROM_NANOS))
+        )
+        agg = (
+            stream.withWatermark("ts", STREAM_WM_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+        query = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("ev_stream_windowed did not drain")
+        finally:
+            if query.isActive:
+                query.stop()
     return spark.read.parquet(sink)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..generator import fixture_dir_for
+from ..session import STREAM_STATE_PARTITIONS, scoped_shuffle_partitions
 from ..streaming import (
     RAW_SCHEMAS,
     clean_stream,
@@ -57,14 +58,15 @@ def _run_entry(
     for d in (sink, ckpt):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-    streamed = build(read_envelope_stream(spark, stream_dir))
-    query = write_stream_append(streamed, sink, ckpt)
-    try:
-        if not query.awaitTermination(timeout_sec):
-            raise TimeoutError(f"{name} did not drain in {timeout_sec}s")
-    finally:
-        if query.isActive:
-            query.stop()
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        streamed = build(read_envelope_stream(spark, stream_dir))
+        query = write_stream_append(streamed, sink, ckpt)
+        try:
+            if not query.awaitTermination(timeout_sec):
+                raise TimeoutError(f"{name} did not drain in {timeout_sec}s")
+        finally:
+            if query.isActive:
+                query.stop()
     return spark.read.parquet(sink)
 
 
@@ -167,22 +169,23 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def drain_phase(frame: "pd.DataFrame", fname: str) -> None:
         frame.to_parquet(os.path.join(in_dir, fname), index=False)
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
-        counts = stateful_running_counts(stream)
-        query = (
-            counts.writeStream.format("parquet")
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .option("path", sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not query.awaitTermination(300):
-                raise TimeoutError("stateful counts did not drain")
-        finally:
-            if query.isActive:
-                query.stop()
+        with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+            stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+            counts = stateful_running_counts(stream)
+            query = (
+                counts.writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .option("path", sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not query.awaitTermination(300):
+                    raise TimeoutError("stateful counts did not drain")
+            finally:
+                if query.isActive:
+                    query.stop()
 
     drain_phase(ev[ev.event_id < split], "part-0000.parquet")
     drain_phase(ev[ev.event_id >= split], "part-0001.parquet")

@@ -412,9 +412,10 @@ def docs_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_neardup_pairs",
     oracle=embedding_near_dup_oracle_sql(f"{_ORACLE_FX}/emb_dup.parquet"),
     doc="Embedding-cosine near-dup over planted near-identical vectors "
-    "(emb_dup fixture): hyperplane-sign bucket (2^8 cells) equi-join "
-    "for candidates, exact rounded-cosine ≥ 0.99 verify. Never "
-    "all-pairs; sign-flip misses are identical on both engines.",
+    "(emb_dup fixture): OR-amplified sign LSH (3 bands x 14 "
+    "hyperplane signs) equi-join for candidates, exact rounded-cosine "
+    "≥ 0.99 verify. Never all-pairs; sign-flip misses are identical "
+    "on both engines.",
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "emb_dup.parquet"))

@@ -18,6 +18,7 @@ matter for both local correctness-testing and 1000-executor scale:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -90,6 +91,37 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
+
+
+#: Partition count for streaming STATE stores on this single-JVM test
+#: rig. Batch shuffles want one partition per core (AQE coalesces), but
+#: every state partition of a streaming query carries fixed per-micro-
+#: batch overhead — a state-store commit, checkpoint delta files, and
+#: (for applyInPandasWithState) a dedicated Python worker with a state
+#: server. At local fixture scale that overhead dominates: measured on
+#: the stateful-counts entry, 32 state partitions cost 3-8x the wall
+#: clock of 8, and degrade further when the listener/maintenance queues
+#: are busy after heavy batch queries. On a real cluster, size this to
+#: keyspace x executors via the env var instead.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily set ``spark.sql.shuffle.partitions`` (restored on
+    exit). Streaming queries pin their state-store partition count from
+    this conf at FIRST checkpoint creation — so wrap the
+    ``writeStream.start()`` (and everything up to ``awaitTermination``)
+    for queries with fresh checkpoints; batch plans built outside the
+    scope are unaffected."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def get_session() -> SparkSession:

@@ -79,9 +79,10 @@ def test_simhash_plan_has_no_cartesian(spark):
 
 
 def test_embedding_neardup_finds_planted(spark):
-    """Sign-bucket LSH + cosine verify: every exact vector copy is found
-    (identical signs, cosine 1.0); near copies at high recall (0.03
-    noise rarely flips one of the 8 leading signs)."""
+    """Banded sign LSH + cosine verify: every exact vector copy is found
+    (identical signs in every band, cosine 1.0); near copies at high
+    recall (0.03 noise must flip a sign in EACH of the 3 bands to lose
+    the pair)."""
     import pandas as pd
     from pinterest_data_pipeline400_spark.generator import ensure_fixtures
 
