@@ -135,6 +135,115 @@ def minhash_near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# Exact n-gram Jaccard via an inverted shingle index (no sketching)
+# --------------------------------------------------------------------------
+
+#: Postings cap: shingles appearing in more documents than this are
+#: dropped from the index before the pair join. A shingle with document
+#: frequency d contributes d^2/2 candidate pairs — without a cap one
+#: boilerplate phrase ("all rights reserved") makes the join quadratic
+#: in corpus size. 500 is far above any fixture DF (max ~60 at sf0.1)
+#: so local results are unaffected, while at 100 TB it bounds the
+#: worst postings list. Dropped shingles shrink both docs' kept-sets
+#: identically on both engines, so oracle parity holds.
+NGRAM_MAX_DF = 500
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    tau: float = DEFAULT_TAU,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with EXACT word-3-gram Jaccard
+    ≥ tau, computed over an inverted shingle index — the non-sketch
+    counterpart to :func:`minhash_near_dup_pairs` (recall 1.0 for any
+    pair sharing at least one sub-cap shingle, vs the banding miss
+    probability of LSH).
+
+    Scale design: candidates come from the postings self-join on the
+    shingle — never all-pairs — and the intersection size falls out of
+    the SAME join (count of shared shingles per pair), so the shingle
+    arrays are never re-joined for verification. The window that
+    computes document frequency partitions by shingle, and Catalyst
+    reuses that partitioning for the self-join — one logical shuffle
+    for cap + candidates + intersection.
+    """
+    from pyspark.sql import Window
+
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    tokens = F.split(F.col(norm_col), " ")
+    posting = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens, F.col(norm_col))).alias("shingle"),
+    )
+    kept = (
+        posting.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+        .persist()  # feeds the size aggregate AND both join sides
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def ngram_jaccard_oracle_sql(
+    parquet_path: str,
+    norm_sql: str,
+    tau: float = DEFAULT_TAU,
+    max_df: int = NGRAM_MAX_DF,
+) -> str:
+    """DuckDB mirror of :func:`ngram_jaccard_pairs` — same shingling
+    CTE shape as the minhash oracle, same DF cap constant."""
+    return f"""
+    WITH src AS (SELECT doc_id, {norm_sql} AS norm
+                 FROM read_parquet('{parquet_path}')),
+    toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
+    shingled AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(t) < {SHINGLE_WORDS} THEN [norm]
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+      FROM toks),
+    posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    kept AS (SELECT doc_id, shingle FROM posting
+             QUALIFY count(*) OVER (PARTITION BY shingle) <= {max_df}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM kept a JOIN kept b USING (shingle)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = shared.doc_a
+    JOIN sizes sb ON sb.doc_id = shared.doc_b
+    WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= {tau}"""
+
+
+# --------------------------------------------------------------------------
 # SimHash: 60-bit token-set fingerprint, banded hamming-distance dedup
 # --------------------------------------------------------------------------
 #

@@ -86,6 +86,52 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+#: Every FRAME_STRIDE-th fake frame is "decoded" by sample_frames.
+FRAME_STRIDE = 5
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_len", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling for video payloads via Arrow-batched
+    ``mapInPandas``: the payload is split into ``n_frames`` equal byte
+    slices (the fake decode's frame count — a real build swaps in an
+    ffmpeg keyframe reader here), and every ``stride``-th frame is
+    "decoded" (length + md5 of its bytes). The md5 round-trips the raw
+    bytes through the Arrow boundary, so the oracle match proves the
+    binary transport is byte-exact, not just shape-correct.
+
+    The video filter is applied BEFORE mapInPandas so the predicate
+    prunes at the scan and non-video rows never cross into Python.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                n = len(p)
+                n_frames = n % 30 + 1
+                for i in range(0, n_frames, stride):
+                    seg = p[i * n // n_frames : (i + 1) * n // n_frames]
+                    rows.append((mid, i, len(seg), hashlib.md5(seg).hexdigest()))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_len", "frame_md5"]
+            )
+            if rows:
+                yield out
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Adapt the documents table into a media table: the UTF-8 bytes of
     ``text`` stand in for real image/audio/video payloads (media_type

@@ -38,10 +38,17 @@ from ..operators.dedup import (
     embedding_near_dup_pairs,
     minhash_near_dup_pairs,
     minhash_oracle_sql,
+    ngram_jaccard_oracle_sql,
+    ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_oracle_sql,
 )
-from ..operators.multimodal import extract_features, media_from_documents
+from ..operators.multimodal import (
+    FRAME_STRIDE,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
 from .registry import REGISTRY
 
 # Planted-duplicate corpus lives with the pinterest fixtures (sf0.01 for
@@ -325,6 +332,87 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# k-means step: the iterative-clustering primitive over embeddings
+# --------------------------------------------------------------------------
+
+K_CLUSTERS = 8  # seed centroids = vec_id < 8 (deterministic init)
+
+_KMEANS_ASSIGN_SQL = f"""
+    WITH c AS (SELECT vec_id AS cluster_id, embedding AS cemb
+               FROM embeddings WHERE vec_id < {K_CLUSTERS}),
+    pairs AS (SELECT e.vec_id, e.embedding, c.cluster_id,
+        round(list_cosine_similarity(
+            list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(c.cemb, x -> CAST(x AS DOUBLE))), 6) AS cosine
+      FROM embeddings e, c),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, cluster_id ASC) AS rn
+               FROM pairs)"""
+
+
+def _kmeans_assign(embs: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: every vector to its most-cosine-similar
+    seed centroid (the first K_CLUSTERS vectors — deterministic init).
+    Centroids broadcast; one pass over the corpus; rounded cosine +
+    cluster_id tiebreak keep the argmax identical on both engines."""
+    cents = embs.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cemb")
+    )
+    scored = embs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cluster_id",
+        F.round(cosine(_as_double(F.col("embedding")), _as_double(F.col("cemb"))), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cluster_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+@REGISTRY.register(
+    "emb_kmeans_assign",
+    oracle=f"""{_KMEANS_ASSIGN_SQL}
+    SELECT vec_id, cluster_id, cosine FROM ranked WHERE rn = 1""",
+    doc="Lloyd assignment step over embeddings: broadcast the "
+    f"{K_CLUSTERS} seed centroids, one corpus scan, rounded-cosine "
+    "argmax with deterministic tiebreak. The building block every "
+    "iterative clustering loop repeats; at 100 TB each iteration is "
+    "one broadcast join + one window, no collect.",
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans_assign(_embs(spark, sf_dir)).select("vec_id", "cluster_id", "cosine")
+
+
+@REGISTRY.register(
+    "emb_kmeans_centroids",
+    oracle=f"""{_KMEANS_ASSIGN_SQL},
+    assigned AS (SELECT cluster_id, embedding FROM ranked WHERE rn = 1),
+    exploded AS (SELECT cluster_id,
+                        unnest(range(len(embedding))) AS dim,
+                        unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+                 FROM assigned)
+    SELECT cluster_id, CAST(dim AS INT) AS dim,
+           round(avg(val), 6) AS centroid
+    FROM exploded GROUP BY cluster_id, dim""",
+    doc="Lloyd update step: element-wise mean of each cluster's "
+    "vectors, long-form (cluster_id, dim, centroid) via posexplode + "
+    "groupBy — a pure map-side-combinable aggregation (K x dims "
+    "groups, bounded state), the scale-safe way to average vectors. "
+    "Rounded to 6 dp: double summation order differs between engines "
+    "only at ~1e-12, far inside the rounding margin.",
+)
+def emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _kmeans_assign(_embs(spark, sf_dir)).select("cluster_id", "embedding")
+    exploded = assigned.select(
+        "cluster_id", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val")
+    )
+    return exploded.groupBy("cluster_id", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid")
+    )
+
+
 @REGISTRY.register(
     "multimodal_features",
     oracle="""
@@ -354,6 +442,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the parallelism and the worker pool amortizes across batches.
     media = media_from_documents(_docs(spark, sf_dir))
     return extract_features(media)
+
+
+@REGISTRY.register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, length(text) AS n, text
+      FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT media_id, n, text, n % 30 + 1 AS n_frames FROM media),
+    frames AS (SELECT media_id, n, text, n_frames,
+                      unnest(range(0, n_frames, {FRAME_STRIDE})) AS i
+               FROM f)
+    SELECT media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(((i + 1) * n) // n_frames - (i * n) // n_frames AS INT) AS frame_len,
+           md5(substr(text, CAST((i * n) // n_frames + 1 AS INT),
+                      CAST(((i + 1) * n) // n_frames - (i * n) // n_frames AS INT)))
+             AS frame_md5
+    FROM frames""",
+    doc="Frame sampling over video payloads: every 5th fake frame "
+    "(equal byte slices of the binary payload) decoded to length + md5 "
+    "via Arrow-batched mapInPandas. The md5 oracle match proves the "
+    "bytes cross the JVM-Arrow-Python boundary exactly; the video "
+    "predicate is applied before the Python stage so it prunes at the "
+    "scan. (Oracle slices by character, valid because the fixture text "
+    "is pure ASCII — checked at generation.)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(_docs(spark, sf_dir))
+    return sample_frames(media)
 
 
 @REGISTRY.register(
@@ -391,6 +509,22 @@ def docs_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
     normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
     return minhash_near_dup_pairs(normed)
+
+
+@REGISTRY.register(
+    "docs_dup_ngram_pairs",
+    oracle=ngram_jaccard_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL),
+    doc="EXACT word-3-gram Jaccard near-dup pairs via an inverted "
+    "shingle index (the non-sketch counterpart to minhash: recall 1.0, "
+    "no banding misses). Candidates + intersection counts come from "
+    "the postings self-join on the shingle; a document-frequency cap "
+    "(500) bounds the quadratic blow-up of boilerplate shingles at "
+    "scale. Never all-pairs.",
+)
+def docs_dup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return ngram_jaccard_pairs(normed)
 
 
 @REGISTRY.register(

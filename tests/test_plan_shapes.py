@@ -58,7 +58,7 @@ def test_no_python_udf_in_any_registered_query(spark):
             continue  # streaming entries execute eagerly; covered below
         plan = _plan(fn(spark, TEST_SF_DIR))
         assert "BatchEvalPython" not in plan, name
-        if name != "multimodal_features":
+        if name not in ("multimodal_features", "multimodal_frame_sample"):
             assert "MapInPandas" not in plan, name
 
 

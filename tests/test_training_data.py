@@ -53,6 +53,37 @@ def test_minhash_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_ngram_jaccard_exact_recall(spark, dup_corpus):
+    """The inverted-index path is EXACT: every planted pair whose true
+    3-gram Jaccard ≥ 0.5 must be reported (no banding misses), and
+    every reported jaccard must equal the set-arithmetic value."""
+    out = td.docs_dup_ngram_pairs(spark, TEST_SF_DIR).toPandas()
+    pairs = {(a, b): j for a, b, j in zip(out.doc_a, out.doc_b, out.jaccard)}
+
+    def shingles(text):
+        toks = " ".join(text.split()).strip().lower().split(" ")
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    planted = dup_corpus[dup_corpus.provenance.str.contains("_of_")]
+    by_id = dict(zip(dup_corpus.doc_id, dup_corpus.text))
+    for _, row in planted.iterrows():
+        src = int(row.provenance.split("_of_")[1])
+        sa, sb = shingles(by_id[src]), shingles(by_id[row.doc_id])
+        true_j = len(sa & sb) / len(sa | sb)
+        key = (min(src, row.doc_id), max(src, row.doc_id))
+        if round(true_j, 6) >= 0.5:
+            assert key in pairs, (key, true_j)
+            assert abs(pairs[key] - true_j) < 1e-6, (key, pairs[key], true_j)
+
+
+def test_ngram_jaccard_plan_has_no_cartesian(spark):
+    plan = _physical_plan(td.docs_dup_ngram_pairs(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_simhash_finds_exact_and_close_dups(spark, dup_corpus):
     """SimHash recall profile: hamming 0 (exact copies) must all be
     found (pigeonhole-complete band recall to distance 3); heavier
