@@ -43,6 +43,13 @@ class Registry:
                 from ..session import ensure_runtime_confs
 
                 ensure_runtime_confs(spark)
+                # Drop cached blocks left by PREVIOUS entries: operators
+                # that persist() mid-pipeline (minhash, ngram) return
+                # lazy DataFrames and so cannot unpersist themselves;
+                # without this, caches accumulate across a long session
+                # and measurably slow later queries. Safe by design: no
+                # registered entry depends on another entry's cache.
+                spark.catalog.clearCache()
                 return fn(spark, sf_dir)
 
             wrapped.__name__ = fn.__name__
