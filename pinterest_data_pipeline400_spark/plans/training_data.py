@@ -333,6 +333,94 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# deterministic split assignment + sequence packing
+# --------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test = the remaining 5
+PACK_CONTEXT_TOKENS = 512
+PACK_BUCKETS = 32
+
+#: Percentile bucket 0-99 from the first 8 md5 hex chars of the doc id —
+#: a DETERMINISTIC sampler (same doc always lands in the same split, on
+#: any engine, any run, any partitioning), unlike rand()/sampleBy whose
+#: RNG cannot be mirrored cross-engine.
+_DOC_PCT_SPARK = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+_DOC_PCT_DUCK = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+#: Independent hash for the packing bucket (hex chars 9-16).
+_DOC_BUCKET_SPARK = (
+    f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 9, 8), 16, 10) AS BIGINT) % {PACK_BUCKETS}"
+)
+_DOC_BUCKET_DUCK = (
+    f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) % {PACK_BUCKETS}"
+)
+
+
+@REGISTRY.register(
+    "docs_split_assign",
+    oracle=f"""
+    WITH pct AS (SELECT doc_id, {_DOC_PCT_DUCK} AS pct FROM documents)
+    SELECT doc_id, pct,
+           CASE WHEN pct < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN pct < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM pct""",
+    doc="Deterministic train/val/test assignment (90/5/5) from an md5 "
+    "percentile bucket of the doc id: reproducible on any engine and "
+    "any partitioning (rand()-based splits are not), embarrassingly "
+    "parallel (pure projection, no shuffle), and stable under corpus "
+    "growth — a doc never changes split when new docs arrive.",
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pct = F.expr(_DOC_PCT_SPARK)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        pct.alias("pct"),
+        F.when(pct < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@REGISTRY.register(
+    "docs_pack_bins",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DOC_BUCKET_DUCK} AS bucket,
+                         {_WS_COUNT_SQL} AS n_tokens
+                  FROM documents),
+    packed AS (SELECT doc_id, bucket, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY bucket
+                                          ORDER BY doc_id) AS cum
+               FROM toks)
+    SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+           (cum - n_tokens) // {PACK_CONTEXT_TOKENS} AS bin_id
+    FROM packed""",
+    doc=f"Sequence packing for LLM training: docs are assigned to "
+    f"{PACK_CONTEXT_TOKENS}-token context bins by a running token-count "
+    "sum. The global greedy pack is inherently sequential, so it is "
+    f"parallelized the scale-safe way: {PACK_BUCKETS} independent hash "
+    "buckets, each packed by one bounded window — at 100 TB every "
+    "bucket is a separate window partition, no global sort, no driver "
+    "loop.",
+)
+def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_DOC_BUCKET_SPARK).alias("bucket"),
+        ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "bucket",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_CONTEXT_TOKENS)).alias("bin_id"),
+    )
+
+
+# --------------------------------------------------------------------------
 # k-means step: the iterative-clustering primitive over embeddings
 # --------------------------------------------------------------------------
 
