@@ -42,6 +42,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_oracle_sql,
+    word_shingles,
 )
 from ..operators.multimodal import (
     FRAME_STRIDE,
@@ -417,6 +418,202 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor((cum - F.col("n_tokens")) / F.lit(PACK_CONTEXT_TOKENS)).alias("bin_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality filtering / decontamination / mixture resampling
+# --------------------------------------------------------------------------
+
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_FRAC_TOP = 0.15
+QUALITY_MIN_TTR = 0.4
+
+
+@REGISTRY.register(
+    "docs_quality_repetition",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM n),
+    counts AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    per_doc AS (SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS top_count,
+                       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                         AS dup_tokens
+                FROM counts GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, top_count,
+           round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS frac_top_token,
+           round(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+           CASE WHEN n_tokens >= {QUALITY_MIN_TOKENS}
+                 AND CAST(top_count AS DOUBLE) / n_tokens <= {QUALITY_MAX_FRAC_TOP}
+                 AND CAST(n_distinct AS DOUBLE) / n_tokens >= {QUALITY_MIN_TTR}
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM per_doc""",
+    doc="Gopher-style repetition quality filter: per-document token "
+    "frequency stats (fraction in the most common token, duplicated-"
+    "token fraction, type/token ratio) with a keep/drop verdict. "
+    "Computed the scale-safe way — explode + two map-side-combinable "
+    "aggregations on (doc_id, token) then doc_id, both high-cardinality "
+    "uniform keys; never a per-row UDF holding a token dict.",
+)
+def docs_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+    )
+    counts = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("long").alias("dup_tokens"),
+    )
+    frac_top = F.col("top_count").cast("double") / F.col("n_tokens")
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_count",
+        F.round(frac_top, 6).alias("frac_top_token"),
+        F.round(F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.when(
+            (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+            & (frac_top <= QUALITY_MAX_FRAC_TOP)
+            & (ttr >= QUALITY_MIN_TTR),
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+DECONTAM_EVAL_MOD = 23  # eval/benchmark set = doc_id % 23 == 0
+DECONTAM_TAU = 0.5
+
+_SHINGLE_DUCK = """list_distinct(CASE WHEN len(t) < 3 THEN [norm]
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)"""
+
+
+@REGISTRY.register(
+    "docs_decontaminate",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_NORM_SQL} AS norm
+                 FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')),
+    t AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
+    shingled AS (SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM t),
+    eval_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM shingled
+                WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+    train AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled
+              WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+    hits AS (SELECT t.doc_id, count(*) AS n_hits
+             FROM train t JOIN eval_sh e USING (shingle) GROUP BY t.doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles, 6)
+             AS contam_frac,
+           CASE WHEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles
+                     >= {DECONTAM_TAU}
+                THEN 'contaminated' ELSE 'clean' END AS verdict
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""",
+    doc="Benchmark decontamination over the planted-duplicate corpus: "
+    f"every doc_id % {DECONTAM_EVAL_MOD} == 0 plays the held-out eval "
+    "set; training docs sharing ≥ 50% of their word-3-gram shingles "
+    "with ANY eval doc are flagged (planted near/exact dups of eval "
+    "docs light up; the small-vocabulary background overlap stays ~10%). "
+    "Scale shape: the eval shingle set is distinct-collapsed and "
+    "BROADCAST — the 100 TB training side is touched once, one "
+    "broadcast-hash semi-join + one groupBy, no corpus self-join.",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    dup = dup.repartition(spark.sparkContext.defaultParallelism)
+    norm = norm_text(F.col("text"))
+    shingled = dup.select(
+        "doc_id", word_shingles(F.split(norm, " "), norm).alias("sh")
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    eval_sh = (
+        shingled.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
+    )
+    train = shingled.filter(~is_eval).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    frac = F.col("n_hits").cast("double") / F.col("n_shingles")
+    return (
+        sizes.join(hits, on="doc_id", how="left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(frac, 6).alias("contam_frac"),
+            F.when(frac >= DECONTAM_TAU, "contaminated")
+            .otherwise("clean")
+            .alias("verdict"),
+        )
+    )
+
+
+#: Mixture sampling hash — hex chars 17-24 of the doc-id md5, independent
+#: of both the split hash (chars 1-8) and the packing hash (chars 9-16).
+_MIX_PCT_SPARK = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 17, 8), 16, 10) AS BIGINT) % 100"
+_MIX_PCT_DUCK = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8)) AS BIGINT) % 100"
+#: Per-source keep rate in [10, 99] derived from the source name itself.
+_MIX_RATE_SPARK = "CAST(10 + CAST(conv(substr(md5(source), 1, 8), 16, 10) AS BIGINT) % 90 AS INT)"
+_MIX_RATE_DUCK = "CAST(10 + CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 90 AS INT)"
+
+
+@REGISTRY.register(
+    "docs_mixture_resample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_MIX_PCT_DUCK} AS pct,
+                      {_MIX_RATE_DUCK} AS rate,
+                      {_WS_COUNT_SQL} AS n_tokens
+               FROM documents)
+    SELECT source, rate,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN pct < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN pct < rate THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM d GROUP BY source, rate""",
+    doc="Deterministic mixture resampling: each source gets a keep-rate "
+    "(here derived from the source name; in production a supplied "
+    "weight table) and each doc an independent md5 percentile — kept "
+    "iff pct < rate. Reports per-source kept counts + token budget. "
+    "Same doc always kept or dropped regardless of engine, run, or "
+    "partitioning — rand()-based sampling can't promise that. Pure "
+    "projection + one map-side-combinable aggregation on `source`.",
+)
+def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(_MIX_PCT_SPARK).alias("pct"),
+        F.expr(_MIX_RATE_SPARK).alias("rate"),
+        ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = F.col("pct") < F.col("rate")
+    return d.groupBy("source", "rate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias(
+            "kept_tokens"
+        ),
     )
 
 

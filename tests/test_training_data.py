@@ -191,3 +191,36 @@ def test_ivf_is_subset_quality_of_bruteforce(spark):
     best_ivf = ivf[ivf["rank"] == 1].set_index("query_id").cosine
     for q in best_ivf.index:
         assert best_ivf[q] <= best_bf[q] + 1e-9
+
+
+def test_decontaminate_flags_planted_eval_dups(spark, dup_corpus):
+    """A training doc planted as a near/exact copy of an eval doc
+    (source doc_id % DECONTAM_EVAL_MOD == 0) shares almost all its
+    shingles with the eval set and must be flagged; background overlap
+    from the small vocabulary must stay below the threshold for the
+    vast majority of the corpus."""
+    out = td.docs_decontaminate(spark, TEST_SF_DIR).toPandas()
+    verdicts = dict(zip(out.doc_id, out.verdict))
+    planted = dup_corpus[dup_corpus.provenance.str.contains("_of_")]
+    flagged_expected = [
+        int(r.doc_id)
+        for _, r in planted.iterrows()
+        if int(r.provenance.split("_of_")[1]) % td.DECONTAM_EVAL_MOD == 0
+        and int(r.doc_id) % td.DECONTAM_EVAL_MOD != 0
+    ]
+    assert flagged_expected, "fixture must plant at least one eval dup"
+    for d in flagged_expected:
+        assert verdicts[d] == "contaminated", d
+    # eval docs themselves are excluded from the scrubbed output
+    assert (out.doc_id % td.DECONTAM_EVAL_MOD != 0).all()
+    # background stays mostly clean
+    assert (out.verdict == "clean").mean() > 0.95
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """Scale contract: the eval shingle set is the small side and must
+    arrive via a broadcast hash join; the corpus is never self-joined."""
+    plan = _physical_plan(td.docs_decontaminate(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
