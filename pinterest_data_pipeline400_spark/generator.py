@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "5"
+FIXTURE_VERSION = "6"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -345,6 +345,11 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "emb_dup.parquet"), index=False
     )
 
+    # planted-PII corpus (the PII-scrub operator's test subject)
+    docs_pii(sf_rows(sf_name) // 10, seed=SEED + 3).to_parquet(
+        os.path.join(out_dir, "docs_pii.parquet"), index=False
+    )
+
     # done marker written last: readers treat its presence as "complete"
     with open(os.path.join(out_dir, "_DONE"), "w") as fh:
         fh.write(FIXTURE_VERSION + "\n")
@@ -377,6 +382,42 @@ def emb_dup(n_base: int, seed: int, dim: int = 64) -> pd.DataFrame:
         rows.append((next_id, v.astype(np.float32).tolist(), f"near_of_{src}"))
         next_id += 1
     return pd.DataFrame(rows, columns=["vec_id", "embedding", "provenance"])
+
+
+def docs_pii(n: int, seed: int) -> pd.DataFrame:
+    """Document corpus with planted PII tokens (emails, US phone numbers,
+    IPv4 addresses) at known per-row counts — the scrub operator's
+    ground truth. ~40% of docs are PII-free; the rest carry 1-3 planted
+    items each, inserted at random token positions."""
+    rng = np.random.default_rng(seed)
+    n = max(n, 200)
+    rows = []
+    for i in range(n):
+        toks = list(rng.choice(WORDS, size=int(rng.integers(15, 40))))
+        n_em = n_ph = n_ip = 0
+        for _ in range(int(rng.integers(0, 4)) if rng.random() > 0.4 else 0):
+            kind = rng.choice(["email", "phone", "ip"])
+            if kind == "email":
+                tok = (
+                    f"{rng.choice(FIRST_NAMES).lower()}."
+                    f"{rng.choice(LAST_NAMES).lower()}{rng.integers(1, 999)}"
+                    f"@example{rng.integers(0, 9)}.com"
+                )
+                n_em += 1
+            elif kind == "phone":
+                tok = (
+                    f"{rng.integers(200, 999)}-{rng.integers(100, 999)}"
+                    f"-{rng.integers(1000, 9999)}"
+                )
+                n_ph += 1
+            else:
+                tok = ".".join(str(rng.integers(1, 255)) for _ in range(4))
+                n_ip += 1
+            toks.insert(int(rng.integers(0, len(toks) + 1)), tok)
+        rows.append((i, " ".join(toks), n_em, n_ph, n_ip))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "planted_emails", "planted_phones", "planted_ips"]
+    )
 
 
 def docs_dup(n_base: int, seed: int) -> pd.DataFrame:

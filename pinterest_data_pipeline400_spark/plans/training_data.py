@@ -618,6 +618,140 @@ def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII scrubbing (planted-PII fixture) + end-to-end corpus pipeline
+# --------------------------------------------------------------------------
+
+#: Same regex text for Spark (java.util.regex) and DuckDB (RE2) — these
+#: patterns use only the common subset (char classes, bounded repeats).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@REGISTRY.register(
+    "docs_pii_scrub",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(
+               regexp_replace(text, '{PII_PHONE}', '<PHONE>', 'g'), '{PII_IP}'))
+               AS n_ips
+      FROM read_parquet('{_ORACLE_FX}/docs_pii.parquet'))
+    SELECT doc_id,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_phones AS INT) AS n_phones,
+           CAST(n_ips AS INT) AS n_ips,
+           CAST(n_emails + n_phones + n_ips AS INT) AS pii_total,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+               '{PII_IP}', '<IP>', 'g')) AS scrubbed_md5,
+           CASE WHEN n_emails + n_phones + n_ips > 0 THEN 'pii' ELSE 'clean' END
+             AS verdict
+    FROM counted""",
+    doc="PII scrubbing over the planted-PII corpus: count + redact "
+    "emails, US phone numbers, and IPv4 addresses with pure "
+    "regexp_count/regexp_replace — a narrow codegen projection, no "
+    "UDF, embarrassingly parallel at 100 TB. The scrubbed-text md5 is "
+    "oracle-matched, proving byte-identical redaction cross-engine. "
+    "(Phones are redacted before IPs are counted: a phone's digit "
+    "groups must not double-count as a partial IP.)",
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pii = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_pii.parquet"))
+    pii = pii.repartition(spark.sparkContext.defaultParallelism)
+    n_emails = F.regexp_count("text", F.lit(PII_EMAIL))
+    n_phones = F.regexp_count("text", F.lit(PII_PHONE))
+    n_ips = F.regexp_count(
+        F.regexp_replace("text", PII_PHONE, "<PHONE>"), F.lit(PII_IP)
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    total = n_emails + n_phones + n_ips
+    return pii.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+        total.cast("int").alias("pii_total"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+        F.when(total > 0, "pii").otherwise("clean").alias("verdict"),
+    )
+
+
+@REGISTRY.register(
+    "docs_corpus_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents),
+    feat AS (
+      SELECT doc_id, source,
+             md5(norm) AS fingerprint,
+             len(string_split(norm, ' ')) AS n_tokens,
+             len(list_distinct(string_split(norm, ' '))) AS n_distinct,
+             {_DOC_PCT_DUCK} AS pct
+      FROM base),
+    keepers AS (
+      SELECT * FROM feat
+      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+    quality AS (
+      SELECT * FROM keepers
+      WHERE n_tokens >= {QUALITY_MIN_TOKENS}
+        AND CAST(n_distinct AS DOUBLE) / n_tokens >= {QUALITY_MIN_TTR}),
+    labeled AS (
+      SELECT *, CASE WHEN pct < {SPLIT_TRAIN_PCT} THEN 'train'
+                     WHEN pct < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                     ELSE 'test' END AS split
+      FROM quality)
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM labeled GROUP BY split, source""",
+    doc="End-to-end training-corpus preparation in ONE lazy plan: exact "
+    "dedup (md5 fingerprint, min-doc_id keeper) → quality gate (token "
+    "count + type/token ratio, computed with array functions so no "
+    "extra shuffle) → deterministic split assignment → per-(split, "
+    "source) doc and token budget. Two shuffles total at any scale: "
+    "the fingerprint window and the final small aggregation — the "
+    "composition test that the operator family actually chains.",
+)
+def docs_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = norm_text(F.col("text"))
+    toks = ws_tokens(norm)
+    feat = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.expr(_DOC_PCT_SPARK).alias("pct"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    keepers = feat.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    quality = keepers.filter(
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (F.col("n_distinct").cast("double") / F.col("n_tokens") >= QUALITY_MIN_TTR)
+    )
+    labeled = quality.withColumn(
+        "split",
+        F.when(F.col("pct") < SPLIT_TRAIN_PCT, "train")
+        .when(F.col("pct") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test"),
+    )
+    return labeled.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # k-means step: the iterative-clustering primitive over embeddings
 # --------------------------------------------------------------------------
 

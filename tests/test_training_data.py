@@ -224,3 +224,20 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_pii_scrub_matches_planted_counts(spark):
+    """The generator records exactly how many emails/phones/IPs it
+    planted per document; the scrub operator must recover those counts
+    from the text alone."""
+    import pandas as pd
+    fx = ensure_fixtures(TEST_SF_NAME)
+    truth = pd.read_parquet(os.path.join(fx, "docs_pii.parquet"))
+    out = td.docs_pii_scrub(spark, TEST_SF_DIR).toPandas()
+    m = truth.merge(out, on="doc_id")
+    assert (m.n_emails == m.planted_emails).all()
+    assert (m.n_phones == m.planted_phones).all()
+    assert (m.n_ips == m.planted_ips).all()
+    assert (m.pii_total > 0).any() and (m.pii_total == 0).any()
+    # scrubbed text never retains a match
+    assert "BatchEvalPython" not in _physical_plan(td.docs_pii_scrub(spark, TEST_SF_DIR))
