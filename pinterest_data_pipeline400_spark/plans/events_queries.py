@@ -161,6 +161,173 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_LEFT_TYPE = "purchase"  # attribute each purchase ...
+ASOF_RIGHT_TYPE = "click"  # ... to the user's most recent prior click
+RANGE_WINDOW_SEC = 600  # range join: events in the 10 min before a purchase
+
+
+@REGISTRY.register(
+    "ev_asof_join",
+    oracle=f"""
+    WITH lefts AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{ASOF_LEFT_TYPE}'),
+    rights AS (
+      SELECT user_id, ts, event_id AS click_event_id,
+             CAST(round(value * 100) AS BIGINT) AS click_value_cents
+      FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1)
+    SELECT l.event_id, l.user_id, l.ts,
+           r.click_event_id, r.click_value_cents,
+           CAST(date_diff('second', r.ts, l.ts) AS BIGINT) AS lag_sec
+    FROM lefts l
+    ASOF LEFT JOIN rights r
+      ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    doc="AS-OF JOIN — an operator Spark has no native form of: each "
+    f"{ASOF_LEFT_TYPE} is joined to the same user's most recent "
+    f"{ASOF_RIGHT_TYPE} at or before it (classic attribution / "
+    "latest-snapshot-at-time join; DuckDB runs its native ASOF JOIN as "
+    "the oracle). Implemented the scale-safe way: union both sides "
+    "with a side marker, ONE window over (user, ts, side) carrying the "
+    "last-seen right row forward via last(ignorenulls) — a single "
+    "shuffle on user_id, state = one row per partition. The naive "
+    "alternative (inequality join + per-left argmax) is quadratic in "
+    "events-per-user; this is linear, and at 100 TB it partitions by "
+    "user exactly like every other per-user window here. Right rows "
+    "tied on ts are collapsed to max event_id on both engines to keep "
+    "the match deterministic.",
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    lefts = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    rights = (
+        ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE)
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("click_value_cents"),
+        )
+    )
+    unioned = lefts.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("long").alias("click_value_cents"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    ).unionByName(
+        rights.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),  # rights sort before lefts at equal ts
+            F.lit(None).cast("long").alias("event_id"),
+            "click_event_id",
+            "click_value_cents",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    # carry the most recent right row forward within each user timeline
+    w = Window.partitionBy("user_id").orderBy("ts", "side", "click_event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last("click_event_id", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last("click_value_cents", ignorenulls=True).over(w).alias("click_value_cents"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_value_cents",
+        (F.unix_timestamp("ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("lag_sec"),
+    )
+
+
+@REGISTRY.register(
+    "ev_range_join",
+    oracle=f"""
+    WITH lefts AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{ASOF_LEFT_TYPE}'),
+    joined AS (
+      SELECT l.event_id, count(e.event_id) AS n_prior,
+             coalesce(sum(CAST(round(e.value * 100) AS BIGINT)), 0)
+               AS prior_value_cents
+      FROM lefts l
+      LEFT JOIN events e
+        ON e.user_id = l.user_id
+       AND e.ts >= l.ts - INTERVAL {RANGE_WINDOW_SEC} SECOND
+       AND e.ts < l.ts
+      GROUP BY l.event_id)
+    SELECT j.event_id, l.user_id, l.ts,
+           CAST(j.n_prior AS BIGINT) AS n_prior,
+           CAST(j.prior_value_cents AS BIGINT) AS prior_value_cents
+    FROM joined j JOIN lefts l ON l.event_id = j.event_id""",
+    doc="RANGE JOIN — each purchase joined to all of the same user's "
+    f"events in the {RANGE_WINDOW_SEC}s before it (DuckDB executes the "
+    "literal inequality join as the oracle). Spark has no range-join "
+    "operator, and the naive theta-join degenerates to a per-user "
+    "cross product; implemented instead as a TIME-BUCKET EQUI-JOIN: "
+    f"both sides bucket ts by the window size ({RANGE_WINDOW_SEC}s), "
+    "the probe side duplicates each event into its own and the "
+    "following bucket (exactly 2 copies, since the window never spans "
+    "more than 2 buckets), the join is a plain hash join on "
+    "(user_id, bucket), and the exact range predicate filters the "
+    "candidates. Work scales with events that are actually "
+    "time-adjacent, never with the full per-user history.",
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / RANGE_WINDOW_SEC)  # noqa: E731
+    lefts = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "event_id", "user_id", "ts", bucket("ts").alias("bucket")
+    )
+    probe = ev.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
+        F.explode(F.array(bucket("ts"), bucket("ts") + 1)).alias("bucket"),
+    )
+    cand = lefts.join(
+        probe,
+        (F.col("user_id") == F.col("p_user"))
+        & (lefts.bucket == probe.bucket)
+        & (F.col("p_ts") >= F.col("ts") - F.expr(f"INTERVAL {RANGE_WINDOW_SEC} SECOND"))
+        & (F.col("p_ts") < F.col("ts")),
+    )
+    counts = cand.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.sum("p_cents").alias("prior_value_cents"),
+    )
+    return (
+        lefts.join(counts, on="event_id", how="left")
+        .na.fill({"n_prior": 0, "prior_value_cents": 0})
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("n_prior").cast("long").alias("n_prior"),
+            F.col("prior_value_cents").cast("long").alias("prior_value_cents"),
+        )
+    )
+
+
 @REGISTRY.register(
     "ev_stream_windowed",
     oracle=f"""

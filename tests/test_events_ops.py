@@ -1,0 +1,80 @@
+"""Contract tests for the as-of and range joins beyond oracle parity:
+an independent pandas recomputation of the semantics, and the physical
+plans that make them scale (equi/window plans, never a nested loop)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pinterest_data_pipeline400_spark.plans import events_queries as eq
+from tests.conftest import TEST_SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _events_pdf(spark) -> pd.DataFrame:
+    return eq._events(spark, TEST_SF_DIR).toPandas()
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    ev = _events_pdf(spark)
+    lefts = ev[ev.event_type == eq.ASOF_LEFT_TYPE].sort_values("ts")
+    rights = (
+        ev[ev.event_type == eq.ASOF_RIGHT_TYPE]
+        .sort_values(["ts", "event_id"])
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()  # max event_id per (user, ts) — the dedup rule
+        .sort_values("ts")
+    )
+    expected = pd.merge_asof(
+        lefts,
+        rights[["user_id", "ts", "event_id"]].rename(
+            columns={"event_id": "click_event_id"}
+        ),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    out = eq.ev_asof_join(spark, TEST_SF_DIR).toPandas()
+    m = expected.merge(out, on="event_id", suffixes=("_exp", ""))
+    assert len(m) == len(lefts)
+    exp = m.click_event_id_exp.astype("Float64")
+    got = m.click_event_id.astype("Float64")
+    assert (exp.isna() == got.isna()).all()
+    assert (exp.dropna() == got.dropna()).all()
+
+
+def test_asof_join_is_single_user_shuffle(spark):
+    """The scale contract: one window over user_id — no join operator of
+    any kind in the plan (the as-of is computed by the union+window)."""
+    plan = _plan(eq.ev_asof_join(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_range_join_matches_naive_recompute(spark):
+    ev = _events_pdf(spark)
+    lefts = ev[ev.event_type == eq.ASOF_LEFT_TYPE]
+    out = eq.ev_range_join(spark, TEST_SF_DIR).toPandas().set_index("event_id")
+    assert len(out) == len(lefts)
+    for _, l in lefts.iterrows():
+        lo = l.ts - pd.Timedelta(seconds=eq.RANGE_WINDOW_SEC)
+        prior = ev[(ev.user_id == l.user_id) & (ev.ts >= lo) & (ev.ts < l.ts)]
+        assert out.loc[l.event_id, "n_prior"] == len(prior)
+        assert out.loc[l.event_id, "prior_value_cents"] == int(
+            round(prior.value * 100).sum()
+        )
+    assert (out.n_prior == 0).any() and (out.n_prior > 0).any()
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The inequality never reaches the join operator: candidates come
+    from a hash join on (user, bucket)."""
+    plan = _plan(eq.ev_range_join(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
