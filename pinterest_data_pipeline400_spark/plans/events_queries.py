@@ -161,6 +161,84 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@REGISTRY.register(
+    "ev_rollup_multigrain",
+    oracle="""
+    WITH g AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+      FROM events
+      GROUP BY ROLLUP (day, event_type))
+    SELECT coalesce(strftime(day, '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(event_type, 'ALL') AS event_type,
+           n_events, sum_value_cents
+    FROM g""",
+    doc="Hypertable-style multi-grain rollup: (day, type), per-day, and "
+    "grand-total aggregates from ONE scan via GROUP BY ROLLUP — Spark "
+    "expands the grouping sets inside a single hash aggregate (partial "
+    "+ final, map-side combinable), so the continuous-aggregate "
+    "pattern costs one shuffle for every grain at once instead of one "
+    "query per grain.",
+)
+def ev_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+            "value",
+        )
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        # rolled-up grains surface as explicit labels, not NULLs: the
+        # value-hash compare (and any consumer) then never depends on
+        # engine-specific NULL-timestamp encodings
+        .select(
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+@REGISTRY.register(
+    "ev_pivot_user_type",
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(
+               f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS {t}" for t in EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id""",
+    doc="Pivot: per-user event counts spread into one column per event "
+    "type. The pivot values are supplied explicitly (never inferred), "
+    "which keeps the plan a single hash aggregate — Spark's inferred "
+    "pivot needs an extra distinct-collecting job first, a hidden "
+    "driver-side collect this engine forbids.",
+)
+def ev_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill({t: 0 for t in EVENT_TYPES})
+        .select(
+            "user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+        )
+    )
+
+
 ASOF_LEFT_TYPE = "purchase"  # attribute each purchase ...
 ASOF_RIGHT_TYPE = "click"  # ... to the user's most recent prior click
 RANGE_WINDOW_SEC = 600  # range join: events in the 10 min before a purchase
