@@ -54,6 +54,59 @@ def word_shingles(tokens: Column, norm: Column) -> Column:
     )
 
 
+def _tokens_projection(
+    docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm"
+) -> DataFrame:
+    """(doc_id, __norm, __tokens) — the token array materialized as a
+    real column BEFORE any shingle lambda touches it. Inlining
+    ``split(norm)`` straight into the transform() lambda makes
+    interpreted evaluation re-run the split (and anything under it,
+    e.g. the normalizing regexp) for every array element; a column
+    alias referenced more than once is never collapsed into the
+    consumer by Catalyst, so this shape computes tokens once per row."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(norm_col).alias("__norm"),
+        F.split(F.col(norm_col), " ").alias("__tokens"),
+    )
+
+
+def shingle_docs(
+    docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm"
+) -> DataFrame:
+    """(doc_id, sh) — the shingle ARRAY per doc. Use this only when the
+    array itself is consumed (e.g. persisted for minhash signatures /
+    Jaccard verification). Do NOT ``explode`` its output: exploding an
+    ALIASED array makes InferFiltersFromGenerate add a
+    ``size(sh) > 0 AND isnotnull(sh)`` filter whose expression, after
+    projection collapse, is the ENTIRE shingle computation — Catalyst
+    then pushes that filter below the repartition onto the
+    (single-split) scan, serializing a quadratic re-evaluation onto one
+    task (measured 40×). Explode consumers use
+    :func:`exploded_shingles`, which keeps the generator input a
+    complex inline expression — the infer rule skips those."""
+    return _tokens_projection(docs, id_col, norm_col).select(
+        "doc_id",
+        word_shingles(F.col("__tokens"), F.col("__norm")).alias("sh"),
+    )
+
+
+def exploded_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    out: str = "shingle",
+) -> DataFrame:
+    """(doc_id, <out>) — one row per distinct word 3-shingle. The
+    generator input stays an inline expression over materialized
+    token/norm columns: see :func:`shingle_docs` for why both halves of
+    that shape are load-bearing."""
+    return _tokens_projection(docs, id_col, norm_col).select(
+        "doc_id",
+        F.explode(word_shingles(F.col("__tokens"), F.col("__norm"))).alias(out),
+    )
+
+
 def _md5(col: Column) -> Column:
     return F.md5(F.encode(col, "UTF-8"))
 
@@ -99,10 +152,8 @@ def minhash_near_dup_pairs(
     # cluster the input arrives in many splits and this exchange is a
     # cheap rebalance of (id, text) rows.
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    tokens = F.split(F.col(norm_col), " ")
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(tokens, F.col(norm_col)).alias("sh"),
+    shingled = shingle_docs(
+        docs, id_col, norm_col
     ).persist()  # feeds banding + both verification sides
     sig = minhash_signature(F.col("sh"))
     # persisted: the self-join below consumes `banded` twice; without a
@@ -173,11 +224,7 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    tokens = F.split(F.col(norm_col), " ")
-    posting = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(tokens, F.col(norm_col))).alias("shingle"),
-    )
+    posting = exploded_shingles(docs, id_col, norm_col)
     kept = (
         posting.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
@@ -288,11 +335,9 @@ def simhash_docs(docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm"
     words), while the shingle space is combinatorially larger — the
     fingerprint then reflects local word order, like the minhash twin."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    tokens = F.split(F.col(norm_col), " ")
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(tokens, F.col(norm_col))).alias("token"),
-    ).select("doc_id", F.expr(_TOKEN_HASH_SPARK).alias("h"))
+    exploded = exploded_shingles(docs, id_col, norm_col, out="token").select(
+        "doc_id", F.expr(_TOKEN_HASH_SPARK).alias("h")
+    )
     return exploded.groupBy("doc_id").agg(
         F.expr(_simhash_value_sql("spark")).alias("simhash")
     )

@@ -40,9 +40,9 @@ from ..operators.dedup import (
     minhash_oracle_sql,
     ngram_jaccard_oracle_sql,
     ngram_jaccard_pairs,
+    exploded_shingles,
     simhash_near_dup_pairs,
     simhash_oracle_sql,
-    word_shingles,
 )
 from ..operators.multimodal import (
     FRAME_STRIDE,
@@ -530,42 +530,42 @@ _SHINGLE_DUCK = """list_distinct(CASE WHEN len(t) < 3 THEN [norm]
     "with ANY eval doc are flagged (planted near/exact dups of eval "
     "docs light up; the small-vocabulary background overlap stays ~10%). "
     "Scale shape: the eval shingle set is distinct-collapsed and "
-    "BROADCAST — the 100 TB training side is touched once, one "
-    "broadcast-hash semi-join + one groupBy, no corpus self-join.",
+    "BROADCAST — the 100 TB training side is shingled ONCE, its "
+    "exploded shingles take a broadcast LEFT join (hit marker, no "
+    "shuffle), and a single groupBy(doc_id) computes the shingle count "
+    "and the hit count together: one wide pass, one shuffle, no corpus "
+    "self-join and no sizes-vs-hits re-join.",
 )
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
     dup = dup.repartition(spark.sparkContext.defaultParallelism)
-    norm = norm_text(F.col("text"))
-    shingled = dup.select(
-        "doc_id", word_shingles(F.split(norm, " "), norm).alias("sh")
-    )
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    exploded = exploded_shingles(normed)
     is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
     eval_sh = (
-        shingled.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
+        exploded.filter(is_eval)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    train = shingled.filter(~is_eval).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    )
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        train.join(F.broadcast(eval_sh), on="shingle")
+    train = exploded.filter(~is_eval)
+    agg = (
+        train.join(F.broadcast(eval_sh), on="shingle", how="left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
     )
     frac = F.col("n_hits").cast("double") / F.col("n_shingles")
-    return (
-        sizes.join(hits, on="doc_id", how="left")
-        .na.fill({"n_hits": 0})
-        .select(
-            "doc_id",
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(frac, 6).alias("contam_frac"),
-            F.when(frac >= DECONTAM_TAU, "contaminated")
-            .otherwise("clean")
-            .alias("verdict"),
-        )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(frac, 6).alias("contam_frac"),
+        F.when(frac >= DECONTAM_TAU, "contaminated")
+        .otherwise("clean")
+        .alias("verdict"),
     )
 
 
