@@ -551,3 +551,109 @@ def minhash_oracle_sql(parquet_path: str, norm_sql: str, tau: float = DEFAULT_TA
       JOIN shingled sa ON sa.doc_id = c.doc_a
       JOIN shingled sb ON sb.doc_id = c.doc_b)
     SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {tau}"""
+
+
+# --------------------------------------------------------------------------
+# Connected components: near-dup pairs → duplicate clusters
+# --------------------------------------------------------------------------
+
+#: Iteration cap for min-label propagation. Convergence needs at most
+#: the component diameter iterations; real dup clusters (copies of one
+#: source doc) are near-cliques with diameter ≤ ~3. 50 is a safety
+#: backstop, not a truncation — hitting it raises instead of returning
+#: a half-propagated labeling.
+CC_MAX_ITER = 50
+
+
+def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """(doc_id, cluster_id) for every node of ``edges`` (doc_a, doc_b),
+    where cluster_id is the MINIMUM doc_id reachable in the undirected
+    graph — the standard canonical labeling for duplicate clusters.
+
+    Pregel-style min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels (one shuffle join +
+    one groupBy per round), stopping at the fixpoint. The driver holds
+    only the iteration counter and a has-anything-changed flag — never
+    row data — so the loop distributes like any other join pipeline.
+    ``localCheckpoint`` materializes each round's labels and cuts the
+    lineage, keeping round N's plan O(1) instead of O(N) deep.
+
+    Exact fixpoint labeling is deterministic regardless of partitioning
+    or iteration order, which is what makes it oracle-checkable against
+    a recursive-CTE transitive closure.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("dst"), "label"), on="dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            nbr.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dup_clusters(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_keeper) over near-dup
+    ``pairs`` (doc_a, doc_b): transitive closure into clusters, min
+    doc_id as the canonical keeper. Docs in no pair are not emitted —
+    at dedup time absence means 'keep, not a duplicate'."""
+    labels = connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, on="cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def dup_clusters_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of :func:`dup_clusters`: recursive-CTE transitive
+    closure (exact, so it agrees with the Spark fixpoint labeling no
+    matter how either engine ordered the propagation)."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a AS node, b AS r FROM edges
+              UNION
+              SELECT x.node, e.b FROM reach x JOIN edges e ON e.a = x.r),
+    lab AS (SELECT node AS doc_id, min(r) AS mr FROM reach GROUP BY node),
+    cl AS (SELECT doc_id,
+                  CASE WHEN mr < doc_id THEN mr ELSE doc_id END AS cluster_id
+           FROM lab),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           (c.doc_id = c.cluster_id) AS is_keeper
+    FROM cl c JOIN sizes s USING (cluster_id)"""

@@ -34,13 +34,15 @@ from pyspark.sql import functions as F
 
 from ..generator import ensure_fixtures, fixture_dir_for
 from ..operators.dedup import (
+    dup_clusters,
+    dup_clusters_oracle_sql,
     embedding_near_dup_oracle_sql,
     embedding_near_dup_pairs,
+    exploded_shingles,
     minhash_near_dup_pairs,
     minhash_oracle_sql,
     ngram_jaccard_oracle_sql,
     ngram_jaccard_pairs,
-    exploded_shingles,
     simhash_near_dup_pairs,
     simhash_oracle_sql,
 )
@@ -959,6 +961,26 @@ def docs_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
     normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
     return simhash_near_dup_pairs(normed)
+
+
+@REGISTRY.register(
+    "docs_dup_clusters",
+    oracle=dup_clusters_oracle_sql(
+        minhash_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL)
+    ),
+    doc="Near-duplicate CLUSTERS: the minhash pair list closed under "
+    "transitivity (A~B, B~C ⇒ one cluster) via Pregel-style min-label "
+    "propagation — one join + one groupBy per round, driver holds only "
+    "the converged? flag, localCheckpoint keeps lineage O(1). The min "
+    "doc_id is the canonical keeper, the dedup decision every corpus "
+    "pipeline needs downstream of ANY pair generator. Oracle: DuckDB "
+    "recursive-CTE transitive closure over the identical pair list "
+    "(exact fixpoint labeling is engine- and order-independent).",
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return dup_clusters(minhash_near_dup_pairs(normed))
 
 
 @REGISTRY.register(

@@ -241,3 +241,26 @@ def test_pii_scrub_matches_planted_counts(spark):
     assert (m.pii_total > 0).any() and (m.pii_total == 0).any()
     # scrubbed text never retains a match
     assert "BatchEvalPython" not in _physical_plan(td.docs_pii_scrub(spark, TEST_SF_DIR))
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, and an isolated D-E pair: labels must close under
+    transitivity (A,B,C all take min id A) and the keeper flag must
+    mark exactly the cluster minimum."""
+    from pinterest_data_pipeline400_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, 4, True),
+        2: (1, 4, False),
+        3: (1, 4, False),
+        7: (1, 4, False),
+        10: (10, 2, True),
+        11: (10, 2, False),
+    }
