@@ -267,6 +267,101 @@ def docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 100
+TFIDF_TOP_K = 3
+
+
+@REGISTRY.register(
+    "docs_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+               FROM tok GROUP BY token),
+    top AS (SELECT token, n FROM counts
+            ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP_K})
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+    FROM top""",
+    doc=f"Tokenizer-prep vocabulary: global token frequencies, top "
+    f"{VOCAB_TOP_K} by (count desc, token asc). explode + one map-side-"
+    "combinable groupBy, then orderBy+limit → TakeOrderedAndProject "
+    "(never a global sort of the full vocab); the ranking window runs "
+    f"AFTER the limit, over ≤ {VOCAB_TOP_K} rows, so its single "
+    "partition is bounded by K — not by corpus size.",
+)
+def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    tok = docs.select(F.explode(ws_tokens(norm_text(F.col("text")))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    order = [F.col("n").desc(), F.col("token").asc()]
+    top = counts.orderBy(*order).limit(VOCAB_TOP_K)
+    return top.select(
+        "token",
+        "n",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+    )
+
+
+@REGISTRY.register(
+    "docs_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (SELECT t.doc_id, t.token, t.tf, d.df,
+                      round(t.tf * ln((1.0 + n.n_docs) / (1.0 + d.df)), 6) AS score
+               FROM tf t JOIN df d USING (token) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token ASC) AS rank FROM scored)
+    SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}""",
+    doc=f"Per-document top-{TFIDF_TOP_K} terms by tf-idf. Term "
+    "frequencies from one (doc_id, token) groupBy; document frequencies "
+    "fall out of THAT result (a second, smaller agg — the corpus is "
+    "never re-scanned); the df table and the 1-row corpus count are "
+    "BROADCAST back onto tf, so the only wide exchanges are the tf "
+    "groupBy and the per-doc ranking window (high-cardinality doc_id "
+    "partitions). Ranking compares the ROUNDED score with a token "
+    "tiebreak — deterministic across engines even when the unrounded "
+    "doubles differ in the last ulp.",
+)
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return scored.select(
+        "*", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= TFIDF_TOP_K)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
