@@ -70,6 +70,10 @@ def main() -> None:
 
     # Untimed warm-up: JVM, parquet footers, whole-stage codegen caches.
     _materialize(qfns[HEADLINE[0]](spark, sf_dir))
+    # ... and the Python worker daemon: the first Arrow/mapInPandas stage
+    # in a session pays the worker spin-up (~seconds); without this the
+    # alphabetically-first Python-boundary query absorbs it.
+    _materialize(spark.range(1).mapInPandas(lambda it: it, "id long"))
 
     timings: dict[str, float] = {}
     for name in sorted(qfns):
