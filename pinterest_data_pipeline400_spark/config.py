@@ -27,3 +27,20 @@ def percentile_exact() -> bool:
 def percentile_accuracy() -> int:
     """Accuracy knob for the approx path (1/accuracy relative rank error)."""
     return int(os.environ.get("SPARK_GRAFT_PERCENTILE_ACCURACY", "10000"))
+
+
+def distinct_exact() -> bool:
+    """True (default) → distinct counts use exact ``count(DISTINCT)``
+    (matches the DuckDB oracle; needs a per-group hash set — two-phase
+    but memory-heavy for ultra-high-cardinality groups).
+
+    ``SPARK_GRAFT_DISTINCT_MODE=approx`` → ``approx_count_distinct``
+    (HyperLogLog++): single-pass, bounded sketch per group, mergeable
+    partials — the 100 TB mode for distinct-user style metrics.
+    """
+    return os.environ.get("SPARK_GRAFT_DISTINCT_MODE", "exact") != "approx"
+
+
+def distinct_rsd() -> float:
+    """Relative standard deviation for the HLL++ approx path."""
+    return float(os.environ.get("SPARK_GRAFT_DISTINCT_RSD", "0.01"))

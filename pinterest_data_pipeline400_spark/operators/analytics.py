@@ -29,7 +29,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import percentile_accuracy, percentile_exact
+from ..config import (
+    distinct_exact,
+    distinct_rsd,
+    percentile_accuracy,
+    percentile_exact,
+)
 
 
 def top_per_group(
@@ -83,6 +88,28 @@ def median_expr(
     if exact:
         return F.percentile(value, 0.5)
     return F.percentile_approx(value, 0.5, accuracy or percentile_accuracy())
+
+
+def distinct_count_expr(
+    value: str | Column, exact: bool | None = None, rsd: float | None = None
+) -> Column:
+    """The engine's distinct-count aggregate, mirror of
+    :func:`median_expr`'s exact-vs-sketch switch
+    (``SPARK_GRAFT_DISTINCT_MODE``):
+
+      * exact → ``count(DISTINCT col)`` — the oracle mode. Spark plans
+        it as a two-phase expand + aggregate; per-group memory grows
+        with group cardinality.
+      * approx → ``approx_count_distinct`` — HyperLogLog++ sketch:
+        single pass, O(1/rsd²) bytes per group regardless of
+        cardinality, partials merge map-side. The 100 TB mode for
+        distinct-user metrics.
+    """
+    if exact is None:
+        exact = distinct_exact()
+    if exact:
+        return F.count_distinct(F.col(value) if isinstance(value, str) else value)
+    return F.approx_count_distinct(value, rsd or distinct_rsd())
 
 
 def median_by(

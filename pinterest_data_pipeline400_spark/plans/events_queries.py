@@ -239,6 +239,108 @@ def ev_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "ev_stream_sessions",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL '{SESSION_GAP_SEC} seconds'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM gaps),
+    g AS (SELECT user_id,
+                 min(ts) AS session_start,
+                 max(ts) + INTERVAL '{SESSION_GAP_SEC} seconds' AS session_end,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM s GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events
+    FROM g
+    WHERE session_end <= (SELECT max(ts) FROM events)
+                         - INTERVAL '{STREAM_WM_DELAY}'""",
+    doc="STREAMING native session windows (F.session_window): per-user "
+    "30-min-gap sessions merged by the engine's session-window state "
+    "store, watermark-evicted, append-mode sink. NOTE the boundary: "
+    "session_window splits when diff >= gap (merge needs ts strictly "
+    "inside the open window), unlike the batch ev_sessionization twin "
+    "which reproduces the classic lag-based > gap convention — the "
+    "oracle mirrors each exactly. Emission rule as ev_stream_windowed: "
+    "sessions whose end the final watermark passed.",
+)
+def ev_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    base = f"/tmp/spark_graft_stream/ev_sessions_{os.path.basename(os.path.normpath(sf_dir))}"
+    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
+    for d in (in_dir, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(in_dir)
+            .withColumn("ts", F.expr(_TS_FROM_NANOS))
+        )
+        agg = (
+            stream.withWatermark("ts", STREAM_WM_DELAY)
+            .groupBy(
+                F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("w"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        query = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("ev_stream_sessions did not drain")
+        finally:
+            if query.isActive:
+                query.stop()
+    return spark.read.parquet(sink)
+
+
+@REGISTRY.register(
+    "ev_distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type""",
+    doc="Distinct-user counts per event type through the engine's "
+    "exact-vs-sketch switch (SPARK_GRAFT_DISTINCT_MODE, mirror of the "
+    "median switch): count(DISTINCT) for the oracle run, "
+    "approx_count_distinct (HyperLogLog++ — single pass, bounded "
+    "per-group sketch, map-side-mergeable partials) as the 100 TB "
+    "path. An accuracy pytest pins the sketch within rsd of exact.",
+)
+def ev_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import distinct_count_expr
+
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        distinct_count_expr("user_id").cast("long").alias("n_users"),
+    )
+
+
 ASOF_LEFT_TYPE = "purchase"  # attribute each purchase ...
 ASOF_RIGHT_TYPE = "click"  # ... to the user's most recent prior click
 RANGE_WINDOW_SEC = 600  # range join: events in the 10 min before a purchase

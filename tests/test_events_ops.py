@@ -78,3 +78,25 @@ def test_range_join_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_approx_distinct_within_rsd_of_exact(spark):
+    """The HLL++ scale path must track the exact oracle path: per
+    event_type, |approx - exact| / exact well inside a few rsd."""
+    from pinterest_data_pipeline400_spark.operators.analytics import (
+        distinct_count_expr,
+    )
+    from pinterest_data_pipeline400_spark.plans.events_queries import _events
+
+    ev = _events(spark, TEST_SF_DIR)
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            distinct_count_expr("user_id", exact=True).alias("exact"),
+            distinct_count_expr("user_id", exact=False, rsd=0.01).alias("approx"),
+        )
+        .collect()
+    )
+    assert both, "events fixture is empty"
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05, r
