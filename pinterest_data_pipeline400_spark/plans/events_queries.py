@@ -341,6 +341,45 @@ def ev_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "ev_salted_dim_join",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS w
+                 FROM events)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT) * d.w) AS BIGINT)
+             AS weighted_cents
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type""",
+    doc="Skew-technique demo as a first-class query: the fact side "
+    "joins its 5-value (maximally skewed) event_type key to a derived "
+    "dim through operators/scale.py salted_join — each hot key spreads "
+    "over 8 salt sub-partitions, the dim replicates 8x to match, and "
+    "the result is EXACTLY the plain join (oracle-checked; salt never "
+    "reaches the output). At local scale Catalyst broadcast-joins the "
+    "tiny replicated dim (salting costs nothing); at 100 TB with a "
+    "too-big-to-broadcast dim the same plan hash-joins on the salted "
+    "key, which is the point.",
+)
+def ev_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import salted_join
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(ev, dim, on="event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long") * F.col("w"))
+        .cast("long")
+        .alias("weighted_cents"),
+    )
+
+
 ASOF_LEFT_TYPE = "purchase"  # attribute each purchase ...
 ASOF_RIGHT_TYPE = "click"  # ... to the user's most recent prior click
 RANGE_WINDOW_SEC = 600  # range join: events in the 10 min before a purchase
