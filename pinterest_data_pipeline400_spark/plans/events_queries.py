@@ -162,6 +162,9 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+ASOF_LEFT_TYPE = "purchase"  # attribute each purchase ...
+ASOF_RIGHT_TYPE = "click"  # ... to the user's most recent prior click
+RANGE_WINDOW_SEC = 600  # range join: events in the 10 min before a purchase
 
 
 @REGISTRY.register(
@@ -342,6 +345,92 @@ def ev_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "ev_stream_stream_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL {RANGE_WINDOW_SEC} SECOND
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    doc="STREAM-STREAM inner interval join: the purchase stream joined "
+    "to the click stream on user plus a time-range predicate (click in "
+    f"the {RANGE_WINDOW_SEC}s before the purchase). Both sides carry "
+    "watermarks and the range condition bounds each side's join state "
+    "— Spark evicts rows once the other stream's watermark passes "
+    "their reach, the thing an unconstrained stream join can't do. "
+    "Inner-join emission is immediate (watermarks only evict state), "
+    "so the drained availableNow run emits exactly the batch join — "
+    "the oracle runs it literally.",
+)
+def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    base = f"/tmp/spark_graft_stream/ev_ssjoin_{os.path.basename(os.path.normpath(sf_dir))}"
+    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
+    for d in (in_dir, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(in_dir)
+            .withColumn("ts", F.expr(_TS_FROM_NANOS))
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", STREAM_WM_DELAY)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", STREAM_WM_DELAY)
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                f"""p_user = c_user
+                AND c_ts >= p_ts - INTERVAL {RANGE_WINDOW_SEC} SECONDS
+                AND c_ts < p_ts"""
+            ),
+        ).select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+            .cast("long")
+            .alias("gap_sec"),
+        )
+        query = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("ev_stream_stream_join did not drain")
+        finally:
+            if query.isActive:
+                query.stop()
+    return spark.read.parquet(sink)
+
+
+@REGISTRY.register(
     "ev_salted_dim_join",
     oracle="""
     WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS w
@@ -380,9 +469,6 @@ def ev_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ASOF_LEFT_TYPE = "purchase"  # attribute each purchase ...
-ASOF_RIGHT_TYPE = "click"  # ... to the user's most recent prior click
-RANGE_WINDOW_SEC = 600  # range join: events in the 10 min before a purchase
 
 
 @REGISTRY.register(
