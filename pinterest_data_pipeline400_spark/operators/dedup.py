@@ -594,23 +594,26 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # One aggregate does the whole round: neighbor labels (own=0)
+        # union the node's current label (own=1); min over both is the
+        # propagated label, and max(label WHERE own=1) recovers the old
+        # label from the same groups — so convergence detection costs a
+        # cheap scan of the checkpointed result instead of a second
+        # shuffle join against the previous labeling.
         nbr = sym.join(
             labels.select(F.col("node").alias("dst"), "label"), on="dst"
-        ).select(F.col("src").alias("node"), "label")
-        new_labels = (
-            nbr.union(labels)
+        ).select(F.col("src").alias("node"), "label", F.lit(0).alias("own"))
+        step = (
+            nbr.union(labels.select("node", "label", F.lit(1).alias("own")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("own") == 1, F.col("label"))).alias("old_label"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        labels = step.select("node", "label")
+        changed = step.filter(F.col("label") != F.col("old_label")).limit(1).count()
         if changed == 0:
             sym.unpersist()
             return labels.select(
