@@ -119,10 +119,38 @@ def _seeded_hash(i: int):
 
 
 def minhash_signature(shingles: Column) -> list[Column]:
-    """NUM_HASHES lexicographic-min md5 values, seeded by prefix 'i:'."""
+    """NUM_HASHES lexicographic-min md5 values, seeded by prefix 'i:'.
+
+    Array-lambda form — interpreted (HOFs never whole-stage-codegen).
+    The hot pipeline uses :func:`minhash_signatures_agg` instead; this
+    form remains for composing over an in-hand shingle array column.
+    """
     return [
         F.array_min(F.transform(shingles, _seeded_hash(i))) for i in range(NUM_HASHES)
     ]
+
+
+def minhash_signatures_agg(exploded: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{NUM_HASHES-1}) from an exploded (doc_id, shingle)
+    table: NUM_HASHES md5 columns in one flat projection, then
+    ``groupBy(doc_id).agg(min, ...)``.
+
+    Same values as :func:`minhash_signature`, radically better
+    execution: the projection and partial mins stay inside whole-stage
+    codegen (the transform()-lambda form drops the whole stage to the
+    interpreted path — measured several× slower, worst on the first,
+    JIT-cold run), and the partial mins combine map-side so the shuffle
+    carries NUM_HASHES values per doc per mapper, not per shingle."""
+    hashed = exploded.select(
+        "doc_id",
+        *[
+            _md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)]
+    )
 
 
 def band_keys(sig: list[Column]) -> Column:
@@ -145,20 +173,28 @@ def minhash_near_dup_pairs(
     """(doc_a, doc_b, jaccard) for pairs with exact shingle-set Jaccard
     ≥ tau among LSH band-collision candidates. ``norm_col`` must hold
     pre-normalized text."""
-    # Spread the input BEFORE the heavy projections: shingling and the
-    # NUM_HASHES md5 signature run through interpreted higher-order
-    # functions (array lambdas are not whole-stage-codegen'd), so a
-    # single-split input serializes them onto one core. On a real
-    # cluster the input arrives in many splits and this exchange is a
-    # cheap rebalance of (id, text) rows.
+    # Spread the input BEFORE the heavy projections: shingling runs
+    # through an interpreted higher-order function (array lambdas are
+    # not whole-stage-codegen'd), so a single-split input serializes it
+    # onto one core. On a real cluster the input arrives in many splits
+    # and this exchange is a cheap rebalance of (id, text) rows.
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     shingled = shingle_docs(
         docs, id_col, norm_col
-    ).persist()  # feeds banding + both verification sides
-    sig = minhash_signature(F.col("sh"))
+    ).persist()  # feeds both verification sides
+    # Signature via the codegen explode+agg path (see
+    # minhash_signatures_agg): identical values to the array-lambda
+    # form, no interpreted stage in the hot path. Exploding the CACHED
+    # shingle arrays is safe from the InferFiltersFromGenerate trap
+    # (shingle_docs docstring): the inferred size()>0 filter lands on
+    # the in-memory relation, not on a recomputation.
+    sig_df = minhash_signatures_agg(
+        shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    sig = [F.col(f"h{i}") for i in range(NUM_HASHES)]
     # persisted: the self-join below consumes `banded` twice; without a
-    # cache each side would recompute the whole signature projection
-    banded = shingled.select(
+    # cache each side would recompute the whole signature pipeline
+    banded = sig_df.select(
         "doc_id", F.explode(band_keys(sig)).alias("band_key")
     ).persist()
     a, b = banded.alias("a"), banded.alias("b")
@@ -582,6 +618,11 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     or iteration order, which is what makes it oracle-checkable against
     a recursive-CTE transitive closure.
     """
+    # Materialize the (typically expensive) pair generator ONCE before
+    # symmetrizing: a union's branches are evaluated independently, so
+    # building sym straight off `edges` would run the whole upstream
+    # pipeline twice.
+    edges = edges.select("doc_a", "doc_b").localCheckpoint()
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
