@@ -12,9 +12,11 @@ Scale design — the entire point of LSH:
   * NO all-pairs comparison anywhere: candidates come from an equi-join
     on band_key (hash join; a pytest asserts the physical plan contains
     no CartesianProduct/BroadcastNestedLoop).
-  * Work per doc is O(shingles × hashes) in a narrow projection
-    (codegen'd array lambdas, no UDF); the only shuffles are the band
-    join and the two shingle-set lookups for verification.
+  * Work per doc is O(shingles × hashes) in a narrow whole-stage-
+    codegen projection over the exploded shingles with map-side-combined
+    partial minima (no UDF, no interpreted array lambdas in the hot
+    path); the only shuffles are the signature groupBy, the band join,
+    and the two shingle-set lookups for verification.
   * Band-key groups can skew on boilerplate-heavy corpora (the classic
     LSH hot-bucket problem): AQE skew-join splitting is on in the engine
     session; a production deployment would additionally cap bucket size
