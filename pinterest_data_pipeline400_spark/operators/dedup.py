@@ -630,10 +630,14 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
+    # Initial labeling already folds in round 1: L1(v) = min(v, min
+    # neighbor id) comes out of the SAME shuffle that builds the node
+    # set (groupBy src instead of distinct src), so the loop below
+    # starts one propagation ahead at zero extra cost.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("min_nbr"))
+        .select("node", F.least("node", "min_nbr").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
