@@ -61,21 +61,30 @@ def raw_tables(spark: SparkSession, fx_dir: str) -> dict[str, DataFrame]:
 
 
 def cleaned_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Clean-once-query-many: the cleaned pin/geo/user tables, persisted
-    per (session, fixture dir). ``sf_dir`` is the driver's testdata dir;
-    it maps to the same-scale pinterest fixture dir."""
+    """Clean-once-query-many: the cleaned pin/geo/user tables,
+    materialized once per (session, fixture dir). ``sf_dir`` is the
+    driver's testdata dir; it maps to the same-scale pinterest fixture
+    dir.
+
+    Materialization is ``localCheckpoint`` rather than ``persist``:
+    the registry defensively ``clearCache()``s at the start of every
+    query call (see registry.py), which would evict a persisted clean
+    and force each of the 11 pq queries to re-run the whole ETL.
+    Checkpointed RDD blocks live outside the SQL cache manager, so the
+    clean truly runs once per session. This mirrors production shape:
+    cleaned tables are an ETL *output* a real deployment writes to
+    storage (sources/sinks.py) and re-reads — on a cluster, replace the
+    localCheckpoint (non-replicated executor blocks) with a parquet
+    write-and-read-back or a reliable checkpoint dir."""
     fx_dir = fixture_dir_for(sf_dir)
     key = (id(spark), fx_dir)
     if key not in _CACHE:
         raw = raw_tables(spark, fx_dir)
-        tables = {
-            "pin": clean_pin(raw["pin_raw"]),
-            "geo": clean_geo(raw["geo_raw"]),
-            "user": clean_user(raw["user_raw"]),
+        _CACHE[key] = {
+            "pin": clean_pin(raw["pin_raw"]).localCheckpoint(),
+            "geo": clean_geo(raw["geo_raw"]).localCheckpoint(),
+            "user": clean_user(raw["user_raw"]).localCheckpoint(),
         }
-        for df in tables.values():
-            df.persist()
-        _CACHE[key] = tables
     return _CACHE[key]
 
 
