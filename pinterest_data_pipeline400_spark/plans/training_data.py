@@ -1137,3 +1137,171 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K_NEIGHBORS)
         .select("query_id", "neighbor_id", "label", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# chunking, per-source caps, stratified sampling, semantic dedup
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+#: Independent md5 hex windows (chars 17-24 / 25-32; split and packing
+#: already use 1-8 / 9-16) so cap ordering and sample percentile are
+#: uncorrelated with each other and with the split assignment.
+_DOC_ORD_SPARK = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 17, 8), 16, 10) AS BIGINT)"
+_DOC_ORD_DUCK = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8)) AS BIGINT)"
+_DOC_SAMPLE_PCT_SPARK = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 25, 8), 16, 10) AS BIGINT) % 100"
+)
+_DOC_SAMPLE_PCT_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT) % 100"
+)
+
+SOURCE_CAP = 10
+#: Per-language keep percentages (downsample over-represented English,
+#: keep everything rare); languages absent from the map keep 100%.
+SAMPLE_RATES = {"en": 50, "de": 75}
+_RATE_SQL = "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 75 ELSE 100 END"
+
+
+@REGISTRY.register(
+    "docs_chunk",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+                 WHERE length(trim(text)) > 0),
+    toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM src),
+    st AS (SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS start
+           FROM toks)
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(least({CHUNK_TOKENS}, len(t) - start) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+    FROM st""",
+    doc=f"Overlapping token-window chunking for LLM context building: "
+    f"each doc becomes {CHUNK_TOKENS}-token chunks at stride "
+    f"{CHUNK_STRIDE} (32-token overlap). Chunks are emitted while "
+    "start < n_tokens, so every token is covered and trailing "
+    "sub-stride chunks are kept (deterministic spec, mirrored by the "
+    "oracle). Pure narrow projection + inline generator — no shuffle, "
+    "embarrassingly parallel at 100 TB; chunk_id is derivable from the "
+    "start offset so no window/sort is needed.",
+)
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", ws_tokens(norm_text(F.col("text"))).alias("t"))
+    )
+    # generator inline in the select (InferFiltersFromGenerate would
+    # otherwise duplicate an aliased start-array expression into a
+    # pre-Generate filter)
+    st = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return st.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("t"), F.col("start") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
+
+
+@REGISTRY.register(
+    "docs_source_cap",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY {_DOC_ORD_DUCK}, doc_id)
+                AS BIGINT) AS rank_in_source
+    FROM documents
+    QUALIFY rank_in_source <= {SOURCE_CAP}""",
+    doc=f"Per-source document cap (keep at most {SOURCE_CAP} docs per "
+    "source, the standard per-domain cap of web-corpus pipelines): a "
+    "deterministic md5 priority picks WHICH docs survive — same "
+    "winners on any engine, any partitioning, any run, unlike "
+    "rand()-based subsampling. One window partitioned by source; at "
+    "100 TB sources are numerous (domains), so partitions stay small "
+    "and the heavy-domain skew is bounded by early-stopping at the "
+    "cap (a TopK per partition in plan terms).",
+)
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy(F.expr(_DOC_ORD_SPARK), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.row_number().over(w).cast("long").alias("rank_in_source"))
+        .filter(F.col("rank_in_source") <= SOURCE_CAP)
+    )
+
+
+@REGISTRY.register(
+    "docs_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST({_DOC_SAMPLE_PCT_DUCK} AS BIGINT) AS pct,
+           CAST({_RATE_SQL} AS BIGINT) AS keep_pct
+    FROM documents
+    WHERE {_DOC_SAMPLE_PCT_DUCK} < {_RATE_SQL}""",
+    doc="Stratified corpus sampling with per-language keep rates "
+    f"({SAMPLE_RATES}, default 100%): a doc survives iff its md5 "
+    "percentile falls under its stratum's rate. Deterministic (same "
+    "sample every run, on every engine — rand()/sampleBy cannot be "
+    "mirrored cross-engine), a pure filter-projection with NO shuffle, "
+    "and stable under corpus growth: adding docs never flips an "
+    "existing doc's fate. The rate lookup is a literal CASE — at scale "
+    "a broadcast dim join would carry a real rates table.",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pct = F.expr(_DOC_SAMPLE_PCT_SPARK)
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(100),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            pct.cast("long").alias("pct"),
+            rate.cast("long").alias("keep_pct"),
+        )
+        .filter(F.col("pct") < F.col("keep_pct"))
+    )
+
+
+@REGISTRY.register(
+    "emb_semantic_dedup",
+    oracle=f"""
+    SELECT doc_id AS vec_id, cluster_id, cluster_size, is_keeper
+    FROM ({dup_clusters_oracle_sql(
+        f"SELECT id_a AS doc_a, id_b AS doc_b FROM ({embedding_near_dup_oracle_sql(f'{_ORACLE_FX}/emb_dup.parquet')})"
+    )})""",
+    doc="Semantic (embedding-space) dedup over the planted near-dup "
+    "vectors: sign-LSH candidate pairs (emb_neardup_pairs) -> "
+    "distributed connected components -> keep the minimum vec_id per "
+    "cluster. The embedding twin of docs_dup_clusters: same banded "
+    "candidate generation (never all-pairs), same scale-safe fixpoint "
+    "labeling, exact recursive-closure oracle.",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "emb_dup.parquet"))
+    pairs = embedding_near_dup_pairs(embs).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_keeper"
+    )
