@@ -198,6 +198,41 @@ _JOINED_SQL = (
 )
 
 
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views over the cleaned tables — the S9/§3.3 SQL entry point
+    (mount.py:389-391 registered its joined view the same way). Every
+    pq*_sql twin parses through Spark's SQL front end and lands on the
+    same Catalyst plans as the DataFrame originals."""
+    t = cleaned_tables(spark, sf_dir)
+    t["pin"].createOrReplaceTempView("pin_v")
+    t["geo"].createOrReplaceTempView("geo_v")
+    t["user"].createOrReplaceTempView("user_v")
+
+
+#: Spark-SQL-side 3-way join (the twin of ``_JOINED_SQL``'s oracle
+#: shape; geo's cleaned column is named `timestamp` pre-rename).
+_JOINED_VIEW_SQL = (
+    "SELECT p.*, g.country, g.`timestamp` AS ts, u.user_name, u.age, u.date_joined "
+    "FROM pin_v p JOIN geo_v g USING (ind) JOIN user_v u USING (ind)"
+)
+
+
+def _median_sql(col: str) -> str:
+    """SQL-string form of :func:`median_expr` honoring the same
+    exact-vs-sketch engine switch."""
+    from ..config import percentile_accuracy, percentile_exact
+
+    if percentile_exact():
+        return f"percentile({col}, 0.5)"
+    return f"percentile_approx({col}, 0.5, {percentile_accuracy()})"
+
+
+def _shared_oracle(name: str) -> str:
+    """The oracle of an already-registered entry — SQL twins share their
+    DataFrame original's oracle verbatim, so the two can never drift."""
+    return REGISTRY.specs[name].oracle
+
+
 def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cleaned_tables(spark, sf_dir)
     return (
@@ -401,10 +436,7 @@ def pq4_top_category_per_age_group(spark: SparkSession, sf_dir: str) -> DataFram
     "pq4 — the parity test asserts SQL twin ≡ DataFrame plan.",
 )
 def pq4_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = cleaned_tables(spark, sf_dir)
-    t["pin"].createOrReplaceTempView("pin_v")
-    t["geo"].createOrReplaceTempView("geo_v")
-    t["user"].createOrReplaceTempView("user_v")
+    _register_views(spark, sf_dir)
     return spark.sql(f"""
         WITH joined AS (
           SELECT p.category, u.age
@@ -580,3 +612,184 @@ def pq8_median_followers_by_year_age_group(spark: SparkSession, sf_dir: str) -> 
         .agg(_median("follower_count", "median_follower_count"))
         .orderBy("post_year", "age_group")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL twins: every canonical query reachable from the SQL API as well
+# (SURVEY §3.3 / §7 "DataFrame/SQL twins for each"; pq4_sql above is the
+# reference's own SQL-form query, these complete the set). Each twin
+# shares its DataFrame original's oracle string verbatim — a result
+# divergence between the two APIs is a test failure by construction.
+# --------------------------------------------------------------------------
+
+@REGISTRY.register(
+    "pq1_sql",
+    oracle=_shared_oracle("pq1_top_category_per_country"),
+    doc="Q1 as pure SQL over temp views — twin of pq1_top_category_per_country.",
+)
+def pq1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH joined AS ({_JOINED_VIEW_SQL}),
+        counted AS (
+          SELECT country, category, count(category) AS category_count
+          FROM joined GROUP BY country, category
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY country
+            ORDER BY category_count DESC, category ASC) AS rn
+          FROM counted
+        )
+        SELECT country, category, category_count FROM ranked WHERE rn = 1
+    """)
+
+
+@REGISTRY.register(
+    "pq2_sql",
+    oracle=_shared_oracle("pq2_category_count_per_year"),
+    doc="Q2 as pure SQL over temp views — twin of pq2_category_count_per_year.",
+)
+def pq2_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH joined AS ({_JOINED_VIEW_SQL})
+        SELECT year(ts) AS post_year, category,
+               count(category) AS category_count
+        FROM joined
+        WHERE year(ts) BETWEEN 2018 AND 2022
+        GROUP BY post_year, category
+    """)
+
+
+@REGISTRY.register(
+    "pq3a_sql",
+    oracle=_shared_oracle("pq3a_top_user_per_country"),
+    doc="Q3a as pure SQL over temp views — twin of pq3a_top_user_per_country.",
+)
+def pq3a_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH joined AS ({_JOINED_VIEW_SQL}),
+        summed AS (
+          SELECT country, poster_name, sum(follower_count) AS follower_count
+          FROM joined GROUP BY country, poster_name
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY country
+            ORDER BY follower_count DESC, poster_name ASC) AS rn
+          FROM summed
+        )
+        SELECT country, poster_name, follower_count FROM ranked WHERE rn = 1
+    """)
+
+
+@REGISTRY.register(
+    "pq3b_sql",
+    oracle=_shared_oracle("pq3b_top_country_overall"),
+    doc="Q3b as pure SQL over temp views — twin of pq3b_top_country_overall "
+    "(ORDER BY + LIMIT 1 plans as TakeOrderedAndProject, same as the "
+    "DataFrame global_top).",
+)
+def pq3b_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH joined AS ({_JOINED_VIEW_SQL}),
+        summed AS (
+          SELECT country, poster_name, sum(follower_count) AS follower_count
+          FROM joined GROUP BY country, poster_name
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY country
+            ORDER BY follower_count DESC, poster_name ASC) AS rn
+          FROM summed
+        ),
+        top_user AS (SELECT country, follower_count FROM ranked WHERE rn = 1)
+        SELECT country, follower_count FROM top_user
+        ORDER BY follower_count DESC, country ASC LIMIT 1
+    """)
+
+
+@REGISTRY.register(
+    "pq5_sql",
+    oracle=_shared_oracle("pq5_median_followers_per_age_group"),
+    doc="Q5 as pure SQL over temp views — twin of "
+    "pq5_median_followers_per_age_group; the median fragment honors the "
+    "same exact-vs-sketch engine switch as median_expr.",
+)
+def pq5_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH joined AS ({_JOINED_VIEW_SQL}),
+        bucketed AS (
+          SELECT {_AGE_GROUP_BATCH_SQL} AS age_group, follower_count FROM joined
+        )
+        SELECT age_group,
+               {_median_sql("follower_count")} AS median_follower_count
+        FROM bucketed GROUP BY age_group
+    """)
+
+
+@REGISTRY.register(
+    "pq6_sql",
+    oracle=_shared_oracle("pq6_users_joined_per_year"),
+    doc="Q6 as pure SQL over temp views — twin of pq6_users_joined_per_year.",
+)
+def pq6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT year(date_joined) AS post_year,
+               count(*) AS number_users_joined
+        FROM user_v
+        WHERE year(date_joined) BETWEEN 2015 AND 2020
+        GROUP BY post_year
+    """)
+
+
+@REGISTRY.register(
+    "pq7_sql",
+    oracle=_shared_oracle("pq7_median_followers_by_join_year"),
+    doc="Q7 as pure SQL over temp views — twin of "
+    "pq7_median_followers_by_join_year.",
+)
+def pq7_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH pin_user AS (
+          SELECT p.follower_count, u.user_name, u.date_joined
+          FROM pin_v p JOIN user_v u USING (ind)
+        ),
+        dedup AS (
+          SELECT DISTINCT user_name, date_joined, follower_count FROM pin_user
+        )
+        SELECT year(date_joined) AS post_year,
+               {_median_sql("follower_count")} AS median_follower_count
+        FROM dedup GROUP BY post_year
+    """)
+
+
+@REGISTRY.register(
+    "pq8_sql",
+    oracle=_shared_oracle("pq8_median_followers_by_year_age_group"),
+    doc="Q8 as pure SQL over temp views — twin of "
+    "pq8_median_followers_by_year_age_group (SQL-view bucket form, "
+    "'50+' label, no ELSE).",
+)
+def pq8_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH pin_user AS (
+          SELECT p.follower_count, u.user_name, u.date_joined,
+                 {_AGE_GROUP_SQL_FORM} AS age_group
+          FROM pin_v p JOIN user_v u USING (ind)
+        ),
+        dedup AS (
+          SELECT DISTINCT user_name, age_group, date_joined, follower_count
+          FROM pin_user
+        )
+        SELECT year(date_joined) AS post_year, age_group,
+               {_median_sql("follower_count")} AS median_follower_count
+        FROM dedup GROUP BY post_year, age_group
+    """)
