@@ -132,6 +132,56 @@ def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orig_len", T.IntegerType(), False),
+        T.StructField("new_len", T.IntegerType(), False),
+        T.StructField("new_width", T.IntegerType(), False),
+        T.StructField("new_height", T.IntegerType(), False),
+        T.StructField("resized_md5", T.StringType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, scale_num: int = 1, scale_den: int = 2) -> DataFrame:
+    """Resize for image payloads via Arrow-batched ``mapInPandas``: the
+    fake resize is a center byte-crop to ``n * scale_num // scale_den``
+    bytes (a real build swaps in a pillow/opencv rescale here), emitting
+    the new fake dimensions plus the md5 of the cropped bytes — like
+    :func:`sample_frames`, the md5 proves the payload bytes survive the
+    JVM→Arrow→Python round trip exactly.
+
+    The image filter is applied BEFORE mapInPandas so the predicate
+    prunes at the scan and non-image rows never reach Python.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                n = len(p)
+                m = n * scale_num // scale_den
+                off = (n - m) // 2
+                seg = p[off : off + m]
+                rows.append(
+                    (mid, n, m, m % 64 + 16, (m // 64) % 64 + 16,
+                     hashlib.md5(seg).hexdigest())
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "orig_len", "new_len",
+                        "new_width", "new_height", "resized_md5",
+                    ],
+                )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Adapt the documents table into a media table: the UTF-8 bytes of
     ``text`` stand in for real image/audio/video payloads (media_type

@@ -50,6 +50,7 @@ from ..operators.multimodal import (
     FRAME_STRIDE,
     extract_features,
     media_from_documents,
+    resize_media,
     sample_frames,
 )
 from .registry import REGISTRY
@@ -988,6 +989,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(_docs(spark, sf_dir))
     return sample_frames(media)
+
+
+@REGISTRY.register(
+    "multimodal_resize",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, length(text) AS n, text
+      FROM documents WHERE doc_id % 3 = 0),
+    r AS (SELECT media_id, n, text, n // 2 AS m FROM media)
+    SELECT media_id,
+           CAST(n AS INT) AS orig_len,
+           CAST(m AS INT) AS new_len,
+           CAST(m % 64 + 16 AS INT) AS new_width,
+           CAST((m // 64) % 64 + 16 AS INT) AS new_height,
+           md5(substr(text, CAST((n - m) // 2 + 1 AS INT), CAST(m AS INT)))
+             AS resized_md5
+    FROM r""",
+    doc="Resize over image payloads: half-area fake resize (center "
+    "byte-crop to n//2 — a real build swaps in pillow/opencv) via "
+    "Arrow-batched mapInPandas, emitting the new fake dimensions and "
+    "the md5 of the cropped bytes. Completes the brief's multimodal "
+    "verb set (decode / feature-extract / resize / frame-sample). The "
+    "image predicate is applied before the Python stage so it prunes "
+    "at the scan. (Oracle crops by character, valid because the "
+    "fixture text is pure ASCII — checked at generation.)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(_docs(spark, sf_dir))
+    return resize_media(media)
 
 
 @REGISTRY.register(

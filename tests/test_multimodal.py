@@ -11,6 +11,7 @@ from pinterest_data_pipeline400_spark.operators.multimodal import (
     extract_features,
     fake_features,
     media_from_documents,
+    resize_media,
 )
 
 
@@ -40,6 +41,27 @@ def test_media_payload_is_binary(spark):
     row = media.collect()[0]
     assert bytes(row.payload) == b"hello world"
     assert row.media_type in ("image", "audio", "video")
+
+
+def test_resize_center_crop(spark):
+    import hashlib
+
+    rows = [
+        (1, "image", bytes(range(10))),   # n=10 → m=5, off=2 → bytes 2..6
+        (2, "video", b"skip me"),          # filtered out before Python
+        (3, "image", b""),                 # empty payload stays well-defined
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    got = {r.media_id: r for r in resize_media(media).collect()}
+    assert set(got) == {1, 3}  # image-only predicate
+    assert got[1].orig_len == 10 and got[1].new_len == 5
+    assert got[1].resized_md5 == hashlib.md5(bytes(range(10))[2:7]).hexdigest()
+    assert got[1].new_width == 5 % 64 + 16 and got[1].new_height == 16
+    assert got[3].new_len == 0
+    assert got[3].resized_md5 == hashlib.md5(b"").hexdigest()
+    # the image predicate sits below the Python stage (prunes at the scan)
+    plan = resize_media(media)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
 
 
 def test_plan_uses_arrow_batched_map(spark):
