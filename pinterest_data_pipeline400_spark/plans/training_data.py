@@ -363,6 +363,88 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= TFIDF_TOP_K)
 
 
+#: CCNet-style keep rule on the mean log10 unigram probability: docs
+#: more than this many standard deviations below the corpus mean score
+#: (gibberish, boilerplate soup under the corpus's own LM) are dropped.
+LOGPROB_KEEP_SIGMAS = 2.0
+
+
+@REGISTRY.register(
+    "docs_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id, token),
+    vocab AS (SELECT token, CAST(sum(n) AS BIGINT) AS c FROM tf GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+    scored AS (SELECT f.doc_id,
+                      CAST(sum(f.n) AS BIGINT) AS n_tokens,
+                      round(sum(f.n * log10(CAST(v.c AS DOUBLE) / total.t))
+                            / sum(f.n), 6) AS avg_logprob
+               FROM tf f JOIN vocab v USING (token) CROSS JOIN total
+               GROUP BY f.doc_id),
+    thr AS (SELECT round(avg(avg_logprob)
+                         - {LOGPROB_KEEP_SIGMAS} * stddev_samp(avg_logprob), 6)
+                     AS threshold
+            FROM scored)
+    SELECT doc_id, n_tokens, avg_logprob,
+           avg_logprob >= thr.threshold AS keep
+    FROM scored CROSS JOIN thr""",
+    doc="Unigram-LM quality scoring (the CCNet/Wikipedia-LM filter "
+    "pattern, self-trained): train a unigram LM over the corpus's own "
+    "token counts, score every document by its mean log10 token "
+    "probability, keep docs within LOGPROB_KEEP_SIGMAS stddevs of the "
+    "corpus mean score — self-calibrating, so it discriminates at any "
+    "scale without a hand-tuned constant. Same shuffle economy as "
+    "tf-idf: ONE (doc_id, token) groupBy; the vocabulary, the 1-row "
+    "corpus total, and the 1-row threshold all fall out of that result "
+    "and are BROADCAST back, so the corpus is never re-scanned and the "
+    "only wide exchanges are on high-cardinality keys. At 100 TB the "
+    "vocab broadcast swaps for a shuffle join once it outgrows the "
+    "broadcast threshold — AQE makes that call from actual sizes. The "
+    "keep verdict compares ROUNDED score to ROUNDED threshold, "
+    "deterministic across engines.",
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    vocab = tf.groupBy("token").agg(F.sum("n").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    avg_lp = F.round(
+        F.sum(F.col("n") * F.log10(F.col("c").cast("double") / F.col("t")))
+        / F.sum("n"),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(vocab), on="token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            avg_lp.alias("avg_logprob"),
+        )
+    )
+    thr = scored.agg(
+        F.round(
+            F.avg("avg_logprob")
+            - LOGPROB_KEEP_SIGMAS * F.stddev_samp("avg_logprob"),
+            6,
+        ).alias("threshold")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        (F.col("avg_logprob") >= F.col("threshold")).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
