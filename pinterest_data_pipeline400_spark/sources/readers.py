@@ -94,3 +94,30 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    streaming: bool = False,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Kafka source, the mirror of ``sinks.write_kafka`` (the
+    reference's MSK topics, user_posting_emulation.py → REST proxy →
+    Kafka → S3). Batch (``spark.read``) by default; ``streaming=True``
+    returns the ``readStream`` form that feeds ``streaming.decode_stream``
+    (its `value` column is the same envelope the file-stream analog
+    decodes). Plan-level wrapper — no broker ships in this environment,
+    so tests monkeypatch the reader like S5; the option contract is the
+    tested surface."""
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    reader = (
+        reader.option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

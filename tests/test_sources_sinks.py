@@ -13,6 +13,7 @@ from pinterest_data_pipeline400_spark.generator import ensure_fixtures
 from pinterest_data_pipeline400_spark.sources.readers import (
     read_jdbc,
     read_json_topic,
+    read_kafka,
     sample_rows,
 )
 from pinterest_data_pipeline400_spark.sources.sinks import (
@@ -76,6 +77,48 @@ def test_read_jdbc_builds_reader(spark, monkeypatch):
         "url": "jdbc:mysql://host/db",
         "dbtable": "pinterest_data",
         "user": "u",
+        "loaded": True,
+    }
+
+
+class _FakeKafkaReader:
+    def __init__(self, captured):
+        self.captured = captured
+
+    def format(self, f):
+        self.captured["format"] = f
+        return self
+
+    def option(self, k, v):
+        self.captured[k] = v
+        return self
+
+    def load(self):
+        self.captured["loaded"] = True
+        return "sentinel"
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_read_kafka_builds_reader(spark, monkeypatch, streaming):
+    """Kafka source wrapper (mirror of S6's sink): forwards servers /
+    topic / offsets through whichever reader the mode selects — batch
+    ``read`` or ``readStream`` (no broker ships in CI)."""
+    captured = {}
+    attr = "readStream" if streaming else "read"
+    monkeypatch.setattr(
+        type(spark), attr, property(lambda self: _FakeKafkaReader(captured))
+    )
+    out = read_kafka(
+        spark, "broker:9092", "pin_topic",
+        streaming=streaming, options={"maxOffsetsPerTrigger": "1000"},
+    )
+    assert out == "sentinel"
+    assert captured == {
+        "format": "kafka",
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "pin_topic",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "1000",
         "loaded": True,
     }
 
