@@ -58,7 +58,7 @@ def test_no_python_udf_in_any_registered_query(spark):
             continue  # streaming entries execute eagerly; covered below
         plan = _plan(fn(spark, TEST_SF_DIR))
         assert "BatchEvalPython" not in plan, name
-        if name not in ("multimodal_features", "multimodal_frame_sample"):
+        if not name.startswith("multimodal_"):
             assert "MapInPandas" not in plan, name
 
 
@@ -80,3 +80,32 @@ def test_clean_pipeline_is_narrow_plus_one_shuffle(spark):
     plan = _plan(clean_pin(df))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the dedup, nothing else
+
+
+def test_sql_twins_compile_to_same_plan_shape(spark):
+    """SURVEY §3.3: the SQL twins are the SAME engine surface, not a
+    parallel implementation — for every pq*_sql entry, the optimized
+    plan has the same exchange count and window count as its DataFrame
+    original (both APIs land on identical Catalyst decisions)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    twins = {
+        "pq1_sql": "pq1_top_category_per_country",
+        "pq2_sql": "pq2_category_count_per_year",
+        "pq3a_sql": "pq3a_top_user_per_country",
+        "pq3b_sql": "pq3b_top_country_overall",
+        "pq4_sql": "pq4_top_category_per_age_group",
+        "pq5_sql": "pq5_median_followers_per_age_group",
+        "pq6_sql": "pq6_users_joined_per_year",
+        "pq7_sql": "pq7_median_followers_by_join_year",
+        "pq8_sql": "pq8_median_followers_by_year_age_group",
+    }
+    for sql_name, df_name in twins.items():
+        sql_plan = _plan(qs[sql_name](spark, TEST_SF_DIR))
+        df_plan = _plan(qs[df_name](spark, TEST_SF_DIR))
+        for marker in ("Exchange hashpartitioning", "Window", "TakeOrderedAndProject"):
+            assert sql_plan.count(marker) == df_plan.count(marker), (
+                f"{sql_name} vs {df_name}: {marker} "
+                f"{sql_plan.count(marker)} != {df_plan.count(marker)}"
+            )
