@@ -495,7 +495,11 @@ def pq5_median_followers_per_age_group(spark: SparkSession, sf_dir: str) -> Data
     "(W4) + disjunctive rank filter (P9), then percentile of the <=2 "
     "middle rows. Quirk preserved: odd-sized groups select NO rows "
     "(total/2 is fractional) and vanish from the output — both engines "
-    "agree because the arithmetic is identical.",
+    "agree because the arithmetic is identical. SCALE WARNING: this is "
+    "compat-only — the window partitions ALL pre-aggregation rows by a "
+    "5-value key (5 giant partitions at 100 TB). pq5 proper (grouped "
+    "percentile, sketch-switched) is the scale path; keep this one for "
+    "API compatibility, not production.",
 )
 def pq5_manual_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = _joined(spark, sf_dir).withColumn("age_group", _age_group_batch())
