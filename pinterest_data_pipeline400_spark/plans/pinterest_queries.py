@@ -383,12 +383,26 @@ def pq3a_top_user_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY follower_count DESC, country ASC LIMIT 1"""),
     doc="Q3b (mount.py:292-300): country of the globally top user. The "
     "reference's one-partition window (W2) is replaced by orderBy+limit "
-    "(TakeOrderedAndProject) — same result, scale-safe",
+    "(TakeOrderedAndProject) — same result, scale-safe. The per-country "
+    "window of the reference's two-step (q3a then global max) is "
+    "dropped entirely: the global argmax over the per-(country, poster) "
+    "sums IS its own country's argmax, so one TakeOrderedAndProject "
+    "over the aggregate replaces shuffle+window+argmax — the oracle "
+    "keeps the literal two-step shape and hash-agrees.",
 )
 def pq3b_top_country_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    top_users = pq3a_top_user_per_country(spark, sf_dir)
+    summed = (
+        _joined(spark, sf_dir)
+        .groupBy("country", "poster_name")
+        .agg(F.sum("follower_count").alias("follower_count"))
+    )
     return global_top(
-        top_users, [F.col("follower_count").desc(), F.col("country").asc()]
+        summed,
+        [
+            F.col("follower_count").desc(),
+            F.col("country").asc(),
+            F.col("poster_name").asc(),
+        ],
     ).select("country", "follower_count")
 
 
@@ -693,8 +707,8 @@ def pq3a_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq3b_sql",
     oracle=_shared_oracle("pq3b_top_country_overall"),
     doc="Q3b as pure SQL over temp views — twin of pq3b_top_country_overall "
-    "(ORDER BY + LIMIT 1 plans as TakeOrderedAndProject, same as the "
-    "DataFrame global_top).",
+    "(same windowless global-argmax plan: ORDER BY + LIMIT 1 over the "
+    "aggregate compiles to TakeOrderedAndProject).",
 )
 def pq3b_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
@@ -703,16 +717,9 @@ def pq3b_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         summed AS (
           SELECT country, poster_name, sum(follower_count) AS follower_count
           FROM joined GROUP BY country, poster_name
-        ),
-        ranked AS (
-          SELECT *, row_number() OVER (
-            PARTITION BY country
-            ORDER BY follower_count DESC, poster_name ASC) AS rn
-          FROM summed
-        ),
-        top_user AS (SELECT country, follower_count FROM ranked WHERE rn = 1)
-        SELECT country, follower_count FROM top_user
-        ORDER BY follower_count DESC, country ASC LIMIT 1
+        )
+        SELECT country, follower_count FROM summed
+        ORDER BY follower_count DESC, country ASC, poster_name ASC LIMIT 1
     """)
 
 

@@ -157,16 +157,20 @@ _Q3A_ORACLE_BODY = """
 """
 
 
-def _q3a_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q3a_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    spend = (
+    return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "c_name")
         .agg((F.sum(_cents("o_totalprice")) / 100.0).alias("total_spend"))
     )
+
+
+def _q3a_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spend = _q3a_spend(spark, sf_dir)
     return top_per_group(
         spend, ["n_name"], [F.col("total_spend").desc(), F.col("c_name").asc()]
     ).select("n_name", "c_name", "total_spend")
@@ -194,12 +198,18 @@ def q3a_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name, total_spend FROM q3a
     ORDER BY total_spend DESC, n_name LIMIT 1
     """,
-    doc="global argmax via TakeOrderedAndProject (reference Q3b shape)",
+    doc="global argmax via TakeOrderedAndProject (reference Q3b shape). "
+    "Windowless: the globally top (nation, customer) spend is its own "
+    "nation's top, so the per-nation row_number of the two-step form is "
+    "skipped and ONE TakeOrderedAndProject runs over the aggregate; the "
+    "oracle keeps the literal two-step shape and hash-agrees.",
 )
 def q3b_top_nation_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q3a = _q3a_df(spark, sf_dir)
+    spend = _q3a_spend(spark, sf_dir)
     return global_top(
-        q3a, [F.col("total_spend").desc(), F.col("n_name").asc()], k=1
+        spend,
+        [F.col("total_spend").desc(), F.col("n_name").asc(), F.col("c_name").asc()],
+        k=1,
     ).select("n_name", "total_spend")
 
 
