@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..generator import FIXTURES_ROOT, ensure_fixtures, fixture_dir_for
+from ..generator import ensure_fixtures, fixture_dir_for
 from ..operators.analytics import bucketize, global_top, median_expr, top_per_group
 from ..operators.clean import clean_geo, clean_pin, clean_user
 from ..schemas import PIN_CLEAN_COLUMNS

@@ -5,7 +5,6 @@ the geo array column the oracle entry can only check element-wise."""
 from __future__ import annotations
 
 import pandas as pd
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
