@@ -689,3 +689,141 @@ def ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             if query.isActive:
                 query.stop()
     return spark.read.parquet(sink)
+
+
+# --------------------------------------------------------------------------
+# time-series similarity search (EDBT'19 pattern, Spark-first)
+# --------------------------------------------------------------------------
+
+ACT_DAYS = 30       # fixture covers 2024-01-01 .. 2024-01-30
+ACT_BANDS = 3       # OR-amplified sign-LSH over the activity vector
+ACT_BAND_BITS = 10  # 3 x 10 bits == the 30 daily signs, disjoint bands
+ACT_EPOCH = "2024-01-01"
+
+
+def _act_band_keys(v: F.Column, total: F.Column) -> list[F.Column]:
+    """Sign-LSH band keys over a user's centered daily-activity vector.
+    The sign test is ``ACT_DAYS*count - total > 0`` — pure integer
+    arithmetic, so band membership is bit-identical across engines (no
+    float mean on the comparison path)."""
+    keys = []
+    for j in range(ACT_BANDS):
+        bits = F.lit(0)
+        for i in range(ACT_BAND_BITS):
+            idx = j * ACT_BAND_BITS + i + 1  # element_at is 1-based
+            bits = bits + F.when(
+                F.lit(ACT_DAYS) * F.element_at(v, idx) - total > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        keys.append((F.lit(j << ACT_BAND_BITS) + bits).cast("long"))
+    return keys
+
+
+@REGISTRY.register(
+    "ev_activity_similarity",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) - DATE '{ACT_EPOCH}' AS day
+                FROM events),
+    cnt AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+            FROM ev WHERE day BETWEEN 0 AND {ACT_DAYS - 1}
+            GROUP BY user_id, day),
+    users AS (SELECT DISTINCT user_id FROM cnt),
+    dense AS (SELECT u.user_id, d.d, coalesce(c.c, 0) AS c
+              FROM users u
+              CROSS JOIN (SELECT unnest(range({ACT_DAYS})) AS d) d
+              LEFT JOIN cnt c ON c.user_id = u.user_id AND c.day = d.d),
+    vec AS (SELECT user_id, list(c ORDER BY d) AS v,
+                   CAST(sum(c) AS BIGINT) AS total
+            FROM dense GROUP BY user_id),
+    centered AS (SELECT user_id,
+                        list_transform(v, x -> CAST({ACT_DAYS} * x - total AS DOUBLE)) AS cv,
+                        v, total
+                 FROM vec
+                 WHERE list_sum(list_transform(v, x -> CASE WHEN {ACT_DAYS} * x - total <> 0 THEN 1 ELSE 0 END)) > 0),
+    keyed AS (SELECT user_id, cv,
+                     unnest([{{band_keys}}]) AS band_key
+              FROM centered),
+    pairs AS (SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b,
+                     round(list_cosine_similarity(a.cv, b.cv), 6) AS activity_cosine
+              FROM keyed a JOIN keyed b USING (band_key)
+              WHERE a.user_id < b.user_id)
+    SELECT id_a, id_b, activity_cosine FROM pairs""".replace(
+        "{band_keys}",
+        ", ".join(
+            f"CAST({j * (1 << ACT_BAND_BITS)} + "
+            + " + ".join(
+                f"(CASE WHEN {ACT_DAYS} * v[{j * ACT_BAND_BITS + i + 1}] - total > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+                for i in range(ACT_BAND_BITS)
+            )
+            + " AS BIGINT)"
+            for j in range(ACT_BANDS)
+        ),
+    ),
+    doc="Time-series similarity search over user activity (the "
+    "distributed streaming-similarity pattern, PAPERS.md EDBT'19, "
+    "Spark-first): each user's 30-day event-count vector is mean-"
+    "centered and near-correlated user pairs are found via sign-LSH "
+    "band equi-join + exact centered cosine (= Pearson correlation up "
+    "to scaling) on the candidates — never an all-pairs product. Sign "
+    "bands use integer arithmetic (30*count - total > 0) so bucketing "
+    "is bit-identical across engines; dot products and norms are sums "
+    "of small integers (exact in doubles), so the rounded cosine "
+    "hash-matches. Scale shape: one shuffle to build vectors (user_id "
+    "key), band-key equi-join for candidates — same economy as the "
+    "embedding near-dup operator.",
+)
+def ev_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import cosine  # local import, avoids cycle
+
+    ev = _events(spark, sf_dir)
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(ACT_EPOCH)))
+    cnt = (
+        ev.select("user_id", day.alias("day"))
+        .filter(F.col("day").between(0, ACT_DAYS - 1))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vec = cnt.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("day", "c"))).alias("m"),
+        F.sum("c").alias("total"),
+    )
+    # materialize the dense vector + centered form as REAL columns before
+    # the explode (InferFiltersFromGenerate would otherwise clone the
+    # whole expression into a pre-shuffle filter — see dedup.py)
+    dense = vec.select(
+        "user_id",
+        "total",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(ACT_DAYS - 1)),
+            lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0)),
+        ).alias("v"),
+    )
+    centered = dense.select(
+        "user_id",
+        "v",
+        "total",
+        F.transform(
+            F.col("v"), lambda x: (F.lit(ACT_DAYS) * x - F.col("total")).cast("double")
+        ).alias("cv"),
+    ).filter(F.exists("cv", lambda x: x != 0))
+    keyed = centered.select(
+        "user_id",
+        "cv",
+        F.explode(F.array(*_act_band_keys(F.col("v"), F.col("total")))).alias("band_key"),
+    )
+    a = keyed.select(
+        F.col("user_id").alias("id_a"), F.col("cv").alias("cv_a"), "band_key"
+    )
+    b = keyed.select(
+        F.col("user_id").alias("id_b"), F.col("cv").alias("cv_b"), "band_key"
+    )
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("cv_a"), F.col("cv_b")), 6).alias("activity_cosine"),
+        )
+        .distinct()
+    )
