@@ -707,3 +707,77 @@ def dup_clusters_oracle_sql(pairs_sql: str) -> str:
     SELECT c.doc_id, c.cluster_id, s.cluster_size,
            (c.doc_id = c.cluster_id) AS is_keeper
     FROM cl c JOIN sizes s USING (cluster_id)"""
+
+
+# --------------------------------------------------------------------------
+# edit-distance similarity join (Ed-Join / segment-filter family)
+# --------------------------------------------------------------------------
+
+ED_SEGMENT_CHARS = 20  # anchor-segment length for the pigeonhole filter
+ED_MIN_LEN = 2 * ED_SEGMENT_CHARS + 1  # segments must be disjoint
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    norm: Column,
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, edit_distance) for pairs of docs within ``max_dist``
+    (=1) character edits of each other, via the segment pigeonhole
+    filter (Ed-Join family): a single edit cannot touch BOTH the first
+    ``ED_SEGMENT_CHARS`` chars and the last ``ED_SEGMENT_CHARS`` chars
+    when they are disjoint (text length ≥ ED_MIN_LEN — shorter docs are
+    excluded), so every ED≤1 pair shares the exact prefix segment or
+    the exact suffix segment. Candidates come from an equi-join on
+    those two anchored segment keys — never an all-pairs product, and
+    the keys are high-cardinality on natural text. Verification runs
+    Spark's threshold-bounded ``levenshtein(a, b, max_dist)`` (O(n·τ)
+    banded DP, returns -1 above the bound) JVM-side on candidates only.
+
+    Only supports ``max_dist=1``: the two-segment pigeonhole is
+    complete exactly for one edit (τ edits need τ+1 segments with
+    position-tolerant matching — a different candidate scheme).
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs implements the ED<=1 two-segment filter")
+    keyed = (
+        docs.select(F.col(id_col).alias("vid"), norm.alias("t"))
+        .filter(F.length("t") >= ED_MIN_LEN)
+        .select(
+            "vid",
+            "t",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("p"), F.substring(F.col("t"), 1, ED_SEGMENT_CHARS)),
+                    F.concat(F.lit("s"), F.substring(F.col("t"), -ED_SEGMENT_CHARS, ED_SEGMENT_CHARS)),
+                )
+            ).alias("seg_key"),
+        )
+    )
+    a = keyed.select(F.col("vid").alias("id_a"), F.col("t").alias("t_a"), "seg_key")
+    b = keyed.select(F.col("vid").alias("id_b"), F.col("t").alias("t_b"), "seg_key")
+    return (
+        a.join(b, on="seg_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("t_a", "t_b", max_dist).alias("edit_distance"))
+        .filter(F.col("edit_distance") >= 0)
+        .distinct()
+    )
+
+
+def edit_distance_oracle_sql(parquet_path: str, norm_sql: str) -> str:
+    """DuckDB mirror of :func:`edit_distance_pairs` — same segment
+    keys, same length gate, full levenshtein on candidates."""
+    k = ED_SEGMENT_CHARS
+    return f"""
+    WITH n AS (SELECT doc_id, {norm_sql} AS t FROM read_parquet('{parquet_path}')),
+    keyed AS (SELECT doc_id, t,
+                     unnest(['p' || substr(t, 1, {k}), 's' || right(t, {k})]) AS seg_key
+              FROM n WHERE length(t) >= {ED_MIN_LEN}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.t AS t_a, b.t AS t_b
+             FROM keyed a JOIN keyed b USING (seg_key)
+             WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS INT) AS edit_distance
+    FROM cand WHERE levenshtein(t_a, t_b) <= 1"""

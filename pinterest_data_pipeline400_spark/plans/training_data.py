@@ -37,6 +37,8 @@ from ..operators.dedup import (
     dup_clusters,
     dup_clusters_oracle_sql,
     embedding_near_dup_oracle_sql,
+    edit_distance_oracle_sql,
+    edit_distance_pairs,
     embedding_near_dup_pairs,
     exploded_shingles,
     minhash_near_dup_pairs,
@@ -1137,6 +1139,22 @@ def docs_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
     normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
     return minhash_near_dup_pairs(normed)
+
+
+@REGISTRY.register(
+    "docs_dup_editdist_pairs",
+    oracle=edit_distance_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL),
+    doc="Edit-distance similarity join (Ed-Join segment-filter family): "
+    "pairs within 1 character edit, candidates from an equi-join on the "
+    "exact first-20 / last-20 char anchor segments (a single edit "
+    "cannot touch both disjoint segments — pigeonhole-complete for "
+    "ED<=1), verified with Spark's threshold-bounded levenshtein "
+    "JVM-side. Never all-pairs; the char-level twin of the word-level "
+    "n-gram Jaccard join.",
+)
+def docs_dup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    return edit_distance_pairs(dup, norm_text(F.col("text")))
 
 
 @REGISTRY.register(

@@ -264,3 +264,35 @@ def test_connected_components_transitive_chain(spark):
         10: (10, 2, True),
         11: (10, 2, False),
     }
+
+
+def test_edit_distance_pairs_planted(spark):
+    """ED<=1 segment-filter join on hand-planted cases: substitution in
+    the middle (both anchor keys hit), insertion at the front (only the
+    suffix key carries it), deletion at the end (only the prefix key),
+    ED=2 pairs that candidates must drop, and a short doc the disjoint-
+    segment gate excludes entirely."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline400_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = "abcdefghij" * 5  # 50 chars, >= ED_MIN_LEN
+    rows = [
+        (1, base),
+        (2, base[:25] + "X" + base[26:]),        # substitution mid: ED(1,2)=1
+        (3, "Q" + base),                          # front insertion: ED(1,3)=1
+        (4, base[:-1]),                           # end deletion:    ED(1,4)=1
+        (5, "Y" + base[:25] + "X" + base[26:]),   # "Y"+doc2:        ED(2,5)=1
+        (6, "short text"),                        # below ED_MIN_LEN — excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in edit_distance_pairs(docs, F.col("text")).collect()
+    }
+    # every surviving pair is exactly the planted ED-1 set; all other
+    # combinations (e.g. (1,5)=2, (2,3)=2, (3,5)=2) are verified away,
+    # and doc 6 never enters the candidate join
+    assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 1, (2, 5): 1}
