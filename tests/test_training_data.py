@@ -296,3 +296,15 @@ def test_edit_distance_pairs_planted(spark):
     # combinations (e.g. (1,5)=2, (2,3)=2, (3,5)=2) are verified away,
     # and doc 6 never enters the candidate join
     assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 1, (2, 5): 1}
+
+
+def test_new_similarity_joins_have_no_cartesian(spark):
+    """Same LSH/segment-join contract for the newer similarity ops:
+    edit-distance pairs and activity similarity must candidate via
+    equi-joins, never an all-pairs plan."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as ev
+
+    for fn in (td.docs_dup_editdist_pairs, ev.ev_activity_similarity):
+        plan = _physical_plan(fn(spark, TEST_SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoop" not in plan, fn.__name__
