@@ -42,6 +42,7 @@ def _import_plan_module(name: str) -> None:
 
 _import_plan_module("training_data")
 _import_plan_module("streaming_queries")
+_import_plan_module("source_queries")
 
 from pinterest_data_pipeline400_spark.plans.registry import REGISTRY
 

@@ -77,37 +77,48 @@ def main() -> None:
     qfns = entrymod.queries()
 
     # Untimed warm-up: JVM, parquet footers, whole-stage codegen caches.
-    _materialize(qfns[HEADLINE[0]](spark, sf_dir))
+    try:
+        _materialize(qfns[HEADLINE[0]](spark, sf_dir))
+    except Exception:  # noqa: BLE001 — warm-up only; the sweep still times it
+        pass
     # ... and the Python worker daemon: the first Arrow/mapInPandas stage
     # in a session pays the worker spin-up (~seconds); without this the
     # alphabetically-first Python-boundary query absorbs it.
     _materialize(spark.range(1).mapInPandas(lambda it: it, "id long"))
 
     OUTLIER_SEC = 2.0
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in sorted(qfns):
-        t0 = time.perf_counter()
-        _materialize(qfns[name](spark, sf_dir))
-        dt = time.perf_counter() - t0
-        if dt > OUTLIER_SEC:
-            # steady-state re-measure (see module docstring): the first
-            # run may carry the previous query's cleanup backlog
+        # Per-query guard: one broken entry must never take down the
+        # whole bench (round 2 lost its number exactly that way) — the
+        # failure is recorded and the sweep continues.
+        try:
             t0 = time.perf_counter()
             _materialize(qfns[name](spark, sf_dir))
-            dt = min(dt, time.perf_counter() - t0)
-        timings[name] = round(dt, 4)
-    total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+            dt = time.perf_counter() - t0
+            if dt > OUTLIER_SEC:
+                # steady-state re-measure (see module docstring): the first
+                # run may carry the previous query's cleanup backlog
+                t0 = time.perf_counter()
+                _materialize(qfns[name](spark, sf_dir))
+                dt = min(dt, time.perf_counter() - t0)
+            timings[name] = round(dt, 4)
+        except Exception as exc:  # noqa: BLE001 — survey sweep, record + go on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    total = round(
+        sum(v for n in HEADLINE if isinstance((v := timings.get(n)), float)), 4
     )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -11,9 +11,9 @@ from the snapshot): here it is a real CLI instead.
 
 ``sql`` registers every testdata parquet table as a temp view first, so
 the full SQL↔DataFrame interop surface is reachable from the shell.
-(The raw ``events`` view exposes ``ts`` as int64 nanos — the engine
-reads TIMESTAMP(NANOS) parquet via nanosAsLong; registered queries do
-the conversion themselves.)
+(The raw ``events`` view exposes ``ts`` as the dtype the installed
+Spark gives parquet TIMESTAMP(NANOS) — TIMESTAMP_NTZ on Spark 4.x;
+registered queries normalize it via ``events_queries._with_event_ts``.)
 """
 
 from __future__ import annotations

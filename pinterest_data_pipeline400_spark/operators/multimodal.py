@@ -48,11 +48,26 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """The real decoder's integration point. STUB: this environment has
-    no image codec libraries; swap in pillow/opencv here in production."""
-    raise NotImplementedError(
-        "real image decoding requires pillow/opencv; use fake_features for tests"
-    )
+    """The real decoder's integration point. Uses pillow when it is
+    installed (production image), raises ``NotImplementedError`` in
+    codec-less environments like this sandbox — callers fall back to
+    :func:`fake_features`. A ``pytest.importorskip``-gated test
+    exercises this path wherever pillow exists."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decoding requires pillow; use fake_features for tests"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        return {
+            "width": img.width,
+            "height": img.height,
+            "mode": img.mode,
+            "format": img.format,
+        }
 
 
 def fake_features(payload: bytes, media_type: str) -> tuple[int, int, int, int, int]:

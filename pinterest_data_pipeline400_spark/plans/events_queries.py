@@ -31,21 +31,30 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..session import STREAM_STATE_PARTITIONS, scoped_shuffle_partitions
+from ..session import (
+    STREAM_DRAIN_TIMEOUT_SEC,
+    STREAM_STATE_PARTITIONS,
+    scoped_shuffle_partitions,
+)
 from .registry import REGISTRY
 
 SESSION_GAP_SEC = 1800  # 30 minutes
 STREAM_WM_DELAY = "10 minutes"
 
-# ts is TIMESTAMP(NANOS) in the driver's parquet; with
-# spark.sql.legacy.parquet.nanosAsLong (session.py) it arrives as the
-# raw int64 and is converted below. The fixture's values are
-# microsecond-aligned, so DIV 1000 is lossless and both engines see
-# identical instants (DuckDB reads the NANOS column natively).
+# ts is TIMESTAMP(NANOS) in the driver's parquet. Spark has no native
+# nanosecond timestamp: Spark 3.x exposed the raw int64 via
+# spark.sql.legacy.parquet.nanosAsLong, but PySpark 4.x REMOVED that
+# behavior (the conf is accepted and ignored) and instead loads the
+# column as TIMESTAMP_NTZ, truncated to microseconds. The fixture's
+# values are microsecond-aligned, so the truncation is lossless and —
+# with the session time zone pinned UTC — ``cast("timestamp")`` yields
+# the exact instants DuckDB reads natively. ``_with_event_ts`` branches
+# on the dtype that actually arrived so the engine works on either
+# Spark line.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos since epoch
+        T.StructField("ts", T.TimestampNTZType(), True),  # Spark 4.x parquet NANOS
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -53,14 +62,28 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
-#: integer ns → µs → TimestampType; DIV keeps 1.7e18-scale values exact
-#: (a double division would lose precision past 2^53)
+#: Spark 3.x nanosAsLong path: integer ns → µs → TimestampType; DIV
+#: keeps 1.7e18-scale values exact (a double division would lose
+#: precision past 2^53)
 _TS_FROM_NANOS = "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"
 
 
+def _with_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to TimestampType whatever dtype the
+    installed Spark produced for the parquet TIMESTAMP(NANOS) column."""
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.TimestampNTZType):
+        # Spark 4.x: NTZ micros; session TZ is pinned UTC so the cast
+        # re-labels the same wall clock as the same instant.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(dtype, T.LongType):
+        # Spark 3.x with nanosAsLong: raw int64 nanoseconds.
+        return df.withColumn("ts", F.expr(_TS_FROM_NANOS))
+    return df  # already TimestampType
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.expr(_TS_FROM_NANOS))
+    return _with_event_ts(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
 
 
 @REGISTRY.register(
@@ -284,11 +307,7 @@ def ev_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src, os.path.join(in_dir, "events.parquet"))
 
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .parquet(in_dir)
-            .withColumn("ts", F.expr(_TS_FROM_NANOS))
-        )
+        stream = _with_event_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir))
         agg = (
             stream.withWatermark("ts", STREAM_WM_DELAY)
             .groupBy(
@@ -312,7 +331,7 @@ def ev_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            if not query.awaitTermination(300):
+            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
                 raise TimeoutError("ev_stream_sessions did not drain")
         finally:
             if query.isActive:
@@ -375,11 +394,7 @@ def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src, os.path.join(in_dir, "events.parquet"))
 
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .parquet(in_dir)
-            .withColumn("ts", F.expr(_TS_FROM_NANOS))
-        )
+        stream = _with_event_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir))
         purchases = (
             stream.filter(F.col("event_type") == "purchase")
             .select(
@@ -422,7 +437,7 @@ def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            if not query.awaitTermination(300):
+            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
                 raise TimeoutError("ev_stream_stream_join did not drain")
         finally:
             if query.isActive:
@@ -663,11 +678,7 @@ def ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src, os.path.join(in_dir, "events.parquet"))
 
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .parquet(in_dir)
-            .withColumn("ts", F.expr(_TS_FROM_NANOS))
-        )
+        stream = _with_event_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir))
         agg = (
             stream.withWatermark("ts", STREAM_WM_DELAY)
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -683,7 +694,7 @@ def ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            if not query.awaitTermination(300):
+            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
                 raise TimeoutError("ev_stream_windowed did not drain")
         finally:
             if query.isActive:

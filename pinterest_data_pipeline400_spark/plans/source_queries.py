@@ -1,0 +1,91 @@
+"""Source-connector registry entries (SURVEY.md §2.1) that CAN run —
+and therefore be oracle-checked — inside this sandbox:
+
+  * S1, the reference's batch JSON topic scan (mount.py:63-75): the
+    generator's Kinesis-envelope JSONL read as a *batch* JSON source
+    with an explicit schema, decoded and cleaned exactly like the
+    streaming path, value-checked against the DuckDB reconstruction of
+    the clean table. The reference inferred schemas per read (a full
+    extra pass over the data at scale); this engine requires the schema.
+  * S5, the JDBC source (batch_emul.py:61,109 read RDS MySQL via
+    SQLAlchemy): a REAL JDBC round trip through the embedded Derby
+    database that ships inside Spark's own JVM classpath — `df.write
+    .jdbc` → `spark.read.jdbc` — so the option contract, type mapping,
+    and partitioned-read wrapper are exercised against a live database,
+    not a monkeypatch. (MySQL/Postgres need only a different url +
+    driver pair; no code change.)
+
+Scale notes: the JSON decode is the same JVM-side CAST→from_json→
+flatten as the stream (no Python), and a topic directory of many JSONL
+part files parallelizes per file split. JDBC reads at scale must be
+partitioned (partitionColumn/lowerBound/upperBound/numPartitions —
+supported by ``read_jdbc_partitioned``) or the whole table funnels
+through ONE task; the entry reads the tiny dim un-partitioned, the
+partitioned form is pytest-covered.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..generator import fixture_dir_for
+from ..sources.readers import read_jdbc, read_json_topic
+from ..streaming import ENVELOPE, RAW_SCHEMAS, clean_stream, decode_stream
+from .pinterest_queries import ORACLE_FX, _ctes
+from .registry import REGISTRY
+
+#: Derby (the in-JVM database Spark already ships for its Hive
+#: metastore) — gives the JDBC wrappers a real server-less endpoint.
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+_DERBY_ROOT = "/tmp/spark_graft_jdbc"
+
+
+@REGISTRY.register(
+    "json_topic_batch_pin",
+    oracle=f"""WITH {_ctes(ORACLE_FX, pin_impute="1000")}
+    SELECT ind, unique_id, title, description, follower_count, poster_name,
+           tag_list, is_image_or_video, image_src, save_location, category
+    FROM pin""",
+    doc="S1 batch JSON topic scan (mount.py:63-75) done right: the pin "
+    "topic's envelope JSONL directory read as a batch JSON source with "
+    "an EXPLICIT schema (no inference pass), then the same JVM-side "
+    "CAST→from_json→flatten decode and cleaning as the streaming path "
+    "(constant-1000 imputation — this is the topic-replay form). "
+    "Value-hash-checked against the DuckDB clean-table reconstruction.",
+)
+def json_topic_batch_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topic_dir = os.path.join(fixture_dir_for(sf_dir), "stream", "pin")
+    raw = read_json_topic(spark, topic_dir, schema=ENVELOPE)
+    return clean_stream(decode_stream(raw, RAW_SCHEMAS["pin"]), "pin")
+
+
+@REGISTRY.register(
+    "jdbc_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="S5 JDBC source (batch_emul.py:61,109) as a LIVE round trip: "
+    "the nation dim written to an embedded Derby database over JDBC, "
+    "then read back through sources.readers.read_jdbc and value-checked "
+    "against the parquet original — proving the wrapper's option "
+    "contract and Spark's JDBC type mapping end-to-end without a "
+    "network database. Swap url/driver for MySQL/Postgres in "
+    "production; reads of big tables must use the partitioned form "
+    "(read_jdbc_partitioned) so the scan fans out instead of one task.",
+)
+def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    url = f"jdbc:derby:{_DERBY_ROOT}/{sf_name};create=true"
+    src = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .option("driver", _DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    back = read_jdbc(
+        spark, url, "nation", properties={"driver": _DERBY_DRIVER}
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")

@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..generator import fixture_dir_for
-from ..session import STREAM_STATE_PARTITIONS, scoped_shuffle_partitions
+from ..session import (
+    STREAM_DRAIN_TIMEOUT_SEC,
+    STREAM_STATE_PARTITIONS,
+    scoped_shuffle_partitions,
+)
 from ..streaming import (
     RAW_SCHEMAS,
     clean_stream,
@@ -48,7 +52,7 @@ def _run_entry(
     name: str,
     topic: str,
     build: "callable",
-    timeout_sec: int = 300,
+    timeout_sec: int = STREAM_DRAIN_TIMEOUT_SEC,
 ) -> DataFrame:
     """Run one streaming pipeline to a fresh sink; return the sink df."""
     fx = fixture_dir_for(sf_dir)
@@ -181,7 +185,7 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             try:
-                if not query.awaitTermination(300):
+                if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
                     raise TimeoutError("stateful counts did not drain")
             finally:
                 if query.isActive:

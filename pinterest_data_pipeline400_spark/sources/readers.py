@@ -96,6 +96,37 @@ def read_jdbc(
     return reader.load()
 
 
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partitioned JDBC scan — the only JDBC shape that survives scale.
+    An un-partitioned ``read_jdbc`` funnels the whole table through ONE
+    task (the reference's SQLAlchemy reads were single-connection too,
+    batch_emul.py:61); this form splits ``partition_column`` into
+    ``num_partitions`` range predicates so executors read concurrently.
+    Pick a roughly-uniform numeric key (a synthetic mod-hash column
+    works when none exists) or the stride partitions skew."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

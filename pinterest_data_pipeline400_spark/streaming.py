@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators.clean import clean_geo, clean_pin, clean_user
+from .session import STREAM_DRAIN_TIMEOUT_SEC
 from .schemas import GEO_RAW, PIN_RAW, USER_RAW
 
 #: Kinesis-envelope wire schema (stream_emul.py:116-133 analog).
@@ -133,7 +134,7 @@ def run_pipeline_to_sink(
     table: str,
     sink_dir: str,
     checkpoint_dir: str,
-    timeout_sec: int = 300,
+    timeout_sec: int = STREAM_DRAIN_TIMEOUT_SEC,
 ) -> None:
     """source → decode → clean → dedup-on-stream → checkpointed append;
     drains all pending input (AvailableNow) and returns when committed."""

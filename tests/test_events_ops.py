@@ -100,3 +100,29 @@ def test_approx_distinct_within_rsd_of_exact(spark):
     assert both, "events fixture is empty"
     for r in both:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05, r
+
+
+def test_events_ts_ingestion_canary(spark):
+    """Version-drift canary: Spark has changed how it loads parquet
+    TIMESTAMP(NANOS) across major versions (3.x: int64 via nanosAsLong;
+    4.x: TIMESTAMP_NTZ truncated to micros — the conf is ignored). Pin
+    the contract of ``_events`` — a TimestampType column whose instants
+    equal what DuckDB reads natively — so the next upgrade drift fails
+    HERE instead of in 13 ev_* entries."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ev = eq._events(spark, TEST_SF_DIR)
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    got = ev.agg(
+        F.unix_timestamp(F.min("ts")).alias("lo"),
+        F.unix_timestamp(F.max("ts")).alias("hi"),
+        F.count("ts").alias("n"),
+    ).first()
+    exp = duckdb.sql(
+        "SELECT CAST(floor(epoch(min(ts))) AS BIGINT),"
+        "       CAST(floor(epoch(max(ts))) AS BIGINT), count(ts)"
+        f" FROM '{TEST_SF_DIR}/events.parquet'"
+    ).fetchone()
+    assert (got.lo, got.hi, got.n) == exp

@@ -77,3 +77,31 @@ def test_salted_join_spreads_hot_key(spark):
     salted = big.withColumn("__salt", (F.rand(seed=0) * 8).cast("int"))
     n_groups = salted.select("k", "__salt").distinct().count()
     assert n_groups >= 6  # hot key spread across most of the 8 salt buckets
+
+
+def test_salted_join_hash_joins_when_broadcast_disabled(spark):
+    """The salting claim's real test (a tiny dim broadcast-joins at
+    fixture scale, which salting can't demonstrate anything on): with
+    the broadcast threshold forced off, the salted join must compile to
+    a shuffle join ON THE SALTED KEY — (k, __salt) both in the join
+    keys — spreading each hot key over the salt sub-partitions."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(1000).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        joined = salted_join(big, small, on="k", salt=8)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "__salt" in plan  # the shuffle keys include the salt
+        # and the result is still exactly the plain join
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
