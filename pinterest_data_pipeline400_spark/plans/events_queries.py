@@ -484,6 +484,95 @@ def ev_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "ev_stream_static_join",
+    oracle="""
+    SELECT event_id, event_type, CAST(length(event_type) AS BIGINT) AS w
+    FROM events""",
+    doc="STREAM-STATIC enrichment join — the remaining streaming join "
+    "shape (stream-stream is ev_stream_stream_join): the event stream "
+    "joined per micro-batch to a STATIC dimension DataFrame (derived "
+    "event-type weights, re-read each batch like any slowly-changing "
+    "dim). Stateless — no watermark needed on either side, the static "
+    "side broadcast-hash-joins inside every micro-batch — so the "
+    "drained availableNow output is exactly the batch join the oracle "
+    "runs. At scale the dim is a real table; Spark re-plans its scan "
+    "per batch, picking up dim updates between batches.",
+)
+def ev_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    base = f"/tmp/spark_graft_stream/ev_ssdim_{os.path.basename(os.path.normpath(sf_dir))}"
+    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
+    for d in (in_dir, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+
+    static_dim = (
+        _events(spark, sf_dir)
+        .select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type").cast("long"))
+    )
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        stream = _with_event_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir))
+        enriched = stream.join(F.broadcast(static_dim), on="event_type").select(
+            "event_id", "event_type", "w"
+        )
+        query = (
+            enriched.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
+                raise TimeoutError("ev_stream_static_join did not drain")
+        finally:
+            if query.isActive:
+                query.stop()
+    return spark.read.parquet(sink)
+
+
+#: Sketch size for the HLL rollup: DataSketches HLL is EXACT (coupon
+#: list/set mode) until ~0.75 * 2^lgK distinct keys, then switches to
+#: estimation. lgK=14 keeps every fixture grain exact (oracle-matchable)
+#: while remaining a 16 KB bounded, mergeable state at any scale.
+HLL_LGK = 14
+
+
+@REGISTRY.register(
+    "ev_hll_distinct_rollup",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1""",
+    doc="Re-aggregatable distinct-count rollup via Apache DataSketches "
+    "HLL (hll_sketch_agg / hll_union_agg): per-(day, event_type) user "
+    "sketches built in ONE corpus pass are MERGED up to per-day grain "
+    "without rescanning — the sketch column is the partial state, so "
+    "any coarser grain (week, month, total) is a cheap union over "
+    "already-aggregated rows. approx_count_distinct can't do this (its "
+    "partials aren't a value you can store and re-merge later); this "
+    "is the hypertable/continuous-aggregate pattern for COUNT "
+    "DISTINCT. Oracle-exact because HLL stays in exact coupon mode "
+    "below ~0.75*2^lgK distinct (lgK=14 ⇒ ~12k) — above that scale "
+    "the same plan returns estimates with ~0.8% rsd.",
+)
+def ev_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    fine = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    return fine.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("n_users")
+    ).select(
+        # string day: engine-neutral value for the driver's hash compare
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_users",
+    )
 
 
 @REGISTRY.register(

@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..generator import fixture_dir_for
 from ..sources.readers import read_jdbc, read_json_topic
@@ -89,3 +90,80 @@ def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, url, "nation", properties={"driver": _DERBY_DRIVER}
     )
     return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@REGISTRY.register(
+    "pyds_envelope_pin",
+    oracle=f"""WITH {_ctes(ORACLE_FX, pin_impute="1000")}
+    SELECT ind, unique_id, title, description, follower_count, poster_name,
+           tag_list, is_image_or_video, image_src, save_location, category
+    FROM pin""",
+    doc="Custom CONNECTOR surface (the reference's Kinesis integration, "
+    "kinesis.py:34-68, as a first-class Spark V2 data source via the "
+    "PySpark 4 Python DataSource API): the pin topic read through "
+    "format('kinesis_envelope') — one input partition per JSONL part "
+    "file, StreamName equality filters pushed INSIDE the connector, "
+    "pyarrow RecordBatch output — then the standard decode + clean. "
+    "Value-checked against the DuckDB clean-table reconstruction, same "
+    "oracle as the file-stream and batch-JSON paths (three transports, "
+    "one semantic).",
+)
+def pyds_envelope_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.envelope_datasource import register_envelope_source
+
+    register_envelope_source(spark)
+    topic_dir = os.path.join(fixture_dir_for(sf_dir), "stream", "pin")
+    raw = (
+        spark.read.format("kinesis_envelope")
+        .option("path", topic_dir)
+        .load()
+        # pushed into the connector via pushFilters (plan shows the scan
+        # filter; the connector never materializes non-matching rows)
+        .filter(F.col("StreamName") == "streaming-pin")
+    )
+    return clean_stream(decode_stream(raw, RAW_SCHEMAS["pin"]), "pin")
+
+
+_FMT_ROOT = "/tmp/spark_graft_formats"
+
+
+@REGISTRY.register(
+    "csv_roundtrip_region",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    doc="CSV format round trip: the region dim written as headered CSV "
+    "and read back with an EXPLICIT schema (inference costs a full "
+    "extra pass at scale and guesses types; the engine never infers on "
+    "a hot path). Value-checked against the parquet original. CSV is "
+    "the interchange format — columnar parquet stays the at-rest "
+    "default (pushdown + pruning; SURVEY §2.1).",
+)
+def csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_FMT_ROOT, sf_name, "region_csv")
+    src = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema(src.schema)  # explicit — never inferred
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.select("r_regionkey", "r_name")
+
+
+@REGISTRY.register(
+    "orc_roundtrip_supplier",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    doc="ORC format round trip: the supplier table written as ORC and "
+    "read back — the second columnar format (predicate pushdown and "
+    "column pruning work like parquet's; schema travels in the file). "
+    "Value-checked against the parquet original, double s_acctbal "
+    "included (bit-exact storage round trip, no float drift).",
+)
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_FMT_ROOT, sf_name, "supplier_orc")
+    src = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

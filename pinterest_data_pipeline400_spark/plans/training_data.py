@@ -751,6 +751,61 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_N = 8        # boilerplate span length in words
+SPAN_MIN_DF = 2   # emit spans appearing in at least this many docs
+
+
+@REGISTRY.register(
+    "docs_common_spans",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_NORM_SQL} AS norm
+                 FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')),
+    t AS (SELECT doc_id, string_split(norm, ' ') AS t FROM src),
+    spans AS (SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN len(t) < {SPAN_N} THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(t) - {SPAN_N - 2}),
+                                 i -> array_to_string(t[i:i+{SPAN_N - 1}], ' '))
+                            END) AS span
+              FROM t)
+    SELECT span, CAST(count(*) AS BIGINT) AS df
+    FROM spans GROUP BY span HAVING count(*) >= {SPAN_MIN_DF}""",
+    doc=f"Boilerplate / repeated-span detection (the cross-document "
+    f"repetition curation step — the exact-substring analog of "
+    f"suffix-array training-data dedup): every {SPAN_N}-word span "
+    f"occurring in ≥ {SPAN_MIN_DF} distinct documents, with its "
+    "document frequency. Spans are distinct-per-doc first (a doc "
+    "repeating its own phrase isn't cross-doc boilerplate), then one "
+    "hash aggregate on the span computes df — two shuffles on "
+    "high-cardinality keys, output bounded by the HAVING threshold. "
+    "Downstream, these spans drive span-level scrubbing or doc "
+    "down-weighting; at 100 TB the span key is uniform (natural text) "
+    "and the hot boilerplate spans are exactly the rows that survive.",
+)
+def docs_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    dup = dup.repartition(spark.sparkContext.defaultParallelism)
+    toks = dup.select(
+        "doc_id", ws_tokens(norm_text(F.col("text"))).alias("t")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= SPAN_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SPAN_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, SPAN_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span"),
+    ).distinct()
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= SPAN_MIN_DF)
+    )
+
+
 #: Mixture sampling hash — hex chars 17-24 of the doc-id md5, independent
 #: of both the split hash (chars 1-8) and the packing hash (chars 9-16).
 _MIX_PCT_SPARK = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 17, 8), 16, 10) AS BIGINT) % 100"

@@ -1,0 +1,126 @@
+"""Custom Spark DataSource for Kinesis-envelope topic directories —
+the reference's Kinesis connector (kinesis.py:34-68) re-expressed as a
+FIRST-CLASS Spark data source via PySpark 4's Python DataSource API,
+instead of a read-helper function.
+
+``spark.read.format("kinesis_envelope").option("path", dir)`` returns
+the same (StreamName, PartitionKey, Data) envelope rows the file-stream
+path decodes, but through the V2 connector surface:
+
+  * one :class:`InputPartition` per JSONL part file — scan parallelism
+    equals file count, exactly how a sharded stream dump should split
+    (and how Kinesis shards map to readers);
+  * ``pushFilters`` accepts equality filters on ``StreamName`` /
+    ``PartitionKey`` so topic selection prunes INSIDE the connector —
+    filtered rows are never materialized, the Python-source analog of
+    parquet predicate pushdown;
+  * rows are yielded as **pyarrow RecordBatches** (the API's fast
+    path), never per-row Python tuples.
+
+At 100 TB the same class reads any sharded JSONL landing zone; the
+partition planner is where shard→split logic would grow (size-based
+coalescing, offset ranges). This module is self-contained so its
+``register`` call ships the class to executors by value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+ENVELOPE_DDL = "StreamName STRING, PartitionKey STRING, Data STRING"
+
+_PUSHABLE = {"StreamName", "PartitionKey"}
+
+
+class _EnvelopeFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class EnvelopeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("kinesis_envelope requires .option('path', <topic dir>)")
+        self.root = path
+        self.eq_filters: list[tuple[str, str]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb equality filters on the envelope key columns; hand
+        everything else back to Spark to evaluate post-scan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute[0] in _PUSHABLE:
+                self.eq_filters.append((f.attribute[0], f.value))
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = sorted(
+            os.path.join(self.root, f)
+            for f in os.listdir(self.root)
+            if f.endswith(".jsonl")
+        )
+        if not files:
+            raise FileNotFoundError(f"no .jsonl part files under {self.root}")
+        return [_EnvelopeFilePartition(p) for p in files]
+
+    def read(self, partition: _EnvelopeFilePartition):
+        import pyarrow as pa
+
+        names, keys, datas = [], [], []
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                row = (
+                    rec.get("StreamName"),
+                    rec.get("PartitionKey"),
+                    rec.get("Data"),
+                )
+                if any(
+                    row[("StreamName", "PartitionKey", "Data").index(col)] != val
+                    for col, val in self.eq_filters
+                ):
+                    continue
+                names.append(row[0])
+                keys.append(row[1])
+                datas.append(row[2])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(names, pa.string()), pa.array(keys, pa.string()),
+             pa.array(datas, pa.string())],
+            names=["StreamName", "PartitionKey", "Data"],
+        )
+
+
+class EnvelopeDataSource(DataSource):
+    """``format("kinesis_envelope")`` — envelope-JSONL topic reader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_envelope"
+
+    def schema(self) -> str:
+        return ENVELOPE_DDL
+
+    def reader(self, schema: StructType) -> EnvelopeReader:
+        return EnvelopeReader(self.options)
+
+
+def register_envelope_source(spark) -> None:
+    """Idempotently register the connector on a session. Python-source
+    filter pushdown ships behind a conf in Spark 4.1 (a reader that
+    implements ``pushFilters`` is rejected outright without it)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(EnvelopeDataSource)

@@ -126,3 +126,26 @@ def test_events_ts_ingestion_canary(spark):
         f" FROM '{TEST_SF_DIR}/events.parquet'"
     ).fetchone()
     assert (got.lo, got.hi, got.n) == exp
+
+
+def test_hll_rollup_estimation_mode_accuracy(spark):
+    """Beyond the fixture's exact-coupon-mode regime: at cardinalities
+    past ~0.75*2^lgK the sketch estimates — pin the union-of-sketches
+    estimate within 2% of exact so the scale path's error model is
+    tested, not just asserted in a docstring."""
+    from pyspark.sql import functions as F
+
+    n = 50_000  # >> 2^14 coupon capacity → genuine HLL estimation mode
+    df = spark.range(n).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("user_id")
+    )
+    fine = df.groupBy("g", (F.col("user_id") % 7).alias("sub")).agg(
+        F.hll_sketch_agg("user_id", F.lit(eq.HLL_LGK)).alias("sk")
+    )
+    est = (
+        fine.groupBy("g")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .agg(F.sum("est"))
+        .first()[0]
+    )
+    assert abs(est - n) / n < 0.02

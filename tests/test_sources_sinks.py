@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pinterest_data_pipeline400_spark.generator import ensure_fixtures
+from tests.conftest import TEST_SF_DIR
 from pinterest_data_pipeline400_spark.sources.readers import (
     read_jdbc,
     read_json_topic,
@@ -173,3 +174,35 @@ def test_with_retries_exhaustion_reraises():
     with pytest.raises(RuntimeError, match="down"):
         with_retries(always_fail, max_retries=3, sleep=sleeps.append)
     assert sleeps == [1.0, 2.0]  # no sleep after the final attempt
+
+
+def test_envelope_datasource_partitions_and_pushdown(spark):
+    """The custom V2 connector's two scale contracts: one input
+    partition per JSONL part file (scan parallelism = shard count), and
+    StreamName equality filters absorbed INSIDE the connector (no
+    post-scan Filter left in the plan for the pushed predicate)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from pinterest_data_pipeline400_spark.sources.envelope_datasource import (
+        register_envelope_source,
+    )
+
+    register_envelope_source(spark)
+    topic = os.path.join(fixture_dir_for(TEST_SF_DIR), "stream", "pin")
+    n_files = len(glob.glob(os.path.join(topic, "*.jsonl")))
+    assert n_files > 1  # the parallelism claim needs multiple splits
+
+    raw = spark.read.format("kinesis_envelope").option("path", topic).load()
+    assert raw.rdd.getNumPartitions() == n_files
+
+    hit = raw.filter(F.col("StreamName") == "streaming-pin")
+    miss = raw.filter(F.col("StreamName") == "streaming-nope")
+    assert hit.count() == raw.count()
+    assert miss.count() == 0
+    # the equality predicate is pushed into the connector — only the
+    # (unpushable, cheap) isnotnull residual may remain above the scan
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "= streaming-pin" not in plan
