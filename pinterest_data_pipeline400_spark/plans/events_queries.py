@@ -184,6 +184,39 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "ev_props_variant",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS INT) AS max_k
+    FROM parsed GROUP BY event_type""",
+    doc="Semi-structured VARIANT path (Spark 4 open variant type — the "
+    "schema-LESS twin of ev_props_extract's fixed-schema from_json): "
+    "props parsed once into a VARIANT column (binary-encoded, "
+    "shreddable), fields extracted by path with a type hint at use "
+    "site. At 100 TB this is the schema-evolution story: ingestion "
+    "never breaks on new keys, extraction stays JVM-side and "
+    "column-prunable, and parquet variant shredding recovers columnar "
+    "pushdown for hot paths.",
+)
+def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(F.try_parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 ASOF_LEFT_TYPE = "purchase"  # attribute each purchase ...
 ASOF_RIGHT_TYPE = "click"  # ... to the user's most recent prior click

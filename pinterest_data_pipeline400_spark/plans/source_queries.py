@@ -124,6 +124,63 @@ def pyds_envelope_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_stream(decode_stream(raw, RAW_SCHEMAS["pin"]), "pin")
 
 
+@REGISTRY.register(
+    "pyds_stream_envelope_user",
+    oracle=f"""WITH {_ctes(ORACLE_FX)}
+    SELECT ind, user_name, age, date_joined FROM usr
+    WHERE ind IS NOT NULL AND user_name IS NOT NULL""",
+    doc="The custom connector's STREAMING path end-to-end: the user "
+    "topic consumed via readStream.format('kinesis_envelope') — "
+    "micro-batches driven by the connector's own file-count offsets "
+    "(DataSourceStreamReader), checkpointed, availableNow-drained — "
+    "then the standard decode + clean into an append sink. Exactly the "
+    "file-stream pipeline stream_clean_user runs, transported through "
+    "the V2 Python source instead; same oracle. Restart exactly-once "
+    "over one checkpoint is pytest-proven separately.",
+)
+def pyds_stream_envelope_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..session import (
+        STREAM_DRAIN_TIMEOUT_SEC,
+        STREAM_STATE_PARTITIONS,
+        scoped_shuffle_partitions,
+    )
+    from ..sources.envelope_datasource import register_envelope_source
+
+    register_envelope_source(spark)
+    topic_dir = os.path.join(fixture_dir_for(sf_dir), "stream", "user")
+    base = "/tmp/spark_graft_stream/pyds_user_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    for d in (sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        raw = (
+            spark.readStream.format("kinesis_envelope")
+            .option("path", topic_dir)
+            .load()
+        )
+        cleaned = clean_stream(decode_stream(raw, RAW_SCHEMAS["user"]), "user")
+        query = (
+            cleaned.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
+                raise TimeoutError("pyds_stream_envelope_user did not drain")
+        finally:
+            if query.isActive:
+                query.stop()
+    return spark.read.parquet(sink)
+
+
 _FMT_ROOT = "/tmp/spark_graft_formats"
 
 

@@ -206,3 +206,54 @@ def test_envelope_datasource_partitions_and_pushdown(spark):
     # (unpushable, cheap) isnotnull residual may remain above the scan
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert "= streaming-pin" not in plan
+
+
+def test_envelope_datasource_streaming_exactly_once(spark, tmp_path):
+    """The custom connector's streaming contract: micro-batch reads
+    driven by the file-count offset, and a RESTART over the same
+    checkpoint consumes only files that arrived after the last commit —
+    no re-emission (exactly-once into the sink)."""
+    import json as _json
+
+    from pinterest_data_pipeline400_spark.sources.envelope_datasource import (
+        register_envelope_source,
+    )
+
+    register_envelope_source(spark)
+    topic = tmp_path / "topic"
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    topic.mkdir()
+
+    def emit(fname: str, ids: range) -> None:
+        with open(topic / fname, "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({
+                    "StreamName": "streaming-test",
+                    "PartitionKey": str(i % 4),
+                    "Data": _json.dumps({"id": i}),
+                }) + "\n")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("kinesis_envelope")
+            .option("path", str(topic))
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(60), "custom-source stream did not drain"
+
+    emit("part-0000.jsonl", range(0, 50))
+    emit("part-0001.jsonl", range(50, 80))
+    drain()
+    first = spark.read.parquet(sink)
+    assert first.count() == 80
+
+    emit("part-0002.jsonl", range(80, 100))
+    drain()  # restart over the SAME checkpoint
+    out = spark.read.parquet(sink).select("Data").toPandas()
+    ids = sorted(_json.loads(d)["id"] for d in out.Data)
+    assert ids == list(range(100))  # new rows exactly once, no re-emits

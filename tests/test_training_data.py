@@ -308,3 +308,41 @@ def test_new_similarity_joins_have_no_cartesian(spark):
         plan = _physical_plan(fn(spark, TEST_SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoop" not in plan, fn.__name__
+
+
+def test_udtf_chunker_matches_jvm_chunker(spark):
+    """Python UDTF surface (Spark 4 user-defined table functions),
+    pinned against the engine's JVM-side chunker: a lateral UDTF
+    re-chunking the corpus must reproduce docs_chunk exactly. The UDTF
+    is the API-surface proof only — the registry entry stays on the
+    codegen'd sequence+explode path (Python table functions are a
+    per-row boundary, not a hot-path choice)."""
+    from pyspark.sql.functions import udtf
+
+    from pinterest_data_pipeline400_spark.plans.training_data import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        docs_chunk,
+    )
+
+    @udtf(returnType="doc_id bigint, chunk_id bigint, n_chunk_tokens bigint, chunk_text string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = text.strip().lower().split()
+            if not toks:
+                return
+            for ci, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                window = toks[start : start + CHUNK_TOKENS]
+                yield doc_id, ci, len(window), " ".join(window)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = spark.read.parquet(os.path.join(TEST_SF_DIR, "documents.parquet"))
+    docs.createOrReplaceTempView("docs_for_udtf")
+    got = spark.sql(
+        "SELECT c.* FROM docs_for_udtf d, LATERAL chunk_doc(d.doc_id, d.text) c"
+    ).toPandas()
+    want = docs_chunk(spark, TEST_SF_DIR).toPandas()
+    key = ["doc_id", "chunk_id"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)[got.columns]
+    assert got.equals(want)
