@@ -33,6 +33,7 @@ from ..session import (
 )
 from ..streaming import (
     RAW_SCHEMAS,
+    ROCKSDB_PROVIDER,
     clean_stream,
     decode_stream,
     dedup_stream,
@@ -134,9 +135,10 @@ def stream_clean_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register(
-    "stream_stateful_user_counts",
-    oracle="""
+#: Two-phase running-count expectation, shared by both stateful-API
+#: entries: phase-1 totals for users seen in the first half, plus final
+#: totals for users seen in the second half.
+_TWO_PHASE_COUNTS_ORACLE = """
     WITH split AS (SELECT (max(event_id) + 1) // 2 AS s FROM events),
     b1 AS (SELECT user_id, count(*) AS c FROM events
            WHERE event_id < (SELECT s FROM split) GROUP BY user_id),
@@ -145,7 +147,12 @@ def stream_clean_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT user_id, CAST(c AS BIGINT) FROM tot
     WHERE user_id IN (SELECT DISTINCT user_id FROM events
-                      WHERE event_id >= (SELECT s FROM split))""",
+                      WHERE event_id >= (SELECT s FROM split))"""
+
+
+@REGISTRY.register(
+    "stream_stateful_user_counts",
+    oracle=_TWO_PHASE_COUNTS_ORACLE,
     doc="Custom stateful streaming operator (applyInPandasWithState): "
     "per-user running event counts, fed in two phases over ONE "
     "checkpoint — phase 1 streams the first half of events, the query "
@@ -156,10 +163,52 @@ def stream_clean_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across restarts.",
 )
 def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_two_phase_stateful(
+        spark, sf_dir, "stateful_counts", stateful_running_counts
+    )
+
+
+@REGISTRY.register(
+    "stream_stateful_counts_rocksdb",
+    oracle=_TWO_PHASE_COUNTS_ORACLE,
+    doc="The stateful running-count pipeline on the RocksDB state "
+    "store — the production state backend for big keyspaces (native, "
+    "off-heap, spill-to-disk, changelog checkpointing) vs the "
+    "on-heap-only HDFS default: identical oracle-checked output AND "
+    "identical restart recovery, proving state-backend portability of "
+    "the checkpoint contract. At 100 TB of keys this provider is the "
+    "difference between bounded executor heap and OOM. (The successor "
+    "transformWithStateInPandas API is implemented too — "
+    "streaming.stateful_running_counts_tws — but its Python worker "
+    "protocol needs protobuf, absent from this sandbox; an "
+    "importorskip test exercises it wherever protobuf exists.)",
+)
+def stream_stateful_counts_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_two_phase_stateful(
+        spark,
+        sf_dir,
+        "stateful_counts_rocksdb",
+        stateful_running_counts,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER
+        },
+    )
+
+
+def _run_two_phase_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    op: "callable",
+    extra_confs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Drive a per-key stateful operator over TWO availableNow runs
+    sharing one checkpoint (first half of events, stop, second half) —
+    the state-recovery harness both stateful APIs are proven on."""
     import pandas as pd
 
     base = os.path.join(
-        _WORK_ROOT, f"stateful_counts_{os.path.basename(os.path.normpath(sf_dir))}"
+        _WORK_ROOT, f"{name}_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
     for d in (in_dir, sink, ckpt):
@@ -171,11 +220,19 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.events_queries import EVENTS_SCHEMA
 
+    prev_confs: dict[str, str | None] = {}
+    for k, v in (extra_confs or {}).items():
+        try:
+            prev_confs[k] = spark.conf.get(k)
+        except Exception:
+            prev_confs[k] = None
+        spark.conf.set(k, v)
+
     def drain_phase(frame: "pd.DataFrame", fname: str) -> None:
         frame.to_parquet(os.path.join(in_dir, fname), index=False)
         with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
             stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
-            counts = stateful_running_counts(stream)
+            counts = op(stream)
             query = (
                 counts.writeStream.format("parquet")
                 .outputMode("append")
@@ -186,13 +243,20 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             try:
                 if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
-                    raise TimeoutError("stateful counts did not drain")
+                    raise TimeoutError(f"{name} did not drain")
             finally:
                 if query.isActive:
                     query.stop()
 
-    drain_phase(ev[ev.event_id < split], "part-0000.parquet")
-    drain_phase(ev[ev.event_id >= split], "part-0001.parquet")
+    try:
+        drain_phase(ev[ev.event_id < split], "part-0000.parquet")
+        drain_phase(ev[ev.event_id >= split], "part-0001.parquet")
+    finally:
+        for k, old in prev_confs.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     return spark.read.parquet(sink)
 
 

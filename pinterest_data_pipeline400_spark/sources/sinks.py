@@ -57,6 +57,29 @@ def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str) -> None:
     )
 
 
+def write_stream_foreach_batch(
+    df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming sink escape hatch: ``foreachBatch`` hands each
+    micro-batch to arbitrary BATCH writer code (idempotent upsert /
+    MERGE, multi-sink fan-out, JDBC writes — everything the built-in
+    streaming sinks can't express). Exactly-once caveat baked into the
+    contract: Spark guarantees ``batch_id`` is stable across retries,
+    so ``batch_fn`` must be idempotent per (batch_id) — e.g. overwrite
+    a batch_id-derived partition, or MERGE on a key — because a failed
+    micro-batch re-runs with the SAME id. Returns the started query."""
+    writer = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def with_retries(
     fn: Callable[[], T],
     max_retries: int = 3,

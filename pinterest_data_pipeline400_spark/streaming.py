@@ -182,6 +182,57 @@ def stateful_running_counts(stream: DataFrame, key_col: str = "user_id") -> Data
     )
 
 
+#: RocksDB state store provider — the production state backend for
+#: large keyspaces (off-heap, spill-to-disk, changelog checkpointing);
+#: required by transformWithState. The HDFS-backed default keeps every
+#: key on-heap, which caps state at executor memory.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def stateful_running_counts_tws(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """The :func:`stateful_running_counts` semantics on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (SPARK-49564 'arbitrary stateful processing v2'): an object-style
+    ``StatefulProcessor`` with named, schema'd state variables instead
+    of one opaque tuple, timers, and composite state (value/list/map)
+    — running on the RocksDB state store (required by this API; set
+    ``spark.sql.streaming.stateStore.providerClass`` before start).
+
+    ENVIRONMENT-GATED: the transformWithState Python worker protocol
+    requires ``google.protobuf``, which this sandbox does not ship —
+    so the driver-checked registry entry runs the v1 operator on
+    RocksDB instead (`stream_stateful_counts_rocksdb`), and an
+    importorskip pytest drives this one wherever protobuf exists."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.total = handle.getValueState("total", "total long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self.total.get()[0] if self.total.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self.total.update((total,))
+            yield pd.DataFrame({key_col: [key[0]], "n_events_so_far": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(F.col(key_col)).transformWithStateInPandas(
+        RunningCount(),
+        outputStructType="user_id long, n_events_so_far long",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def fresh_dirs(base: str) -> tuple[str, str]:
     """(sink, checkpoint) under ``base``, wiped — T5 checkpoint reset
     (the reference's dbutils.fs.rm, kinesis.py:138)."""

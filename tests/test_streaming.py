@@ -96,3 +96,125 @@ def test_stream_decode_matches_schema(spark, fx_dir):
     decoded = decode_stream(raw, RAW_SCHEMAS["geo"])
     assert decoded.schema == RAW_SCHEMAS["geo"]
     assert decoded.isStreaming
+
+
+def test_stateful_counts_on_rocksdb_statestore(spark, tmp_path):
+    """State-backend portability: the stateful counter on the RocksDB
+    provider produces the same totals as the HDFS-default provider, and
+    the checkpoint actually contains RocksDB state files (the conf
+    engaged — not silently ignored)."""
+    import glob
+    import json as _json
+
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.streaming import (
+        ROCKSDB_PROVIDER,
+        stateful_running_counts,
+    )
+
+    in_dir, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    os.makedirs(in_dir)
+    pd.DataFrame({"user_id": [1, 1, 2, 2, 2, 3]}).to_parquet(
+        os.path.join(in_dir, "p0.parquet")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = spark.readStream.schema("user_id long").parquet(in_dir)
+        q = (
+            stateful_running_counts(stream)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(60)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    out = {r.user_id: r.n_events_so_far for r in spark.read.parquet(sink).collect()}
+    assert out == {1: 2, 2: 3, 3: 1}
+    # the RocksDB provider writes .zip/.sst snapshot artifacts under state/
+    arts = glob.glob(os.path.join(ckpt, "state", "**", "*.zip"), recursive=True) + \
+        glob.glob(os.path.join(ckpt, "state", "**", "*.sst"), recursive=True) + \
+        glob.glob(os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True)
+    assert arts, "no RocksDB state artifacts found — provider conf did not engage"
+
+
+def test_stateful_counts_tws_needs_protobuf(spark):
+    """transformWithStateInPandas is implemented but its worker
+    protocol needs protobuf; exercised wherever that exists."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.streaming import (
+        ROCKSDB_PROVIDER,
+        stateful_running_counts_tws,
+    )
+
+    # mirror of the RocksDB test on the v2 API
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir, sink, ckpt = (os.path.join(tmp, d) for d in ("in", "sink", "ckpt"))
+        os.makedirs(in_dir)
+        pd.DataFrame({"user_id": [1, 1, 2]}).to_parquet(
+            os.path.join(in_dir, "p0.parquet")
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        try:
+            stream = spark.readStream.schema("user_id long").parquet(in_dir)
+            q = (
+                stateful_running_counts_tws(stream)
+                .writeStream.format("parquet")
+                .option("checkpointLocation", ckpt)
+                .option("path", sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(60)
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        out = {r.user_id: r.n_events_so_far for r in spark.read.parquet(sink).collect()}
+        assert out == {1: 2, 2: 1}
+
+
+def test_foreach_batch_sink_idempotent_partitions(spark, tmp_path):
+    """foreachBatch contract: each micro-batch lands as batch-id-keyed
+    partitioned output (idempotent under micro-batch retry), and a
+    restart over the same checkpoint reprocesses nothing."""
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.sources.sinks import (
+        write_stream_foreach_batch,
+    )
+
+    in_dir, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    os.makedirs(out)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        # overwrite-by-batch-id = idempotent re-run of the same batch
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+
+    def drain():
+        stream = spark.readStream.schema("id long").parquet(in_dir)
+        q = write_stream_foreach_batch(stream, write_batch, ckpt)
+        assert q.awaitTermination(60)
+
+    pd.DataFrame({"id": range(10)}).to_parquet(os.path.join(in_dir, "p0.parquet"))
+    drain()
+    batches_after_first = set(os.listdir(out))
+    pd.DataFrame({"id": range(10, 15)}).to_parquet(os.path.join(in_dir, "p1.parquet"))
+    drain()  # restart on same checkpoint: only the new file arrives
+    all_rows = spark.read.parquet(os.path.join(out, "*")).count()
+    assert all_rows == 15
+    assert len(set(os.listdir(out)) - batches_after_first) == 1  # one new batch dir
