@@ -1,0 +1,47 @@
+"""Foreign-session regression tests: the driver builds ITS OWN
+SparkSession (entry()/queries() contract) with none of this engine's
+builder defaults — a non-UTC time zone and 200 shuffle partitions being
+the dangerous ones. The registry wrapper must pin the
+correctness-critical confs per call (session.ensure_runtime_confs);
+these tests run timestamp-sensitive entries through a hostile session
+and require oracle equality, so a regression in the wrapper fails HERE
+rather than in the driver's harness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import TEST_SF_DIR, assert_frames_match, rewrite_oracle_sf
+
+#: timestamp/date-heavy entries — the ones a wrong session TZ breaks
+SENSITIVE = [
+    "ev_windowed_counts",
+    "ev_sessionization",
+    "ev_rollup_multigrain",
+    "ev_hll_distinct_rollup",
+    "ev_partition_pruned_scan",
+    "pq2_category_count_per_year",
+    "q7_median_acctbal_by_year",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    """A sibling session sharing the SparkContext but with its own SQL
+    conf, deliberately mis-set the way a naive driver session would be."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    s.conf.set("spark.sql.shuffle.partitions", "200")
+    return s
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_entry_survives_foreign_session(hostile, duck, name):
+    fn = entrymod.queries()[name]
+    got = fn(hostile, TEST_SF_DIR).toPandas()
+    want = duck.execute(
+        rewrite_oracle_sf(entrymod.oracle_sql()[name])
+    ).fetchdf()
+    assert_frames_match(got, want, name)
