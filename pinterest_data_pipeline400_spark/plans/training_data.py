@@ -1324,6 +1324,107 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "emb_knn_recall",
+    # the oracle composes both KNN oracles verbatim as CTEs, so any
+    # change to either search's semantics flows into the evaluation
+    oracle=f"""
+    WITH bf AS ({REGISTRY.oracles()["emb_knn_bruteforce"]}),
+    ivf AS ({REGISTRY.oracles()["emb_knn_ivf"]})
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(i.neighbor_id) AS DOUBLE) / {K_NEIGHBORS}, 6)
+             AS recall_at_k
+    FROM bf b LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id""",
+    doc="ANN quality evaluation as a first-class op — recall@k of the "
+    "IVF scale path against the exact brute-force baseline, the metric "
+    "every similarity-search deployment gates on: per query, the "
+    "fraction of the true top-k the cell-restricted search returned. "
+    "Both rankings use 6-dp rounded cosine + neighbor-id tiebreaks, so "
+    "the top-k SETS are engine-identical and recall is deterministic. "
+    "Scale shape: two bounded top-k relations (k rows per query) "
+    "joined on (query, neighbor) — the evaluation costs nothing beyond "
+    "the searches themselves. NOTE the measured recall on the fixture "
+    "is LOW (labels are only weakly geometry-correlated there): that "
+    "is the op doing its job — surfacing that a coarse quantizer is "
+    "bad BEFORE a deployment trusts it; in production the cells come "
+    "from k-means (emb_kmeans_* here), not arbitrary labels.",
+)
+def emb_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = emb_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = emb_knn_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ivf, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(K_NEIGHBORS), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "emb_knn_ivf_kmeans",
+    oracle=f"""{_KMEANS_ASSIGN_SQL},
+    cells AS (SELECT vec_id, cluster_id FROM ranked WHERE rn = 1),
+    d AS (SELECT emb.vec_id, emb.embedding, cells.cluster_id
+          FROM embeddings emb JOIN cells USING (vec_id)),
+    q2 AS (SELECT vec_id AS qid, embedding AS qemb, cluster_id AS qcell
+           FROM d WHERE vec_id < {N_QUERIES}),
+    p2 AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+           FROM d e JOIN q2 q ON e.cluster_id = q.qcell
+           WHERE e.vec_id <> q.qid),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM p2)
+    SELECT query_id, neighbor_id, cosine, rank FROM r2 WHERE rank <= {K_NEIGHBORS}""",
+    doc="IVF with a GEOMETRY-derived coarse quantizer — the production "
+    "ANN shape: cells come from the k-means assignment step "
+    "(emb_kmeans_assign) instead of a metadata label, so cell "
+    "membership correlates with cosine proximity and the cell "
+    "equi-join's candidates actually contain the near neighbors. "
+    "Candidate generation is still a plain hash join on cluster_id "
+    "(broadcastable query side, never a full scan per query). "
+    "Composable: at 100 TB the assignment runs once, persists as a "
+    "partition/bucket column, and every subsequent query joins against "
+    "the materialized cells.",
+)
+def emb_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    cells = _kmeans_assign(embs).select("vec_id", "cluster_id")
+    data = embs.select("vec_id", "embedding").join(cells, on="vec_id")
+    queries = data.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("cluster_id").alias("qcell"),
+    )
+    pairs = (
+        data.join(F.broadcast(queries), data.cluster_id == queries.qcell)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine(_as_double(F.col("embedding")), _as_double(F.col("qemb"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # chunking, per-source caps, stratified sampling, semantic dedup
 # --------------------------------------------------------------------------
