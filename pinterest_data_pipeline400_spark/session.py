@@ -43,6 +43,13 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep managed-table data and the embedded-Derby log out of the
+        # process cwd (a caller-built session without these just writes
+        # ./spark-warehouse + ./derby.log — harmless, but untidy)
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark_graft_jdbc"
+        )
         # Parquet pushdown is on by default; pin it so a conf drift can't
         # silently disable the scan-level filters the plans rely on.
         .config("spark.sql.parquet.filterPushdown", "true")
