@@ -147,3 +147,22 @@ def test_bucketed_join_entry_is_exchange_free_on_join_keys(spark):
     # and that one exchange is on the aggregate key, not the join key
     agg_exchange = plan.split("Exchange hashpartitioning")[1][:120]
     assert "c_mktsegment" in agg_exchange
+
+
+def test_top_per_group_uses_window_group_limit(spark):
+    """rank-limit pushdown (WindowGroupLimit): the rn<=k filter over a
+    ranking window must compile to per-partition top-k BEFORE the
+    shuffle — each mapper forwards at most k rows per group instead of
+    the whole group, the difference between shuffling k rows and
+    shuffling everything at 100 TB. Asserted on the three top-k
+    families: TPC-H analog, pinterest literal, and the per-source cap."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in (
+        "q1_top_priority_per_nation",
+        "pq1_top_category_per_country",
+        "docs_source_cap",
+    ):
+        plan = _plan(qs[name](spark, TEST_SF_DIR))
+        assert "WindowGroupLimit" in plan, f"{name} lost rank-limit pushdown"
