@@ -106,19 +106,38 @@ def main() -> None:
             timings[name] = round(dt, 4)
         except Exception as exc:  # noqa: BLE001 — survey sweep, record + go on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-    total = round(
-        sum(v for n in HEADLINE if isinstance((v := timings.get(n)), float)), 4
+    headline_complete = all(isinstance(timings.get(n), float) for n in HEADLINE)
+    # A partial headline sum would silently compare apples to oranges
+    # round-over-round (ADVICE r3); publish null instead when any
+    # headline query failed to time.
+    total = (
+        round(sum(timings[n] for n in HEADLINE), 4) if headline_complete else None
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "headline_complete": headline_complete,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver's artifact keeps only the LAST ~2000 chars of stdout;
+    # the full line above overflows that, so BENCH_r03 recorded
+    # "parsed: null" (VERDICT r3 task #2). Emit a compact summary line
+    # LAST — guaranteed to fit the tail window and parse on its own.
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "headline_complete": headline_complete,
+        "n_entries": len(timings),
+        "n_errors": len(errors),
+    }))
     spark.stop()
 
 

@@ -33,24 +33,26 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..generator import ensure_fixtures, fixture_dir_for
+from ..generator import fixture_dir_for
 from ..operators.analytics import bucketize, global_top, median_expr, top_per_group
 from ..operators.clean import clean_geo, clean_pin, clean_user
 from ..schemas import PIN_CLEAN_COLUMNS
+from .pin_oracle import ORACLE_FX, _ctes  # noqa: F401 — re-exported compat names
 from .registry import REGISTRY
-
-# The driver's correctness gate runs at sf0.01; its oracle SQL is a static
-# string, so it must point at the sf0.01 fixtures. Materialize them at
-# import time (pure pandas, ~1.5s, idempotent) so the oracle side can
-# never observe a missing file regardless of execution order.
-ORACLE_FX = ensure_fixtures("sf0.01")
-
 
 # --------------------------------------------------------------------------
 # Spark side: raw loads + cleaned-table cache
 # --------------------------------------------------------------------------
 
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# The clean-once cache lives ON the session object ({fixture dir →
+# tables} under this attribute), so its lifetime is exactly the
+# session's. A module-global dict keyed by id(spark) would be wrong
+# twice over: a dead session's entry never leaves, and CPython can
+# reuse the freed id for a NEW session, serving it another session's
+# checkpointed DataFrames. (A WeakKeyDictionary doesn't work either:
+# the cached DataFrames reference their session, and values that refer
+# to their key keep WeakKeyDictionary entries alive forever.)
+_CACHE_ATTR = "_pdp400_cleaned_cache"
 
 
 def raw_tables(spark: SparkSession, fx_dir: str) -> dict[str, DataFrame]:
@@ -75,17 +77,22 @@ def cleaned_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cleaned tables are an ETL *output* a real deployment writes to
     storage (sources/sinks.py) and re-reads — on a cluster, replace the
     localCheckpoint (non-replicated executor blocks) with a parquet
-    write-and-read-back or a reliable checkpoint dir."""
+    write-and-read-back or a reliable checkpoint dir (the
+    ``cleaned_tables_roundtrip`` entry proves that substitution
+    result-identical)."""
     fx_dir = fixture_dir_for(sf_dir)
-    key = (id(spark), fx_dir)
-    if key not in _CACHE:
+    per_session = getattr(spark, _CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _CACHE_ATTR, per_session)
+    if fx_dir not in per_session:
         raw = raw_tables(spark, fx_dir)
-        _CACHE[key] = {
+        per_session[fx_dir] = {
             "pin": clean_pin(raw["pin_raw"]).localCheckpoint(),
             "geo": clean_geo(raw["geo_raw"]).localCheckpoint(),
             "user": clean_user(raw["user_raw"]).localCheckpoint(),
         }
-    return _CACHE[key]
+    return per_session[fx_dir]
 
 
 def _median(col: str, alias: str) -> F.Column:
@@ -127,64 +134,9 @@ _AGE_GROUP_BATCH_SQL = (
 
 # --------------------------------------------------------------------------
 # Oracle side: DuckDB CTEs reconstructing the cleaned tables
+# (shared helpers live in pin_oracle.py so streaming/source plan modules
+# can build their oracles without registering this module's entries)
 # --------------------------------------------------------------------------
-
-_PIN_STRING_COLS = [
-    "unique_id", "title", "description", "poster_name", "follower_count",
-    "tag_list", "is_image_or_video", "image_src", "save_location", "category",
-]
-
-_PARSE_FC = """CASE
-      WHEN follower_count IS NULL THEN NULL
-      WHEN contains(follower_count, 'k')
-        THEN TRY_CAST(trunc(TRY_CAST(replace(follower_count, 'k', '') AS DOUBLE) * 1000) AS INTEGER)
-      WHEN contains(follower_count, 'M')
-        THEN TRY_CAST(trunc(TRY_CAST(replace(follower_count, 'M', '') AS DOUBLE) * 1000000) AS INTEGER)
-      ELSE TRY_CAST(follower_count AS INTEGER)
-    END"""
-
-
-def _ctes(fx: str, pin_impute: str = "(SELECT m FROM pin_median)") -> str:
-    """The WITH-clause body every pinterest oracle shares: null-normalize
-    → parse → impute → fill/normalize → DISTINCT (full 12-col row,
-    mirroring dropDuplicates-before-projection) for pin; row-wise cleans
-    for geo/user. ``pin_impute`` defaults to the batch median
-    (mount.py:127-131); the streaming oracles pass the constant 1000
-    (kinesis.py:186)."""
-    nn = ",\n        ".join(
-        f"CASE WHEN {c} IN ('', 'NA', 'N/A') THEN NULL ELSE {c} END AS {c}"
-        for c in _PIN_STRING_COLS
-    )
-    return f"""
-    pin_src AS (SELECT * FROM read_parquet('{fx}/pin_raw.parquet')),
-    pin_nn AS (SELECT "index", downloaded,
-        {nn}
-      FROM pin_src),
-    pin_parsed AS (SELECT * REPLACE ({_PARSE_FC} AS follower_count) FROM pin_nn),
-    pin_median AS (SELECT CAST(trunc(quantile_cont(follower_count, 0.5)) AS INTEGER) AS m
-                   FROM pin_parsed),
-    pin_rows AS (SELECT
-        CAST("index" AS INTEGER) AS ind,
-        unique_id, title, description,
-        COALESCE(follower_count, {pin_impute}) AS follower_count,
-        COALESCE(poster_name, 'Unknown') AS poster_name,
-        tag_list,
-        CASE WHEN COALESCE(is_image_or_video, 'Unknown') = 'multi-video(story page format)'
-             THEN 'video' ELSE COALESCE(is_image_or_video, 'Unknown') END AS is_image_or_video,
-        image_src,
-        replace(save_location, 'Local save in ', '') AS save_location,
-        COALESCE(category, 'Unknown') AS category,
-        downloaded
-      FROM pin_parsed),
-    pin AS (SELECT DISTINCT * FROM pin_rows),
-    geo AS (SELECT CAST(ind AS INTEGER) AS ind, country, latitude, longitude,
-                   TRY_CAST("timestamp" AS TIMESTAMP) AS ts
-            FROM read_parquet('{fx}/geo_raw.parquet')),
-    usr AS (SELECT CAST(ind AS INTEGER) AS ind,
-                   concat_ws(' ', first_name, last_name) AS user_name,
-                   TRY_CAST(age AS INTEGER) AS age,
-                   TRY_CAST(date_joined AS TIMESTAMP) AS date_joined
-            FROM read_parquet('{fx}/user_raw.parquet'))"""
 
 
 def _oracle(body: str) -> str:

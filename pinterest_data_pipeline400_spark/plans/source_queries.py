@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..generator import fixture_dir_for
 from ..sources.readers import read_jdbc, read_json_topic
 from ..streaming import ENVELOPE, RAW_SCHEMAS, clean_stream, decode_stream
-from .pinterest_queries import ORACLE_FX, _ctes
+from .pin_oracle import ORACLE_FX, _ctes
 from .registry import REGISTRY
 
 #: Derby (the in-JVM database Spark already ships for its Hive

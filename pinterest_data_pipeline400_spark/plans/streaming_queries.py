@@ -41,7 +41,7 @@ from ..streaming import (
     stateful_running_counts,
     write_stream_append,
 )
-from .pinterest_queries import ORACLE_FX, _ctes
+from .pin_oracle import ORACLE_FX, _ctes
 from .registry import REGISTRY
 
 _WORK_ROOT = "/tmp/spark_graft_stream"

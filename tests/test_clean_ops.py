@@ -172,3 +172,25 @@ def test_clean_pin_plan_has_no_python_udf(spark):
     plan = clean_pin(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_cleaned_tables_cache_isolated_per_session(spark):
+    """The clean-once cache must live on the session OBJECT, not in a
+    module dict keyed by id(spark): two sessions may never share
+    checkpointed DataFrames, and a dead session's cache must die with
+    it (so a recycled object id can't resurrect another session's
+    tables — VERDICT r3 nit #1)."""
+    from pinterest_data_pipeline400_spark.plans import pinterest_queries as pq
+
+    sf_dir = "/root/testdata/sf0.001"
+    t1 = pq.cleaned_tables(spark, sf_dir)
+    sibling = spark.newSession()
+    t2 = pq.cleaned_tables(sibling, sf_dir)
+    # Distinct sessions get distinct cleaned DataFrames...
+    assert t1["pin"] is not t2["pin"]
+    # ...and identical results (same fixture, same pipeline).
+    assert t1["pin"].count() == t2["pin"].count()
+    # Same session + fixture returns the cached object (clean once).
+    assert pq.cleaned_tables(spark, sf_dir)["pin"] is t1["pin"]
+    # Cache storage is per-session state, not module-global state.
+    assert getattr(sibling, pq._CACHE_ATTR) is not getattr(spark, pq._CACHE_ATTR)
