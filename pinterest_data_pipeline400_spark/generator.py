@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "6"
+FIXTURE_VERSION = "7"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -350,10 +350,43 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "docs_pii.parquet"), index=False
     )
 
+    # real P6 PPM image payloads (the pure-Python decode operator's
+    # test subject — multimodal_decode_ppm)
+    media_ppm(sf_rows(sf_name) // 10).to_parquet(
+        os.path.join(out_dir, "media_ppm.parquet"), index=False
+    )
+
     # done marker written last: readers treat its presence as "complete"
     with open(os.path.join(out_dir, "_DONE"), "w") as fh:
         fh.write(FIXTURE_VERSION + "\n")
     return out_dir
+
+
+def media_ppm(n: int) -> pd.DataFrame:
+    """Valid binary P6 (raw) PPM images, one per media_id, built from
+    closed-form fields so the decode oracle can recompute the expected
+    width/height/pixel-sum WITHOUT parsing the payload:
+
+      width  = media_id % 13 + 4          (4..16)
+      height = media_id % 7 + 3           (3..9)
+      maxval = 255
+      pixel[i] = (media_id*31 + i*7) % 256,  i in [0, 3*width*height)
+
+    Every 5th image carries a ``#`` comment line in the header — the
+    netpbm spec allows comments anywhere in the header, and the decoder
+    must skip them, so the fixture exercises that branch under the
+    oracle too."""
+    rows = []
+    for mid in range(n):
+        w = mid % 13 + 4
+        h = mid % 7 + 3
+        px = ((mid * 31 + 7 * np.arange(3 * w * h)) % 256).astype(np.uint8)
+        comment = f"# synthetic fixture {mid}\n" if mid % 5 == 0 else ""
+        header = f"P6\n{comment}{w} {h}\n255\n".encode("ascii")
+        rows.append((mid, header + px.tobytes()))
+    return pd.DataFrame(rows, columns=["media_id", "payload"]).astype(
+        {"media_id": "int64"}
+    )
 
 
 def emb_dup(n_base: int, seed: int, dim: int = 64) -> pd.DataFrame:

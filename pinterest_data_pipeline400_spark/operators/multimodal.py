@@ -47,12 +47,110 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def parse_ppm(payload: bytes) -> tuple[int, int, int, int]:
+    """Real, dependency-free decode of a binary P6 (raw) PPM image.
+
+    Implements the netpbm header grammar: ``P6`` magic, then three
+    ASCII integers (width, height, maxval) separated by arbitrary
+    whitespace, with ``#``-to-end-of-line comments allowed anywhere
+    between tokens, then EXACTLY ONE whitespace byte before the raw
+    RGB samples (maxval < 256 → one byte per sample). Returns
+    ``(width, height, maxval, pixel_sum)`` where pixel_sum is the exact
+    integer sum of all ``3*width*height`` sample bytes.
+
+    Raises ``ValueError`` on a bad magic, malformed header, out-of-spec
+    maxval, or truncated pixel data — a decode that silently zero-fills
+    would defeat the oracle check.
+    """
+    import numpy as np
+
+    pos = 0
+    n = len(payload)
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < n:
+            c = payload[pos : pos + 1]
+            if c in b" \t\r\n\x0b\x0c":
+                pos += 1
+            elif c == b"#":
+                while pos < n and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < n and payload[pos : pos + 1] not in b" \t\r\n\x0b\x0c":
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        return payload[start:pos]
+
+    if token() != b"P6":
+        raise ValueError("not a binary (P6) PPM payload")
+    try:
+        width, height, maxval = int(token()), int(token()), int(token())
+    except ValueError as exc:
+        raise ValueError("malformed PPM header integer") from exc
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"out-of-spec PPM dimensions {width}x{height}/{maxval}")
+    if maxval > 255:
+        raise ValueError("16-bit PPM samples not supported")
+    pos += 1  # the single whitespace byte that terminates the header
+    data = payload[pos : pos + 3 * width * height]
+    if len(data) != 3 * width * height:
+        raise ValueError("truncated PPM pixel data")
+    pixel_sum = int(np.frombuffer(data, dtype=np.uint8).sum(dtype=np.int64))
+    return width, height, maxval, pixel_sum
+
+
+PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("maxval", T.IntegerType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("pixel_mean", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode: every payload is parsed as a
+    binary P6 PPM (:func:`parse_ppm` — pure Python/numpy, no codec
+    dependency) and reduced to exact width/height/maxval/pixel-sum/mean.
+    Same mapInPandas shape as :func:`extract_features`: bytes cross the
+    JVM boundary once per Arrow batch, never per row, and the stage is
+    embarrassingly parallel (no shuffle; input splits give the
+    parallelism at scale)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, maxval, s = parse_ppm(bytes(p))
+                rows.append((mid, w, h, maxval, s, s / (3.0 * w * h)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "maxval", "pixel_sum", "pixel_mean",
+                ],
+            )
+
+    return media.mapInPandas(run, PPM_SCHEMA)
+
+
 def decode_image_real(payload: bytes) -> dict:
-    """The real decoder's integration point. Uses pillow when it is
-    installed (production image), raises ``NotImplementedError`` in
-    codec-less environments like this sandbox — callers fall back to
-    :func:`fake_features`. A ``pytest.importorskip``-gated test
-    exercises this path wherever pillow exists."""
+    """The real decoder's integration point. P6 PPM payloads decode
+    natively (:func:`parse_ppm` — no dependency); other formats use
+    pillow when it is installed (production image) and raise
+    ``NotImplementedError`` in codec-less environments like this
+    sandbox — callers fall back to :func:`fake_features`. A
+    ``pytest.importorskip``-gated test exercises the pillow path
+    wherever it exists."""
+    if payload[:2] == b"P6":
+        width, height, _maxval, _s = parse_ppm(payload)
+        return {"width": width, "height": height, "mode": "RGB", "format": "PPM"}
     try:
         import io
 

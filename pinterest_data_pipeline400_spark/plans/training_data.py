@@ -50,6 +50,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import (
     FRAME_STRIDE,
+    decode_ppm_features,
     extract_features,
     media_from_documents,
     resize_media,
@@ -1157,6 +1158,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(_docs(spark, sf_dir))
     return resize_media(media)
+
+
+@REGISTRY.register(
+    "multimodal_decode_ppm",
+    oracle=f"""
+    WITH dims AS (
+      SELECT media_id,
+             media_id % 13 + 4 AS width,
+             media_id % 7 + 3 AS height
+      FROM read_parquet('{_ORACLE_FX}/media_ppm.parquet')),
+    s AS (SELECT unnest(range(0, 432)) AS i)  -- 432 = 3 * max(w) * max(h)
+    SELECT media_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(255 AS INT) AS maxval,
+           CAST(SUM((media_id*31 + i*7) % 256) AS BIGINT) AS pixel_sum,
+           CAST(SUM((media_id*31 + i*7) % 256) AS BIGINT) / (3.0*width*height)
+             AS pixel_mean
+    FROM dims CROSS JOIN s
+    WHERE i < 3*width*height
+    GROUP BY media_id, width, height""",
+    doc="REAL image decode, dependency-free: the fixture payloads are "
+    "valid binary P6 PPM images (comment-bearing headers included) and "
+    "the Arrow-batched mapInPandas stage parses the netpbm header and "
+    "sums the raw RGB samples (operators/multimodal.py parse_ppm — "
+    "pure Python/numpy). The oracle recomputes width/height/pixel-sum "
+    "from the generator's closed-form construction WITHOUT reading the "
+    "payload, so a decoder that misparses the header or drops bytes "
+    "cannot match. Upgrades the multimodal decode verb from stub to "
+    "real (VERDICT r3 task #3); JPEG/PNG remain the pillow-gated "
+    "integration point.",
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = fixture_dir_for(sf_dir)
+    media = spark.read.parquet(os.path.join(fx, "media_ppm.parquet"))
+    return decode_ppm_features(media)
 
 
 @REGISTRY.register(

@@ -97,3 +97,78 @@ def test_decode_image_real_with_pillow():
     meta = decode_image_real(buf.getvalue())
     assert (meta["width"], meta["height"]) == (12, 7)
     assert meta["format"] == "PNG"
+
+
+# ---------------------------------------------------------------------------
+# real PPM decode (dependency-free)
+# ---------------------------------------------------------------------------
+
+def _ppm(w, h, pixels, comment=None, maxval=255):
+    c = f"# {comment}\n" if comment else ""
+    return f"P6\n{c}{w} {h}\n{maxval}\n".encode() + bytes(pixels)
+
+
+def test_parse_ppm_plain_and_comment_headers():
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_ppm
+
+    px = list(range(2 * 3 * 3))  # 2x3 RGB
+    assert parse_ppm(_ppm(2, 3, px)) == (2, 3, 255, sum(px))
+    # netpbm allows # comments between any header tokens
+    assert parse_ppm(_ppm(2, 3, px, comment="made by a test")) == (2, 3, 255, sum(px))
+    # arbitrary whitespace separating header fields
+    weird = b"P6  \t\n2\n# mid-header comment\n 3\t255 " + bytes(px)
+    assert parse_ppm(weird) == (2, 3, 255, sum(px))
+
+
+def test_parse_ppm_rejects_bad_payloads():
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_ppm
+
+    with pytest.raises(ValueError, match="P6"):
+        parse_ppm(b"P3\n1 1\n255\n000")  # ASCII PPM is not the raw format
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        parse_ppm(_ppm(4, 4, range(10)))  # 48 bytes promised, 10 shipped
+    with pytest.raises(ValueError, match="16-bit"):
+        parse_ppm(_ppm(1, 1, [0, 0, 0, 0, 0, 0], maxval=65535))
+    with pytest.raises(ValueError):
+        parse_ppm(b"P6\n0 5\n255\n")  # zero width is out of spec
+
+
+def test_decode_ppm_features_spark_roundtrip(spark):
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        decode_ppm_features,
+    )
+
+    px1 = [7] * (3 * 4 * 2)           # 4x2, all-sevens
+    px2 = list(range(3 * 1 * 1))      # 1x1
+    media = spark.createDataFrame(
+        [(10, _ppm(4, 2, px1)), (11, _ppm(1, 1, px2, comment="c"))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in decode_ppm_features(media).collect()}
+    assert (got[10].width, got[10].height, got[10].maxval) == (4, 2, 255)
+    assert got[10].pixel_sum == sum(px1)
+    assert got[10].pixel_mean == sum(px1) / (3.0 * 4 * 2)
+    assert got[11].pixel_sum == sum(px2)
+    plan = decode_ppm_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time
+
+
+def test_decode_image_real_handles_ppm_without_pillow():
+    """P6 decoding no longer needs pillow: the integration point decodes
+    it natively and only falls back to pillow for compressed formats."""
+    meta = decode_image_real(_ppm(5, 4, [0] * (3 * 5 * 4)))
+    assert (meta["width"], meta["height"]) == (5, 4)
+    assert meta["format"] == "PPM"
+
+
+def test_media_ppm_fixture_payloads_decode_exactly():
+    """The generator's closed-form construction and the real parser must
+    agree byte-for-byte — the same invariant the driver oracle checks."""
+    from pinterest_data_pipeline400_spark.generator import media_ppm
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_ppm
+
+    pdf = media_ppm(25)
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        w, h, maxval, s = parse_ppm(bytes(payload))
+        assert (w, h, maxval) == (mid % 13 + 4, mid % 7 + 3, 255)
+        assert s == sum((mid * 31 + i * 7) % 256 for i in range(3 * w * h))
