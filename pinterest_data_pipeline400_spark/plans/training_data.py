@@ -1008,11 +1008,12 @@ _KMEANS_ASSIGN_SQL = f"""
                FROM pairs)"""
 
 
-def _kmeans_assign(embs: DataFrame) -> DataFrame:
-    """One Lloyd assignment step: every vector to its most-cosine-similar
-    seed centroid (the first K_CLUSTERS vectors — deterministic init).
-    Centroids broadcast; one pass over the corpus; rounded cosine +
-    cluster_id tiebreak keep the argmax identical on both engines."""
+def _kmeans_ranked(embs: DataFrame) -> DataFrame:
+    """Every vector scored against every seed centroid (the first
+    K_CLUSTERS vectors — deterministic init), ranked per vector by
+    rounded cosine with a cluster_id tiebreak. rn=1 is the Lloyd
+    assignment; rn<=n is the multi-probe cell list for IVF queries.
+    Centroids broadcast; one pass over the corpus."""
     cents = embs.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cemb")
     )
@@ -1025,7 +1026,12 @@ def _kmeans_assign(embs: DataFrame) -> DataFrame:
         ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cluster_id").asc())
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _kmeans_assign(embs: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: every vector to its top-ranked cell."""
+    return _kmeans_ranked(embs).filter(F.col("rn") == 1)
 
 
 @REGISTRY.register(
@@ -1362,51 +1368,6 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
-    "emb_knn_recall",
-    # the oracle composes both KNN oracles verbatim as CTEs, so any
-    # change to either search's semantics flows into the evaluation
-    oracle=f"""
-    WITH bf AS ({REGISTRY.oracles()["emb_knn_bruteforce"]}),
-    ivf AS ({REGISTRY.oracles()["emb_knn_ivf"]})
-    SELECT b.query_id,
-           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-           round(CAST(count(i.neighbor_id) AS DOUBLE) / {K_NEIGHBORS}, 6)
-             AS recall_at_k
-    FROM bf b LEFT JOIN ivf i
-      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
-    GROUP BY b.query_id""",
-    doc="ANN quality evaluation as a first-class op — recall@k of the "
-    "IVF scale path against the exact brute-force baseline, the metric "
-    "every similarity-search deployment gates on: per query, the "
-    "fraction of the true top-k the cell-restricted search returned. "
-    "Both rankings use 6-dp rounded cosine + neighbor-id tiebreaks, so "
-    "the top-k SETS are engine-identical and recall is deterministic. "
-    "Scale shape: two bounded top-k relations (k rows per query) "
-    "joined on (query, neighbor) — the evaluation costs nothing beyond "
-    "the searches themselves. NOTE the measured recall on the fixture "
-    "is LOW (labels are only weakly geometry-correlated there): that "
-    "is the op doing its job — surfacing that a coarse quantizer is "
-    "bad BEFORE a deployment trusts it; in production the cells come "
-    "from k-means (emb_kmeans_* here), not arbitrary labels.",
-)
-def emb_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bf = emb_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = emb_knn_ivf(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    return (
-        bf.join(ivf, on=["query_id", "neighbor_id"], how="left")
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(K_NEIGHBORS), 6
-            ).alias("recall_at_k"),
-        )
-    )
-
-
-@REGISTRY.register(
     "emb_knn_ivf_kmeans",
     oracle=f"""{_KMEANS_ASSIGN_SQL},
     cells AS (SELECT vec_id, cluster_id FROM ranked WHERE rn = 1),
@@ -1433,16 +1394,34 @@ def emb_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the materialized cells.",
 )
 def emb_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_kmeans_topk(spark, sf_dir, nprobe=1).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+NPROBE = 2  # multi-probe breadth for the fragility-hardened variant
+
+
+def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """k-means-cell IVF top-k with multi-probe: each query searches its
+    ``nprobe`` nearest cells (by the same ranked centroid scan that
+    assigns data vectors — no extra pass), unioned via the probe rows of
+    the cell equi-join. Data vectors live in exactly ONE cell and a
+    query's probed cells are distinct, so the candidate union is
+    duplicate-free by construction — no dedup shuffle needed."""
     embs = _embs(spark, sf_dir)
-    cells = _kmeans_assign(embs).select("vec_id", "cluster_id")
+    ranked = _kmeans_ranked(embs)
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", "cluster_id")
     data = embs.select("vec_id", "embedding").join(cells, on="vec_id")
-    queries = data.filter(F.col("vec_id") < N_QUERIES).select(
+    probes = ranked.filter(
+        (F.col("rn") <= nprobe) & (F.col("vec_id") < N_QUERIES)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qemb"),
         F.col("cluster_id").alias("qcell"),
     )
     pairs = (
-        data.join(F.broadcast(queries), data.cluster_id == queries.qcell)
+        data.join(F.broadcast(probes), data.cluster_id == probes.qcell)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1459,6 +1438,115 @@ def emb_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K_NEIGHBORS)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ivf_kmeans_oracle(nprobe: int) -> str:
+    return f"""{_KMEANS_ASSIGN_SQL},
+    cells AS (SELECT vec_id, cluster_id FROM ranked WHERE rn = 1),
+    d AS (SELECT emb.vec_id, emb.embedding, cells.cluster_id
+          FROM embeddings emb JOIN cells USING (vec_id)),
+    q2 AS (SELECT vec_id AS qid, embedding AS qemb, cluster_id AS qcell
+           FROM ranked WHERE rn <= {nprobe} AND vec_id < {N_QUERIES}),
+    p2 AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+           FROM d e JOIN q2 q ON e.cluster_id = q.qcell
+           WHERE e.vec_id <> q.qid),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM p2)
+    SELECT query_id, neighbor_id, cosine, rank FROM r2 WHERE rank <= {K_NEIGHBORS}"""
+
+
+@REGISTRY.register(
+    "emb_knn_ivf_multiprobe",
+    oracle=_ivf_kmeans_oracle(NPROBE),
+    doc=f"Multi-probe IVF (nprobe={NPROBE}): nprobe=1 is fragile when a "
+    "query sits near a cell boundary or cells are skewed — its true "
+    "neighbors live one cell over. Probing the top-2 centroids (from "
+    "the SAME broadcast centroid scan that assigns data vectors) "
+    "roughly doubles candidates while staying a pure cell equi-join — "
+    "never all-pairs, no extra corpus pass, and the candidate union is "
+    "duplicate-free because each data vector belongs to exactly one "
+    "cell. The standard recall/cost knob every IVF deployment tunes "
+    "(VERDICT r3 task #4).",
+)
+def emb_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_kmeans_topk(spark, sf_dir, nprobe=NPROBE)
+
+
+@REGISTRY.register(
+    "emb_knn_recall",
+    # the oracle composes the KNN oracles verbatim as CTEs, so any
+    # change to any search's semantics flows into the evaluation
+    oracle=f"""
+    WITH bf AS ({REGISTRY.oracles()["emb_knn_bruteforce"]}),
+    ivf_label AS ({REGISTRY.oracles()["emb_knn_ivf"]}),
+    ivf_k1 AS ({REGISTRY.oracles()["emb_knn_ivf_kmeans"]}),
+    ivf_k2 AS ({REGISTRY.oracles()["emb_knn_ivf_multiprobe"]}),
+    ivf_k4 AS ({_ivf_kmeans_oracle(4)}),
+    ann AS (
+      SELECT 'label_nprobe1' AS variant, query_id, neighbor_id FROM ivf_label
+      UNION ALL
+      SELECT 'kmeans_nprobe1', query_id, neighbor_id FROM ivf_k1
+      UNION ALL
+      SELECT 'kmeans_nprobe2', query_id, neighbor_id FROM ivf_k2
+      UNION ALL
+      SELECT 'kmeans_nprobe4', query_id, neighbor_id FROM ivf_k4),
+    v AS (SELECT DISTINCT variant FROM ann),
+    grid AS (SELECT v.variant, b.query_id, b.neighbor_id FROM bf b CROSS JOIN v)
+    SELECT g.variant, g.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / {K_NEIGHBORS}, 6)
+             AS recall_at_k
+    FROM grid g LEFT JOIN ann a
+      ON a.variant = g.variant AND a.query_id = g.query_id
+     AND a.neighbor_id = g.neighbor_id
+    GROUP BY g.variant, g.query_id""",
+    doc="ANN quality evaluation as a first-class op — recall@k against "
+    "the exact brute-force baseline for every ANN variant side by side: "
+    "the label-cell strawman, then k-means cells at nprobe 1/2/4. Per "
+    "(variant, query): the fraction of the true top-k the "
+    "cell-restricted search returned. All rankings use 6-dp rounded "
+    "cosine + neighbor-id tiebreaks, so the top-k SETS are "
+    "engine-identical and recall is deterministic. Scale shape: "
+    "bounded top-k relations (k rows per query) joined on (variant, "
+    "query, neighbor) — the evaluation costs nothing beyond the "
+    "searches themselves. Measured on the fixture: label cells 0.04 "
+    "(the op surfacing a bad coarse quantizer), k-means 0.958 at "
+    "nprobe 1-2 and 1.0 at nprobe=4 — the synthetic embeddings are "
+    "near-random, so one true neighbor sits in its query's 4th cell "
+    "and widening the probe set, not sharpening the quantizer, is what "
+    "recovers it (tests/test_training_data.py pins the curve).",
+)
+def emb_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = emb_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    variants = [
+        ("label_nprobe1", emb_knn_ivf(spark, sf_dir)),
+        ("kmeans_nprobe1", emb_knn_ivf_kmeans(spark, sf_dir)),
+        ("kmeans_nprobe2", emb_knn_ivf_multiprobe(spark, sf_dir)),
+        ("kmeans_nprobe4", _ivf_kmeans_topk(spark, sf_dir, nprobe=4)),
+    ]
+    ann = None
+    for name, df in variants:
+        part = df.select(
+            F.lit(name).alias("variant"), "query_id", "neighbor_id",
+            F.lit(1).alias("hit"),
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    grid = bf.crossJoin(
+        F.broadcast(
+            ann.select("variant").distinct()
+        )
+    )
+    return (
+        grid.join(ann, on=["variant", "query_id", "neighbor_id"], how="left")
+        .groupBy("variant", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(K_NEIGHBORS), 6
+            ).alias("recall_at_k"),
+        )
     )
 
 
