@@ -49,8 +49,12 @@ STREAM_WM_DELAY = "10 minutes"
 # values are microsecond-aligned, so the truncation is lossless and —
 # with the session time zone pinned UTC — ``cast("timestamp")`` yields
 # the exact instants DuckDB reads natively. ``_with_event_ts`` branches
-# on the dtype that actually arrived so the engine works on either
-# Spark line.
+# on the dtype that actually arrived, so BATCH reads work on either
+# Spark line. The STREAMING entries hard-code this schema (readStream
+# needs one up front) and are therefore Spark-4-only as written: a 3.x
+# parquet source cannot produce NTZ from NANOS, so on 3.x the stream
+# schema would need ts re-declared as LongType (nanosAsLong) — the
+# batch branch below shows the exact conversion (ADVICE r3 #4).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -222,10 +226,19 @@ def ev_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per fixture) the events table Hive-partitioned by
-    day under /tmp; the layout IS the index the pruned scan uses."""
-    base = "/tmp/spark_graft_formats/events_by_day_" + os.path.basename(
-        os.path.normpath(sf_dir)
+    """Write (once per fixture CONTENT) the events table
+    Hive-partitioned by day under /tmp; the layout IS the index the
+    pruned scan uses. The cache key folds in the source parquet's
+    mtime+size, so a regenerated fixture invalidates the copy instead
+    of silently serving the stale layout (ADVICE r3 #2)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    stamp = f"{int(st.st_mtime_ns)}_{st.st_size}"
+    base = (
+        "/tmp/spark_graft_formats/events_by_day_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + "_"
+        + stamp
     )
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):

@@ -128,13 +128,23 @@ def _read_envelope_file(path: str):
 
 class EnvelopeStreamReader(DataSourceStreamReader):
     """Micro-batch streaming form of the connector, with REAL offset
-    management: the offset is the count of part files consumed (files
-    are the shard analog and arrive append-only, like S3 landing from
-    a Kinesis Firehose). Spark checkpoints the offsets it committed —
-    a restarted query resumes at the last committed file index and
+    management: the offset is the NAME of the last consumed part file
+    (files are the shard analog and arrive append-only with
+    monotonically sorting names, like S3 landing from a Kinesis
+    Firehose). A micro-batch reads the files whose names sort strictly
+    after the start offset and at-or-before the end offset, so the
+    selection is a pure name comparison against a re-listed directory —
+    an index-based offset (file COUNT, positional slice) would shift
+    when a late file's name sorts before already-consumed names,
+    re-emitting old files and permanently dropping the new one
+    (ADVICE r3 #1). Spark checkpoints the offsets it committed — a
+    restarted query resumes after the last committed file name and
     never re-emits, which is the exactly-once contract the reference
-    leaned on Databricks checkpoints for (kinesis.py:232-236). One
-    input partition per newly-arrived file per micro-batch."""
+    leaned on Databricks checkpoints for (kinesis.py:232-236). The
+    flip side of the watermark semantics: a file whose name sorts
+    BEFORE the committed offset is treated as late-beyond-watermark
+    and skipped, never double-read. One input partition per
+    newly-arrived file per micro-batch."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -142,22 +152,33 @@ class EnvelopeStreamReader(DataSourceStreamReader):
             raise ValueError("kinesis_envelope requires .option('path', <topic dir>)")
         self.root = path
 
-    def _files(self) -> list[str]:
-        return sorted(
-            os.path.join(self.root, f)
-            for f in os.listdir(self.root)
-            if f.endswith(".jsonl")
-        )
+    def _names(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.root) if f.endswith(".jsonl"))
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"last_file": ""}
 
     def latestOffset(self) -> dict:
-        return {"n_files": len(self._files())}
+        names = self._names()
+        return {"last_file": names[-1] if names else ""}
+
+    def _watermark(self, offset: dict) -> str:
+        """Offset → file-name watermark; upgrades a legacy count-based
+        checkpoint ({"n_files": N} = the first N names of the sorted
+        listing) in place so old checkpoints keep resuming correctly."""
+        if "last_file" in offset:
+            return offset["last_file"]
+        n = offset.get("n_files", 0)
+        names = self._names()
+        return names[n - 1] if 0 < n <= len(names) else ""
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        files = self._files()[start["n_files"] : end["n_files"]]
-        return [_EnvelopeFilePartition(p) for p in files]
+        lo, hi = self._watermark(start), self._watermark(end)
+        return [
+            _EnvelopeFilePartition(os.path.join(self.root, name))
+            for name in self._names()
+            if lo < name <= hi
+        ]
 
     def read(self, partition: _EnvelopeFilePartition):
         yield from _read_envelope_file(partition.path)

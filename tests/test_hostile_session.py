@@ -15,7 +15,13 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import TEST_SF_DIR, assert_frames_match, rewrite_oracle_sf
 
-#: timestamp/date-heavy entries — the ones a wrong session TZ breaks
+#: timestamp/date-heavy entries — the ones a wrong session TZ breaks —
+#: plus the stateful streaming entries: those pin their state-store
+#: partition count from SESSION conf at first checkpoint
+#: (session.py pin_streaming_confs), and with the round-4 registration
+#: rotation the driver's own session executes them for the first time,
+#: so the mis-configured sibling must prove the pinning holds when the
+#: session arrives with 200 shuffle partitions and a non-UTC zone.
 SENSITIVE = [
     "ev_windowed_counts",
     "ev_sessionization",
@@ -24,6 +30,10 @@ SENSITIVE = [
     "ev_partition_pruned_scan",
     "pq2_category_count_per_year",
     "q7_median_acctbal_by_year",
+    "stream_stateful_user_counts",
+    "stream_dedup_watermarked",
+    "stream_stateful_counts_rocksdb",
+    "stream_clean_pin",
 ]
 
 

@@ -210,9 +210,9 @@ def test_envelope_datasource_partitions_and_pushdown(spark):
 
 def test_envelope_datasource_streaming_exactly_once(spark, tmp_path):
     """The custom connector's streaming contract: micro-batch reads
-    driven by the file-count offset, and a RESTART over the same
-    checkpoint consumes only files that arrived after the last commit —
-    no re-emission (exactly-once into the sink)."""
+    driven by the last-consumed-file-NAME offset, and a RESTART over
+    the same checkpoint consumes only files that arrived after the
+    last commit — no re-emission (exactly-once into the sink)."""
     import json as _json
 
     from pinterest_data_pipeline400_spark.sources.envelope_datasource import (
@@ -257,3 +257,48 @@ def test_envelope_datasource_streaming_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink).select("Data").toPandas()
     ids = sorted(_json.loads(d)["id"] for d in out.Data)
     assert ids == list(range(100))  # new rows exactly once, no re-emits
+
+    # A file whose NAME sorts before the committed watermark arrives
+    # late, together with a genuinely new file. The count-based offset
+    # this connector used to have would positionally shift the listing
+    # here — re-emitting an old file and permanently losing the new one
+    # (ADVICE r3 #1). Name-based offsets: the late file is skipped
+    # (late-beyond-watermark), the new file read exactly once, nothing
+    # re-emitted.
+    emit("a-late.jsonl", range(1000, 1010))  # sorts before every part-*
+    emit("part-0003.jsonl", range(100, 120))
+    drain()
+    out = spark.read.parquet(sink).select("Data").toPandas()
+    ids = sorted(_json.loads(d)["id"] for d in out.Data)
+    assert ids == list(range(120))  # no dupes, no loss, late file skipped
+
+
+def test_envelope_stream_reader_offsets_are_name_based(tmp_path):
+    """Direct offset-protocol unit test (no Spark): strictly-greater
+    name selection plus in-place upgrade of a legacy count-based
+    checkpoint offset."""
+    from pinterest_data_pipeline400_spark.sources.envelope_datasource import (
+        EnvelopeStreamReader,
+    )
+
+    for name in ("b.jsonl", "d.jsonl"):
+        (tmp_path / name).write_text("")
+    r = EnvelopeStreamReader({"path": str(tmp_path)})
+    assert r.initialOffset() == {"last_file": ""}
+    first = r.latestOffset()
+    assert first == {"last_file": "d.jsonl"}
+    got = [p.path for p in r.partitions(r.initialOffset(), first)]
+    assert [os.path.basename(p) for p in got] == ["b.jsonl", "d.jsonl"]
+
+    # late out-of-order name + a new file: only the new file is emitted
+    (tmp_path / "a.jsonl").write_text("")
+    (tmp_path / "e.jsonl").write_text("")
+    second = r.latestOffset()
+    assert second == {"last_file": "e.jsonl"}
+    got = [os.path.basename(p.path) for p in r.partitions(first, second)]
+    assert got == ["e.jsonl"]
+
+    # legacy {"n_files": N} checkpoints upgrade positionally: N=3 of the
+    # current sorted listing [a, b, d, e] -> watermark "d.jsonl"
+    got = [os.path.basename(p.path) for p in r.partitions({"n_files": 3}, second)]
+    assert got == ["e.jsonl"]
