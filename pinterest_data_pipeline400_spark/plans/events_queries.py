@@ -1025,3 +1025,156 @@ def ev_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# DataSketches KLL + Theta: the remaining two sketch families
+# --------------------------------------------------------------------------
+
+#: KLL sketch size: the exact/sketch engine switch (operators.analytics
+#: median_expr's pattern). Exact mode sizes the sketch above the
+#: fixture's per-group cardinality, so quantiles are exact order
+#: statistics and oracle-hashable; scale mode is the bounded-memory
+#: 100 TB setting (~1.6% rank error at k=200).
+_KLL_K_EXACT = 65535
+_KLL_K_SCALE = 200
+
+_KLL_PS = [0.25, 0.5, 0.9]
+
+
+def _kll_k() -> int:
+    from ..config import percentile_exact
+
+    return _KLL_K_EXACT if percentile_exact() else _KLL_K_SCALE
+
+
+@REGISTRY.register(
+    "ev_kll_quantile_rollup",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             quantile_disc(value, 0.25) AS p25,
+             quantile_disc(value, 0.50) AS p50,
+             quantile_disc(value, 0.90) AS p90
+      FROM events GROUP BY event_type),
+    total AS (
+      SELECT 'ALL' AS event_type,
+             quantile_disc(value, 0.25) AS p25,
+             quantile_disc(value, 0.50) AS p50,
+             quantile_disc(value, 0.90) AS p90
+      FROM events)
+    SELECT * FROM per_type UNION ALL SELECT * FROM total""",
+    doc="Re-aggregatable QUANTILE rollup via Apache DataSketches KLL "
+    "(kll_sketch_agg_double / kll_merge_agg_double) — the quantile "
+    "twin of ev_hll_distinct_rollup: per-(day, event_type) value "
+    "sketches built in ONE corpus pass are MERGED up to per-type and "
+    "grand-total grains without rescanning; the sketch column is the "
+    "partial state a continuous aggregate stores. percentile_approx "
+    "cannot do this (its partials are not storable values). Exact "
+    "mode (oracle): k sized above the fixture cardinality makes KLL "
+    "inclusive-rank quantiles exact order statistics == DuckDB "
+    "quantile_disc; scale mode (bench) runs k=200, ~1.6% rank error, "
+    "memory O(k log n) per group.",
+)
+def ev_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = _kll_k()
+    fine = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.kll_sketch_agg_double("value", F.lit(k)).alias("sk")
+    )
+    qs = F.array(*[F.lit(p) for p in _KLL_PS])
+
+    def grain(df: DataFrame, label_col: F.Column) -> DataFrame:
+        return df.select(
+            label_col.alias("event_type"),
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p90"),
+        )
+
+    per_type = grain(
+        fine.groupBy("event_type")
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
+        .select("event_type", F.kll_sketch_get_quantile_double("m", qs).alias("q")),
+        F.col("event_type"),
+    )
+    total = grain(
+        fine.groupBy()
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
+        .select(F.kll_sketch_get_quantile_double("m", qs).alias("q")),
+        F.lit("ALL"),
+    )
+    return per_type.unionByName(total)
+
+
+#: Theta sketch size (lg nominal entries): 2^20 keeps the sketch in
+#: exact mode far beyond the fixture's user-day cardinality (oracle
+#: hashable); the 100 TB setting is lg 12 (~4k entries, ~1.6% relative
+#: error, ~32 KB per sketch) — wired to the same engine-wide
+#: distinct-mode switch as approx_count_distinct.
+_THETA_LG_EXACT = 20
+_THETA_LG_SCALE = 12
+
+_THETA_A = "purchase"
+_THETA_B = "click"
+
+
+def _theta_lg() -> int:
+    from ..config import distinct_exact
+
+    return _THETA_LG_EXACT if distinct_exact() else _THETA_LG_SCALE
+
+
+@REGISTRY.register(
+    "ev_theta_user_overlap",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events WHERE event_type = '{_THETA_A}'),
+    b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events WHERE event_type = '{_THETA_B}')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                AS BIGINT) AS n_union,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                AS BIGINT) AS n_intersect,
+           CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                AS BIGINT) AS n_a_only""",
+    doc="Distinct-set ALGEBRA via Apache DataSketches Theta sketches "
+    f"(theta_sketch_agg / theta_union_agg / theta_intersection / "
+    f"theta_difference): active user-DAYS with a {_THETA_A} vs with a "
+    f"{_THETA_B}, and their union / intersection / difference — the "
+    "audience-overlap question. Exact SQL needs a distinct + "
+    "INTERSECT/EXCEPT pass over the raw keys per question; theta "
+    "sketches answer ALL of them from two mergeable per-segment "
+    "sketches built in one corpus pass — and unlike HLL, theta "
+    "supports intersection and difference, which is why both families "
+    "exist here. Exact mode (oracle): lg=20 nominal entries keeps the "
+    "sketch exact far beyond fixture cardinality; at 100 TB the "
+    "default lg 12 gives ~1.6% relative error in bounded memory.",
+)
+def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    keyed = ev.filter(F.col("event_type").isin(_THETA_A, _THETA_B)).select(
+        "event_type",
+        F.concat_ws(":", F.col("user_id"), F.to_date("ts")).alias("user_day"),
+    )
+    sk = keyed.groupBy("event_type").agg(
+        F.expr(f"theta_sketch_agg(user_day, {_theta_lg()})").alias("sk")
+    )
+    # Pivot the two segment sketches onto one row, then every set
+    # question is a scalar sketch expression — no further data pass.
+    both = sk.groupBy().agg(
+        F.max(F.when(F.col("event_type") == _THETA_A, F.col("sk"))).alias("sk_a"),
+        F.max(F.when(F.col("event_type") == _THETA_B, F.col("sk"))).alias("sk_b"),
+    )
+    est = lambda e: F.expr(e).cast("long")  # noqa: E731
+    return both.select(
+        est("theta_sketch_estimate(sk_a)").alias("n_a"),
+        est("theta_sketch_estimate(sk_b)").alias("n_b"),
+        est("theta_sketch_estimate(theta_union(sk_a, sk_b))").alias("n_union"),
+        est("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").alias(
+            "n_intersect"
+        ),
+        est("theta_sketch_estimate(theta_difference(sk_a, sk_b))").alias("n_a_only"),
+    )

@@ -149,3 +149,56 @@ def test_hll_rollup_estimation_mode_accuracy(spark):
         .first()[0]
     )
     assert abs(est - n) / n < 0.02
+
+
+def test_kll_rollup_scale_mode_accuracy(spark):
+    """Beyond exact mode: at k=200 over 50k values the KLL sketch
+    genuinely estimates — pin the merged-sketch median's RANK error
+    inside the sketch's ~1.6% bound (x2 safety) so the scale path's
+    error model is tested, not just asserted in a docstring."""
+    from pyspark.sql import functions as F
+
+    n = 50_000
+    df = spark.range(n).select((F.col("id") % 7).alias("sub"),
+                               (F.col("id") * 1.0).alias("v"))
+    fine = df.groupBy("sub").agg(
+        F.kll_sketch_agg_double("v", F.lit(eq._KLL_K_SCALE)).alias("sk")
+    )
+    med = (
+        fine.groupBy()
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
+        .select(F.kll_sketch_get_quantile_double(
+            "m", F.array(F.lit(0.5))).alias("q"))
+        .first()[0][0]
+    )
+    # values are 0..n-1 so value/n IS the normalized rank
+    assert abs(med / n - 0.5) < 0.032
+
+
+def test_theta_overlap_scale_mode_accuracy(spark, monkeypatch):
+    """Theta set algebra in genuine estimation mode (lg 12 over 40k+
+    distinct keys): union and intersection estimates within a few
+    percent of exact, via the same entry code path the bench runs
+    (SPARK_GRAFT_DISTINCT_MODE=approx)."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setenv("SPARK_GRAFT_DISTINCT_MODE", "approx")
+    assert eq._theta_lg() == eq._THETA_LG_SCALE
+    n, overlap = 40_000, 10_000
+    a = spark.range(n).select(F.col("id").alias("k"))                 # 0..n-1
+    b = spark.range(n - overlap, 2 * n - overlap).select(F.col("id").alias("k"))
+    sk = (
+        a.select(F.lit("a").alias("s"), "k")
+        .unionByName(b.select(F.lit("b").alias("s"), "k"))
+        .groupBy("s")
+        .agg(F.expr(f"theta_sketch_agg(k, {eq._THETA_LG_SCALE})").alias("sk"))
+    )
+    row = sk.groupBy().agg(
+        F.max(F.when(F.col("s") == "a", F.col("sk"))).alias("sa"),
+        F.max(F.when(F.col("s") == "b", F.col("sk"))).alias("sb"),
+    ).select(
+        F.expr("theta_sketch_estimate(theta_union(sa, sb))").alias("u"),
+        F.expr("theta_sketch_estimate(theta_intersection(sa, sb))").alias("i"),
+    ).first()
+    assert abs(row.u - (2 * n - overlap)) / (2 * n - overlap) < 0.05
+    assert abs(row.i - overlap) / overlap < 0.10  # intersection error compounds
