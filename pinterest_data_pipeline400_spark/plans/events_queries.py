@@ -1178,3 +1178,67 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         est("theta_sketch_estimate(theta_difference(sk_a, sk_b))").alias("n_a_only"),
     )
+
+
+@REGISTRY.register(
+    "ev_stream_upsert_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type""",
+    doc="Streaming UPSERT into a partitioned table via foreachBatch — "
+    "the exactly-once *mutable* sink pattern the plain append sink "
+    "cannot express: an update-mode running count per event_type is "
+    "maintained across micro-batches (the file source is throttled to "
+    "one input file per trigger, so the count genuinely accumulates "
+    "over multiple batches), and each batch's changed groups are "
+    "written with DYNAMIC partition overwrite — only the partitions "
+    "present in the batch are replaced, and replaying a batch rewrites "
+    "the same partitions with the same cumulative values "
+    "(idempotent). This is how Structured Streaming feeds a "
+    "serving-table sink (parquet here; Delta/Iceberg MERGE in a "
+    "deployment with a table format). Final table == the batch "
+    "aggregate, which is the oracle.",
+)
+def ev_stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    base = f"/tmp/spark_graft_stream/ev_upsert_{os.path.basename(os.path.normpath(sf_dir))}"
+    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
+    for d in (in_dir, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    # split the input into 3 files → 3 micro-batches under
+    # maxFilesPerTrigger=1: the upsert really runs multiple times
+    ev = _events(spark, sf_dir)
+    ev.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(sink)
+        )
+
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        stream = _with_event_ts(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        counts = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        query = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
+                raise TimeoutError("ev_stream_upsert_counts did not drain")
+        finally:
+            if query.isActive:
+                query.stop()
+    return spark.read.parquet(sink).select("event_type", "n_events")

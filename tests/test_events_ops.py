@@ -202,3 +202,40 @@ def test_theta_overlap_scale_mode_accuracy(spark, monkeypatch):
     ).first()
     assert abs(row.u - (2 * n - overlap)) / (2 * n - overlap) < 0.05
     assert abs(row.i - overlap) / overlap < 0.10  # intersection error compounds
+
+
+def test_stream_upsert_multi_batch_and_idempotent(spark):
+    """The foreachBatch upsert entry must (a) genuinely run multiple
+    micro-batches (maxFilesPerTrigger=1 over a 3-file input), (b) end
+    with the exact batch aggregate, and (c) be idempotent: re-applying
+    the final batch's dynamic partition overwrite must not change the
+    table (the replay-safety the pattern exists for)."""
+    import os
+
+    out = eq.ev_stream_upsert_counts(spark, TEST_SF_DIR).toPandas()
+    exact = (
+        eq._events(spark, TEST_SF_DIR)
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    got = out.set_index("event_type")["n_events"]
+    assert got.sort_index().tolist() == exact.sort_index().tolist()
+
+    base = f"/tmp/spark_graft_stream/ev_upsert_{os.path.basename(TEST_SF_DIR)}"
+    offsets = [f for f in os.listdir(os.path.join(base, "ckpt", "offsets"))
+               if not f.startswith(".")]
+    assert len(offsets) >= 2, "expected multiple micro-batches"
+
+    # replay: dynamic-overwrite the same final counts again → unchanged
+    sink = os.path.join(base, "sink")
+    final = spark.read.parquet(sink)
+    (
+        final.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(sink)
+    )
+    again = spark.read.parquet(sink).toPandas().set_index("event_type")["n_events"]
+    assert again.sort_index().tolist() == exact.sort_index().tolist()

@@ -12,6 +12,7 @@ from pinterest_data_pipeline400_spark.operators.scale import (
     salted_join,
     write_bucketed,
 )
+from tests.conftest import TEST_SF_DIR
 
 
 def _plan(df) -> str:
@@ -147,6 +148,58 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         final_plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in final_plan
         assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime row-level filtering (Spark's InjectRuntimeFilter): when a
+    shuffle join's small side carries a selective predicate, the
+    optimizer builds a bloom filter over its join keys and pushes a
+    might_contain probe into the BIG side's scan leg — rows that cannot
+    match are dropped before the shuffle, the at-scale win for
+    selective dim-fact joins that are too big to broadcast. At 100 TB
+    the 10 GB application-side default engages this naturally; the test
+    lowers that threshold so the fixture-scale plan qualifies, then
+    asserts the filter is INJECTED and the result unchanged."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        def build():
+            # a DataFrame pins its QueryExecution at first use, so each
+            # conf regime needs a freshly built plan
+            big = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet")
+            dim = (
+                spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+                .filter(F.col("o_totalprice") > 400000)
+                .select("o_orderkey")
+            )
+            return big.join(dim, big.l_orderkey == dim.o_orderkey).select(
+                "l_orderkey", "l_quantity"
+            )
+
+        baseline = build().count()
+        plan_off = build()._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan_off  # default 10GB gate: not yet
+
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        filtered = build()
+        plan_on = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan_on and "bloom_filter_agg" in plan_on
+        assert filtered.count() == baseline  # pruning is semantics-free
     finally:
         for k, old in prev.items():
             if old is None:
