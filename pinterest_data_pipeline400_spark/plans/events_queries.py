@@ -1082,6 +1082,17 @@ def ev_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.kll_sketch_agg_double("value", F.lit(k)).alias("sk")
     )
+    # The mergeable-partial-state story, made literal: the per-type
+    # sketch frame is MATERIALIZED (a continuous aggregate would store
+    # it), and the grand total re-merges those few stored sketch rows —
+    # the corpus is scanned exactly once for both grains
+    # (plan-asserted in tests/test_plan_shapes.py). localCheckpoint
+    # stands in for the stored table, as in pinterest_queries.
+    per_type_sk = (
+        fine.groupBy("event_type")
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
+        .localCheckpoint()
+    )
     qs = F.array(*[F.lit(p) for p in _KLL_PS])
 
     def grain(df: DataFrame, label_col: F.Column) -> DataFrame:
@@ -1093,15 +1104,15 @@ def ev_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_type = grain(
-        fine.groupBy("event_type")
-        .agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
-        .select("event_type", F.kll_sketch_get_quantile_double("m", qs).alias("q")),
+        per_type_sk.select(
+            "event_type", F.kll_sketch_get_quantile_double("m", qs).alias("q")
+        ),
         F.col("event_type"),
     )
     total = grain(
-        fine.groupBy()
-        .agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
-        .select(F.kll_sketch_get_quantile_double("m", qs).alias("q")),
+        per_type_sk.groupBy()
+        .agg(F.expr("kll_merge_agg_double(m)").alias("m2"))
+        .select(F.kll_sketch_get_quantile_double("m2", qs).alias("q")),
         F.lit("ALL"),
     )
     return per_type.unionByName(total)

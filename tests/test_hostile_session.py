@@ -34,6 +34,11 @@ SENSITIVE = [
     "stream_dedup_watermarked",
     "stream_stateful_counts_rocksdb",
     "stream_clean_pin",
+    # theta keys on concat(user_id, to_date(ts)) and KLL groups by
+    # to_date(ts) — both shift under a non-UTC session zone unless the
+    # wrapper pins UTC
+    "ev_theta_user_overlap",
+    "ev_kll_quantile_rollup",
 ]
 
 

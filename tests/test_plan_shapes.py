@@ -166,3 +166,32 @@ def test_top_per_group_uses_window_group_limit(spark):
     ):
         plan = _plan(qs[name](spark, TEST_SF_DIR))
         assert "WindowGroupLimit" in plan, f"{name} lost rank-limit pushdown"
+
+
+def test_sketch_rollups_merge_without_corpus_rescan(spark):
+    """The mergeable-sketch contract: the KLL rollup's coarse grains
+    re-aggregate SKETCH rows, never the corpus — exactly two exchanges
+    (fine grain build, sketch merge) and one parquet scan in the whole
+    plan; theta answers all five set questions from one scan."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    kll = _plan(qs["ev_kll_quantile_rollup"](spark, TEST_SF_DIR))
+    # the corpus pass ran ONCE when the per-type sketch frame was
+    # materialized; both output grains re-read the stored sketch rows
+    # (Scan ExistingRDD), never the parquet
+    assert kll.count("Scan parquet") == 0
+    assert kll.count("Scan ExistingRDD") >= 2
+    theta = _plan(qs["ev_theta_user_overlap"](spark, TEST_SF_DIR))
+    assert theta.count("Scan parquet") == 1  # one corpus pass, five answers
+
+
+def test_ppm_decode_is_shuffle_free_arrow_stage(spark):
+    """Real decode stays embarrassingly parallel: scan → Arrow-batched
+    MapInPandas, zero exchanges, no row-at-a-time Python."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["multimodal_decode_ppm"](spark, TEST_SF_DIR))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
