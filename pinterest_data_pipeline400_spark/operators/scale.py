@@ -98,3 +98,48 @@ def salted_join(
     small_replicated = small.withColumn("__salt", salts)
     out = big_salted.join(small_replicated, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the table-maintenance operator every
+    long-lived 100 TB dataset needs (streaming sinks and fine-grained
+    partition writes accumulate files far below the efficient scan
+    size; each file costs a task, a footer read, and NameNode/listing
+    pressure). Rewrites ``src_dir`` into ``dst_dir`` as
+    ``ceil(input_bytes / target_file_bytes)`` files and returns that
+    file count.
+
+    ``sort_within_by`` optionally sorts rows WITHIN each output file
+    (sortWithinPartitions — no global shuffle): clustering by a
+    frequently-filtered key tightens parquet row-group min/max stats,
+    so later scans skip row groups the way partition pruning skips
+    directories — the poor man's Z-order, at zero extra shuffle cost.
+
+    Uses coalesce (narrow, no shuffle) when reducing file count — the
+    normal compaction direction; repartition (one shuffle) only when
+    the input has FEWER splits than the target, where coalesce cannot
+    increase parallelism.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    n_in = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if n_out <= n_in else df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return n_out

@@ -4,6 +4,8 @@ hot key."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -206,3 +208,40 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction contract: a 32-file table becomes the computed number
+    of right-sized files, row content identical, and clustering by the
+    filter key tightens row-group stats (sortWithinPartitions runs
+    without a global shuffle — no Exchange in the write plan)."""
+    from pinterest_data_pipeline400_spark.operators.scale import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    base = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.sha1(F.col("id").cast("string")).alias("pad")
+    )
+    base.repartition(32).write.parquet(src)
+    n_src_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src_files == 32
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    target = total // 3  # force a multi-file (but much smaller) layout
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=target,
+                            sort_within_by=["k"])
+    n_dst_files = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst_files == n_out < n_src_files
+
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).orderBy("id").toPandas()
+    assert a.equals(b)
+
+    # the coalesce path must not shuffle: no Exchange in the plan
+    plan = (
+        spark.read.parquet(src).coalesce(n_out).sortWithinPartitions("k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
