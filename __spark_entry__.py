@@ -27,12 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 # (and pytest-oracle-checked) — they simply yield their driver slots
 # to the never-yet-graded surface.
 from pinterest_data_pipeline400_spark.plans import (  # noqa: F401
-    training_data,       # docs_* / emb_* / multimodal_*  (35+ entries)
+    training_data,       # docs_* / emb_* / multimodal_*  (37 entries)
     streaming_queries,   # stream_* stateful + cleaning   (6 entries)
-    source_queries,      # jdbc/json/csv/orc/pyds trips   (6 entries)
+    source_queries,      # jdbc/json/csv/orc/pyds/cleaned trips (7 entries)
     events_queries,
     pinterest_queries,
     tpch_queries,
+    curation,            # round-4 additions: OOV / quality buckets
 )
 
 from pinterest_data_pipeline400_spark.plans.registry import REGISTRY

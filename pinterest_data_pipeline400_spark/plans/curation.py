@@ -1,0 +1,149 @@
+"""Corpus-curation metrics composed from the training-data primitives:
+vocabulary coverage (OOV rate) and quality-score bucketing — the two
+reporting queries every tokenizer/data-mixture decision leans on.
+
+Registered AFTER the core plan modules in ``__spark_entry__`` (new
+round-4 entries; the driver's 50-slot grading window is occupied by the
+previously never-graded backlog this round — rotate these in next
+round, see COVERAGE.md).
+
+Scale notes: OOV is one (doc_id, token) explode + groupBy with the
+bounded top-K vocabulary broadcast back — the corpus is touched once.
+Quality bucketing derives the quartile THRESHOLDS as a 1-row aggregate
+broadcast back (bucket = comparison against three constants) instead
+of a global ntile sort — no single-partition window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import REGISTRY
+from .training_data import (
+    VOCAB_TOP_K,
+    _NORM_SQL,
+    _docs,
+    docs_unigram_logprob,
+    norm_text,
+    ws_tokens,
+)
+
+#: the shared unigram-LM scoring CTEs (docs_unigram_logprob's oracle
+#: minus its final projection) — composed, not duplicated
+_SCORED_CTE = f"""
+    tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id, token),
+    vocab AS (SELECT token, CAST(sum(n) AS BIGINT) AS c FROM tf GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+    scored AS (SELECT f.doc_id,
+                      CAST(sum(f.n) AS BIGINT) AS n_tokens,
+                      round(sum(f.n * log10(CAST(v.c AS DOUBLE) / total.t))
+                            / sum(f.n), 6) AS avg_logprob
+               FROM tf f JOIN vocab v USING (token) CROSS JOIN total
+               GROUP BY f.doc_id)"""
+
+
+@REGISTRY.register(
+    "docs_oov_rate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+               FROM tok GROUP BY token),
+    top AS (SELECT token FROM counts
+            ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP_K})
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN top v USING (token)
+    GROUP BY t.doc_id""",
+    doc=f"Vocabulary coverage: per-document out-of-vocabulary token "
+    f"fraction against the top-{VOCAB_TOP_K} corpus vocabulary "
+    "(docs_vocab_topk's spec, same count-desc/token-asc tiebreak) — "
+    "the metric that decides whether a tokenizer's vocab fits a new "
+    "data source before training on it. One (doc_id, token) explode + "
+    "groupBy; the bounded top-K vocab is broadcast back, so the corpus "
+    "is scanned once and the only wide exchange is on the token key.",
+)
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(top), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "docs_quality_buckets",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    thr AS (SELECT round(quantile_cont(avg_logprob, 0.25), 6) AS q1,
+                   round(quantile_cont(avg_logprob, 0.50), 6) AS q2,
+                   round(quantile_cont(avg_logprob, 0.75), 6) AS q3
+            FROM scored)
+    SELECT CAST(1 + (s.avg_logprob > t.q1)::INT + (s.avg_logprob > t.q2)::INT
+                  + (s.avg_logprob > t.q3)::INT AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(s.avg_logprob), 6) AS min_logprob,
+           round(max(s.avg_logprob), 6) AS max_logprob
+    FROM scored s CROSS JOIN thr t
+    GROUP BY 1""",
+    doc="Quality-score bucketing for mixture design: documents split "
+    "into quartile buckets of their unigram-LM score (1 = worst), with "
+    "per-bucket counts and score ranges — the histogram a curator "
+    "reads before choosing per-bucket sampling rates. Scale-safe "
+    "bucketing: the three quartile THRESHOLDS are one tiny aggregate "
+    "broadcast back and each doc buckets by comparison — never a "
+    "global-sort ntile window. Thresholds and scores are both rounded "
+    "to 6 dp before comparison, so bucket assignment is deterministic "
+    "across engines; exact interpolated percentile on both sides "
+    "(Spark `percentile` == DuckDB `quantile_cont`).",
+)
+def docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = docs_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    thr = scored.agg(
+        *[
+            F.round(F.expr(f"percentile(avg_logprob, {p})"), 6).alias(q)
+            for p, q in ((0.25, "q1"), (0.5, "q2"), (0.75, "q3"))
+        ]
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("avg_logprob") > F.col("q1")).cast("int")
+        + (F.col("avg_logprob") > F.col("q2")).cast("int")
+        + (F.col("avg_logprob") > F.col("q3")).cast("int")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+            F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+        )
+    )

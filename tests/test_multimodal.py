@@ -172,3 +172,38 @@ def test_media_ppm_fixture_payloads_decode_exactly():
         w, h, maxval, s = parse_ppm(bytes(payload))
         assert (w, h, maxval) == (mid % 13 + 4, mid % 7 + 3, 255)
         assert s == sum((mid * 31 + i * 7) % 256 for i in range(3 * w * h))
+
+
+def test_parse_ppm_property_roundtrip():
+    """Property: any synthesized header layout (whitespace runs, comment
+    placement) + any pixel bytes parse back to the exact construction
+    parameters and pixel sum."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_ppm
+
+    ws = st.text(alphabet=" \t\n\r", min_size=1, max_size=3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 20),
+        seed=st.integers(0, 2**31),
+        ws1=ws, ws2=ws, ws3=ws,
+        comment=st.one_of(st.none(), st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                   exclude_characters="\n"),
+            max_size=12)),
+    )
+    def check(w, h, seed, ws1, ws2, ws3, comment):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
+        c = f"#{comment}\n" if comment is not None else ""
+        header = f"P6{ws1}{c}{w}{ws2}{h}{ws3}255\n".encode()
+        got = parse_ppm(header + px.tobytes())
+        assert got == (w, h, 255, int(px.sum(dtype=np.int64)))
+
+    check()
