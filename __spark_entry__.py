@@ -34,6 +34,7 @@ from pinterest_data_pipeline400_spark.plans import (  # noqa: F401
     pinterest_queries,
     tpch_queries,
     curation,            # round-4 additions: OOV / quality buckets
+    media_queries,       # round-4 additions: real WAV audio decode
 )
 
 from pinterest_data_pipeline400_spark.plans.registry import REGISTRY

@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "7"
+FIXTURE_VERSION = "8"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -356,6 +356,12 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "media_ppm.parquet"), index=False
     )
 
+    # real RIFF/WAVE PCM16 audio payloads (the pure-Python decode
+    # operator's test subject — multimodal_decode_wav)
+    media_wav(sf_rows(sf_name) // 10).to_parquet(
+        os.path.join(out_dir, "media_wav.parquet"), index=False
+    )
+
     # done marker written last: readers treat its presence as "complete"
     with open(os.path.join(out_dir, "_DONE"), "w") as fh:
         fh.write(FIXTURE_VERSION + "\n")
@@ -384,6 +390,46 @@ def media_ppm(n: int) -> pd.DataFrame:
         comment = f"# synthetic fixture {mid}\n" if mid % 5 == 0 else ""
         header = f"P6\n{comment}{w} {h}\n255\n".encode("ascii")
         rows.append((mid, header + px.tobytes()))
+    return pd.DataFrame(rows, columns=["media_id", "payload"]).astype(
+        {"media_id": "int64"}
+    )
+
+
+def media_wav(n: int) -> pd.DataFrame:
+    """Valid little-endian RIFF/WAVE files with 16-bit integer PCM, one
+    per media_id, built from closed-form fields so the decode oracle can
+    recompute channels/sample-rate/frame-count/sample-sum WITHOUT
+    parsing the payload:
+
+      channels    = media_id % 2 + 1            (mono / stereo)
+      sample_rate = 8000 * (media_id % 3 + 1)   (8k / 16k / 24k)
+      frames      = media_id % 50 + 20          (per-channel frames)
+      sample[i]   = (media_id*37 + i*11) % 4096 - 2048
+                    for i in [0, frames*channels)  (interleaved int16)
+
+    Every 4th file carries a junk ``LIST`` chunk between ``fmt `` and
+    ``data`` — the RIFF spec allows unknown chunks anywhere, and the
+    decoder must walk/skip them by declared size, so the fixture
+    exercises that branch under the oracle too."""
+    import struct
+
+    rows = []
+    for mid in range(n):
+        c = mid % 2 + 1
+        sr = 8000 * (mid % 3 + 1)
+        frames = mid % 50 + 20
+        total = frames * c
+        samples = ((mid * 37 + 11 * np.arange(total)) % 4096 - 2048).astype("<i2")
+        fmt = struct.pack("<HHIIHH", 1, c, sr, sr * c * 2, c * 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if mid % 4 == 0:
+            junk = f"INFOfixture {mid}".encode("ascii")
+            junk += b"\x00" * (len(junk) % 2)  # RIFF chunks pad to even
+            chunks += b"LIST" + struct.pack("<I", len(junk)) + junk
+        data = samples.tobytes()
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        rows.append((mid, payload))
     return pd.DataFrame(rows, columns=["media_id", "payload"]).astype(
         {"media_id": "int64"}
     )

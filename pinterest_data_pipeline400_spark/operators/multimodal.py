@@ -140,6 +140,100 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, PPM_SCHEMA)
 
 
+def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Real, dependency-free decode of a RIFF/WAVE 16-bit PCM payload.
+
+    Implements the RIFF container grammar: ``RIFF`` magic + declared
+    size + ``WAVE`` form type, then a chunk walk (4-byte id, LE32 size,
+    body, odd sizes padded to even) that must tolerate unknown chunks
+    (``LIST``, ``INFO``, …) in any position. Requires a ``fmt `` chunk
+    with audio_format=1 (integer PCM) and bits_per_sample=16 before the
+    ``data`` chunk. Returns ``(channels, sample_rate, n_frames,
+    sample_sum)`` where n_frames is per-channel frame count and
+    sample_sum the exact int64 sum of every interleaved int16 sample.
+
+    Raises ``ValueError`` on bad magic, missing/malformed chunks,
+    non-PCM16 encodings, or truncated sample data — silent zero-fill
+    would defeat the oracle check.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    if end > len(payload):
+        raise ValueError("truncated RIFF payload")
+    channels = sample_rate = bits = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding fmt={audio_format}/{bits}bit")
+        elif cid == b"data":
+            if channels is None:
+                raise ValueError("data chunk before fmt chunk")
+            if size % (2 * channels):
+                raise ValueError("data chunk not frame-aligned")
+            samples = np.frombuffer(body, dtype="<i2")
+            return (
+                channels,
+                sample_rate,
+                size // (2 * channels),
+                int(samples.sum(dtype=np.int64)),
+            )
+        pos += 8 + size + (size % 2)  # odd chunk bodies pad to even
+    raise ValueError("no data chunk in WAV payload")
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: every payload is parsed as a
+    RIFF/WAVE PCM16 file (:func:`parse_wav` — pure Python/numpy, no
+    codec dependency) and reduced to exact channel/rate/frame counts
+    plus the integer sum of all samples. Same mapInPandas shape as
+    :func:`decode_ppm_features`: bytes cross the JVM boundary once per
+    Arrow batch, never per row; the stage is embarrassingly parallel
+    (no shuffle — input splits give the parallelism at scale)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                c, sr, frames, s = parse_wav(bytes(p))
+                rows.append((mid, c, sr, frames, s, frames / sr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channels", "sample_rate",
+                    "n_frames", "sample_sum", "duration_s",
+                ],
+            )
+
+    return media.mapInPandas(run, WAV_SCHEMA)
+
+
 def decode_image_real(payload: bytes) -> dict:
     """The real decoder's integration point. P6 PPM payloads decode
     natively (:func:`parse_ppm` — no dependency); other formats use

@@ -207,3 +207,126 @@ def test_parse_ppm_property_roundtrip():
         assert got == (w, h, 255, int(px.sum(dtype=np.int64)))
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/PCM16) — the real audio decode verb
+# ---------------------------------------------------------------------------
+
+
+def _wav(channels, sample_rate, samples, extra_chunk=None):
+    """Build a minimal valid RIFF/WAVE PCM16 payload for tests."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk is not None:
+        cid, body = extra_chunk
+        chunks += cid + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) % 2)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_wav_basic_and_chunk_skip():
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_wav
+
+    samples = [100, -200, 300, -400, 500, -600]
+    assert parse_wav(_wav(2, 16000, samples)) == (2, 16000, 3, sum(samples))
+    # unknown chunk (odd-sized body → pad byte) between fmt and data
+    got = parse_wav(_wav(1, 8000, samples, extra_chunk=(b"LIST", b"INFOjunk!")))
+    assert got == (1, 8000, 6, sum(samples))
+
+
+def test_parse_wav_rejects_bad_payloads():
+    import struct
+
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_wav
+
+    good = _wav(2, 8000, [1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFX" + good[4:])        # wrong container magic
+    with pytest.raises(ValueError):
+        parse_wav(good[:-2])                 # truncated sample data
+    with pytest.raises(ValueError):
+        parse_wav(_wav(2, 8000, [1, 2, 3]))  # not frame-aligned for stereo
+    # float PCM (format 3) must be rejected, not mis-summed
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        parse_wav(payload)
+    with pytest.raises(ValueError):  # data chunk with no fmt chunk first
+        parse_wav(
+            b"RIFF" + struct.pack("<I", 4 + 8 + 4) + b"WAVE"
+            + b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+        )
+
+
+def test_media_wav_fixture_payloads_decode_exactly():
+    """The generator's closed-form construction and the real parser must
+    agree byte-for-byte — the same invariant the driver oracle checks."""
+    from pinterest_data_pipeline400_spark.generator import media_wav
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_wav
+
+    pdf = media_wav(25)
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        c, sr, frames, s = parse_wav(bytes(payload))
+        assert (c, sr, frames) == (mid % 2 + 1, 8000 * (mid % 3 + 1), mid % 50 + 20)
+        assert s == sum((mid * 37 + i * 11) % 4096 - 2048 for i in range(frames * c))
+
+
+def test_decode_wav_features_spark_roundtrip(spark):
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+
+    s1 = [10, 20, -30, 40]
+    s2 = [1000, -1000]
+    media = spark.createDataFrame(
+        [(0, _wav(2, 16000, s1)), (1, _wav(1, 8000, s2, (b"LIST", b"INFOx")))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in decode_wav_features(media).collect()}
+    assert (got[0].channels, got[0].sample_rate, got[0].n_frames) == (2, 16000, 2)
+    assert got[0].sample_sum == sum(s1)
+    assert got[0].duration_s == 2 / 16000
+    assert got[1].sample_sum == sum(s2)
+    plan = decode_wav_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time
+
+
+def test_parse_wav_property_roundtrip():
+    """Property: any channel/rate/sample construction (with or without a
+    junk chunk in any legal position) parses back exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_wav
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        channels=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 22050, 44100]),
+        frames=st.integers(1, 64),
+        seed=st.integers(0, 2**31),
+        junk=st.one_of(st.none(), st.binary(max_size=9)),
+    )
+    def check(channels, rate, frames, seed, junk):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-(2**15), 2**15, size=frames * channels)
+        extra = (b"JUNK", junk) if junk is not None else None
+        got = parse_wav(_wav(channels, rate, samples, extra_chunk=extra))
+        assert got == (channels, rate, frames, int(samples.sum()))
+
+    check()
