@@ -1253,3 +1253,149 @@ def ev_stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             if query.isActive:
                 query.stop()
     return spark.read.parquet(sink).select("event_type", "n_events")
+
+
+# --------------------------------------------------------------------------
+# behavioral analytics: funnel / retention cohorts / transition matrix
+# (round-4 additions; register past the driver's first-50 window)
+# --------------------------------------------------------------------------
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+@REGISTRY.register(
+    "ev_funnel_stages",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup') AS t1
+      FROM events GROUP BY user_id),
+    u2 AS (
+      SELECT e.user_id, p.t1,
+             min(e.ts) FILTER (WHERE e.event_type = 'view' AND e.ts > p.t1) AS t2
+      FROM events e JOIN per_user p USING (user_id)
+      GROUP BY e.user_id, p.t1),
+    u3 AS (
+      SELECT e.user_id, u2.t1, u2.t2,
+             min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > u2.t2)
+               AS t3
+      FROM events e JOIN u2 USING (user_id)
+      GROUP BY e.user_id, u2.t1, u2.t2)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t1) AS BIGINT) AS n_signup,
+           CAST(count(t2) AS BIGINT) AS n_signup_view,
+           CAST(count(t3) AS BIGINT) AS n_signup_view_purchase
+    FROM u3""",
+    doc="Ordered conversion funnel signup -> view -> purchase: each "
+    "stage's entry time is the min event time STRICTLY AFTER the "
+    "previous stage's (not mere set membership — ordering matters). "
+    "Implemented as chained conditional-min aggregate windows over ONE "
+    "user_id partitioning: a single exchange feeds all three stage "
+    "computations and the per-user collapse, then a global single-row "
+    "reduce. At 100 TB: one shuffle on the (uniform) user key + partial "
+    "aggregation; no joins, no per-event state.",
+)
+def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1, s2, s3 = FUNNEL_STAGES
+    staged = (
+        ev.withColumn("t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((F.col("event_type") == s2) & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when((F.col("event_type") == s3) & (F.col("ts") > F.col("t2")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_signup_view"),
+        F.count("t3").alias("n_signup_view_purchase"),
+    )
+
+
+@REGISTRY.register(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS INT)
+             AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2""",
+    doc="Weekly retention cohort matrix: users grouped by the ISO week "
+    "of their first event, activity counted as distinct users per "
+    "(cohort week, whole-weeks-since-cohort). Two shuffles on the "
+    "uniform user key (first-seen aggregate, then the fact-side join is "
+    "co-partitioned on the same key so AQE reuses the exchange) plus "
+    "the final distinct-count aggregate. The first-seen side is "
+    "per-user (tiny vs the fact table) — broadcastable when users fit, "
+    "shuffle-join otherwise; both are skew-free.",
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            # string, not DATE: python date objects hash differently from
+            # duckdb datetime64 in the driver compare
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@REGISTRY.register(
+    "ev_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() over (user, time, event_id tiebreak) pairs each "
+    "event with its successor, then a (from, to) count. One shuffle on "
+    "the user key for the window sort + one bounded aggregate (|types|^2 "
+    "groups, partial map-side). The standard path-analysis building "
+    "block; sequences never leave the JVM.",
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

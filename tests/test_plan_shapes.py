@@ -195,3 +195,25 @@ def test_ppm_decode_is_shuffle_free_arrow_stage(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_reuses_one_user_partitioning(spark):
+    """ev_funnel_stages chains three conditional-min windows plus the
+    per-user collapse over ONE user_id exchange; the only other exchange
+    is the trivial single-row final reduce. Three separate shuffles here
+    would triple the dominant cost at 100 TB."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_funnel_stages(spark, TEST_SF_DIR))
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_single_sort_shuffle(spark):
+    """The lead() window sorts within the user partitioning once; the
+    (from, to) aggregate is bounded (|types|^2) and map-side partial."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_transition_matrix(spark, TEST_SF_DIR))
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
