@@ -35,6 +35,7 @@ from pinterest_data_pipeline400_spark.plans import (  # noqa: F401
     tpch_queries,
     curation,            # round-4 additions: OOV / quality buckets
     media_queries,       # round-4 additions: real WAV audio decode
+    fingerprints,        # round-4 additions: winnowing fingerprints
 )
 
 from pinterest_data_pipeline400_spark.plans.registry import REGISTRY

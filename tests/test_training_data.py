@@ -394,3 +394,39 @@ def test_udtf_chunker_matches_jvm_chunker(spark):
     got = got.sort_values(key, ignore_index=True)
     want = want.sort_values(key, ignore_index=True)[got.columns]
     assert got.equals(want)
+
+
+def test_winnowing_guarantee_and_short_doc(spark):
+    """SIGMOD'03 winnowing bound: documents sharing a normalized
+    substring of length >= GRAM_K + WINNOW_W - 1 (= 8) must share at
+    least one fingerprint; docs shorter than 8 chars yield none."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline400_spark.plans.fingerprints import (
+        _FPS_SPARK,
+        _GRAMS_SPARK,
+    )
+
+    shared = "quick brown fox"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"zzz {shared} qqq totally different tail"),
+            (3, "unrelated content entirely"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in docs.select(
+            "doc_id",
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
+        )
+        .select("doc_id", F.expr(_GRAMS_SPARK).alias("grams"))
+        .select("doc_id", F.expr(_FPS_SPARK).alias("fps"))
+        .collect()
+    }
+    assert fps[1] & fps[2], "shared 15-char substring must share a fingerprint"
+    assert not fps[3] & fps[1]
+    assert fps[4] == set()
