@@ -36,6 +36,7 @@ from pinterest_data_pipeline400_spark.plans import (  # noqa: F401
     curation,            # round-4 additions: OOV / quality buckets
     media_queries,       # round-4 additions: real WAV audio decode
     fingerprints,        # round-4 additions: winnowing fingerprints
+    formats_extra,       # round-4 additions: XML + binaryFile sources
 )
 
 from pinterest_data_pipeline400_spark.plans.registry import REGISTRY
