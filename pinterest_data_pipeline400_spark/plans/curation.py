@@ -147,3 +147,50 @@ def docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
         )
     )
+
+
+BIGRAM_TOP_K = 50
+
+
+@REGISTRY.register(
+    "docs_bigram_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+                 FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM tok)
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT {BIGRAM_TOP_K}""",
+    doc="BPE merge candidates: corpus-wide counts of ADJACENT token "
+    "pairs (the statistic every byte-pair/WordPiece merge step ranks "
+    "by), top-50 with a deterministic (count desc, pair asc) tiebreak. "
+    "Pairing is row-local array arithmetic (no window, no self-join): "
+    "transform over the token array zips each token with its successor, "
+    "one explode feeds a partial-aggregated count, and the bounded "
+    "top-K compiles to TakeOrderedAndProject. One shuffle on the "
+    "(uniform) pair key at any scale.",
+)
+def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    toks = docs.select(ws_tokens(norm_text(F.col("text"))).alias("t"))
+    # CASE guard, not greatest(): Spark's sequence(1, 0) is a DESCENDING
+    # [1, 0] — a single-token doc would index element_at(t, 0) and throw.
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2"
+                " THEN transform(sequence(1, size(t) - 1),"
+                "      i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BIGRAM_TOP_K)
+    )

@@ -430,3 +430,24 @@ def test_winnowing_guarantee_and_short_doc(spark):
     assert fps[1] & fps[2], "shared 15-char substring must share a fingerprint"
     assert not fps[3] & fps[1]
     assert fps[4] == set()
+
+
+def test_bigram_pairs_single_token_doc_safe(spark):
+    """sequence(1, 0) in Spark is DESCENDING [1, 0]; the bigram pairing
+    must CASE-guard docs with < 2 tokens instead of indexing t[0]."""
+    from pyspark.sql import functions as F
+
+    toks = spark.createDataFrame(
+        [(["solo"],), (["a", "b", "a"],), ([],)], "t array<string>"
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2"
+                " THEN transform(sequence(1, size(t) - 1),"
+                "      i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair")
+    )
+    assert sorted(r.pair for r in pairs.collect()) == ["a b", "b a"]
