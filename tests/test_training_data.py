@@ -451,3 +451,48 @@ def test_bigram_pairs_single_token_doc_safe(spark):
         ).alias("pair")
     )
     assert sorted(r.pair for r in pairs.collect()) == ["a b", "b a"]
+
+
+def test_winnowing_property_shared_substring(spark):
+    """Property (SIGMOD'03 bound): ANY two texts sharing a planted
+    normalized substring of length >= 8 share >= 1 fingerprint.
+    Batched: hypothesis generates cases, one Spark job checks all."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline400_spark.plans.fingerprints import (
+        _FPS_SPARK,
+        _GRAMS_SPARK,
+    )
+
+    words = st.text(alphabet="abcdefg ", min_size=0, max_size=30)
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(prefix_a=words, suffix_a=words, prefix_b=words, suffix_b=words,
+           shared=st.text(alphabet="hijklmno", min_size=8, max_size=16))
+    def collect(prefix_a, suffix_a, prefix_b, suffix_b, shared):
+        cases.append((f"{prefix_a}{shared}{suffix_a}", f"{prefix_b}{shared}{suffix_b}"))
+
+    collect()
+    rows = [(i, side, text) for i, pair in enumerate(cases)
+            for side, text in enumerate(pair)]
+    fps = (
+        spark.createDataFrame(rows, "case_id long, side int, text string")
+        .select(
+            "case_id", "side",
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
+        )
+        .select("case_id", "side", F.expr(_GRAMS_SPARK).alias("grams"))
+        .select("case_id", "side", F.expr(_FPS_SPARK).alias("fps"))
+        .collect()
+    )
+    by_case: dict = {}
+    for r in fps:
+        by_case.setdefault(r.case_id, {})[r.side] = set(r.fps)
+    for cid, sides in by_case.items():
+        assert sides[0] & sides[1], (
+            f"case {cid}: docs sharing an 8+-char substring got disjoint "
+            f"fingerprints: {cases[cid]}"
+        )
