@@ -115,6 +115,15 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.ppm")
         .load(files_dir)
+        # Tiny-file corpora split one task per ~file under the default
+        # 4 MB open cost (11k files -> 2,750 tasks here, ~30 s of pure
+        # scheduling). coalesce merges scan partitions WITHOUT a
+        # shuffle, so each task reads a run of files sequentially; at
+        # real scale the same call right-sizes task count to the
+        # cluster instead of the file count. Lazily safe — unlike a
+        # scoped files.openCostInBytes conf, which Spark would read
+        # only at action time, after a with-block had restored it.
+        .coalesce(spark.sparkContext.defaultParallelism)
         .select(
             F.regexp_extract(F.col("path"), r"(\d+)\.ppm$", 1)
             .cast("long")
