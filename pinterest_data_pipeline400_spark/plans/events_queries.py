@@ -1399,3 +1399,89 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@REGISTRY.register(
+    "ev_hopping_counts",
+    oracle="""
+    WITH g AS (SELECT unnest(range(0, 4)) AS k)
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k)
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events CROSS JOIN g
+    GROUP BY 1, 2""",
+    doc="Sliding (hopping) 1-hour windows every 15 minutes per event "
+    "type — the overlapping-window twin of ev_windowed_counts's "
+    "tumbling windows. groupBy(window(ts, '1 hour', '15 minutes')): "
+    "Spark expands each event into its |window/slide| = 4 windows "
+    "before the partial aggregate, so the shuffle carries pre-combined "
+    "(window, type) partials, never raw events x4. The oracle builds "
+    "the same 4-window assignment arithmetically.",
+)
+def ev_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+@REGISTRY.register(
+    "ev_session_window_native",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      >= {SESSION_GAP_SEC}::BIGINT * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sessions GROUP BY user_id, sid""",
+    doc="NATIVE session windows: groupBy(user_id, session_window(ts, "
+    "'30 minutes')) — Spark's built-in gap-merge operator, the "
+    "engine-level twin of ev_sessionization's manual lag/cumsum "
+    "construction (same 30-min gap; session_window starts a new "
+    "session at gap >= 30 min, hence the >= in the oracle where the "
+    "manual entry uses >). One shuffle on user_id; the window merge "
+    "runs inside the sort-based aggregate, and the same expression "
+    "works unchanged in Structured Streaming with a watermark.",
+)
+def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("w")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_sec")
+    )
