@@ -194,3 +194,55 @@ def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BIGRAM_TOP_K)
     )
+
+
+ZIPF_TOP_N = 200
+
+
+@REGISTRY.register(
+    "docs_zipf_slope",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+               FROM tok GROUP BY token),
+    ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r
+               FROM counts ORDER BY n DESC, token ASC LIMIT {ZIPF_TOP_N}),
+    pts AS (SELECT log10(CAST(r AS DOUBLE)) AS x, log10(CAST(n AS DOUBLE)) AS y
+            FROM ranked)
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(y, x), 6) AS zipf_slope,
+           round(regr_intercept(y, x), 6) AS zipf_intercept
+    FROM pts""",
+    doc="Corpus Zipf fit: least-squares slope/intercept of log10(freq) "
+    "vs log10(rank) over the top-200 vocabulary (the sanity statistic "
+    "for natural-language corpora: slope near -1; synthetic or "
+    "template-heavy corpora drift). The regression runs over a BOUNDED "
+    "200-row frame (rank ties broken by token for determinism), so the "
+    "global window is O(top-N), not O(vocab); slope = covar_pop/var_pop "
+    "exactly as DuckDB's regr_slope.",
+)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir, spread=True)
+    counts = (
+        docs.select(F.explode(ws_tokens(norm_text(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(ZIPF_TOP_N)
+    )
+    ranked = counts.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    )
+    pts = ranked.select(
+        F.log10(F.col("r").cast("double")).alias("x"),
+        F.log10(F.col("n").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("y", "x") / F.var_pop("x")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("zipf_intercept"),
+    )

@@ -1485,3 +1485,156 @@ def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "duration_sec")
     )
+
+
+@REGISTRY.register(
+    "ev_value_mad_by_type",
+    oracle="""
+    WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           any_value(m.n_events) AS n_events,
+           round(any_value(m.med_cents) / 100.0, 6) AS median_value,
+           round(quantile_cont(abs(c.cents - m.med_cents), 0.5) / 100.0, 6)
+             AS mad_value
+    FROM c JOIN med m USING (event_type)
+    GROUP BY c.event_type""",
+    doc="Robust statistics per event type: median + median absolute "
+    "deviation (the outlier-resistant spread every monitoring pipeline "
+    "wants instead of stddev). Nested-median shape: per-type medians "
+    "are a tiny aggregate joined back (broadcast at scale — |types| "
+    "rows), then a second median over the absolute deviations. Both "
+    "medians run through the engine's exact<->sketch percentile switch "
+    "(percentile_approx with mergeable partials in 100 TB mode); "
+    "integer-cents inputs keep the exact mode bit-equal to DuckDB "
+    "quantile_cont.",
+)
+def ev_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import median_expr
+
+    c = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(
+        median_expr("cents").alias("med_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        c.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n_events").alias("n_events"),
+            F.round(F.any_value("med_cents") / 100.0, 6).alias("median_value"),
+            F.round(
+                median_expr(F.abs(F.col("cents") - F.col("med_cents"))) / 100.0, 6
+            ).alias("mad_value"),
+        )
+    )
+
+
+ZSCORE_WINDOW_SEC = 6 * 3600  # trailing 6 hours of hourly buckets
+
+
+@REGISTRY.register(
+    "ev_rolling_hourly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    e AS (SELECT *, CAST(epoch(hour_start) AS BIGINT) AS ep FROM hourly),
+    win AS (
+      SELECT event_type, hour_start, n_events,
+             sum(n_events) OVER w AS s1,
+             sum(n_events * n_events) OVER w AS s2,
+             count(*) OVER w AS cnt
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY ep
+                   RANGE BETWEEN {ZSCORE_WINDOW_SEC} PRECEDING AND CURRENT ROW))
+    SELECT event_type, hour_start, n_events,
+           CASE WHEN cnt >= 2
+                 AND (s2 - CAST(s1*s1 AS DOUBLE)/cnt) / (cnt - 1) > 0
+                THEN round((n_events - CAST(s1 AS DOUBLE)/cnt)
+                           / sqrt((s2 - CAST(s1*s1 AS DOUBLE)/cnt) / (cnt - 1)), 6)
+                ELSE NULL END AS zscore
+    FROM win""",
+    doc="Time-series anomaly score: hourly event counts per type, "
+    "z-scored against a TRAILING 6-hour RANGE-frame window (the "
+    "interval frame the row-frame entries don't cover; Spark "
+    "rangeBetween needs a numeric sort key, so both engines order by "
+    "epoch seconds). Mean/variance are derived from exact integer "
+    "window sums (s1, s1^2-free s2, cnt), so the double arithmetic is "
+    "the same expression over the same integers on both engines — no "
+    "accumulation-order drift; the count aggregate itself is partial "
+    "before the shuffle.",
+)
+def ev_rolling_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    hourly = hourly.select(
+        "event_type",
+        F.col("w.start").alias("hour_start"),
+        "n_events",
+        F.unix_timestamp(F.col("w.start")).alias("ep"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rangeBetween(-ZSCORE_WINDOW_SEC, 0)
+    )
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    var = (s2 - (s1 * s1).cast("double") / cnt) / (cnt - 1)
+    z = F.round(
+        (F.col("n_events") - s1.cast("double") / cnt) / F.sqrt(var), 6
+    )
+    return hourly.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        F.when((cnt >= 2) & (var > 0), z).otherwise(F.lit(None)).alias("zscore"),
+    )
+
+
+@REGISTRY.register(
+    "ev_set_ops_users",
+    oracle="""
+    SELECT user_id FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'
+    INTERSECT
+    SELECT user_id FROM events
+      WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-24'
+    EXCEPT
+    SELECT user_id FROM events
+      WHERE event_type = 'error'
+        AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'""",
+    doc="Relational set operators: week-1 purchasers INTERSECT "
+    "final-week clickers EXCEPT mid-month error users. intersect()/"
+    "exceptAll-distinct compile to left-semi / left-anti hash joins "
+    "over pre-aggregated (distinct) sides — each side is filtered at "
+    "the scan (pushdown) and deduped per user before the join, so the "
+    "shuffles carry user-distinct rows, never raw events.",
+)
+def ev_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def users(t: str, lo: str | None = None, hi: str | None = None) -> DataFrame:
+        d = ev.filter(F.col("event_type") == t)
+        if lo:
+            d = d.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            d = d.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        return d.select("user_id")
+
+    return (
+        users("purchase", hi="2024-01-08")
+        .intersect(users("click", lo="2024-01-24"))
+        .exceptAll(users("error", lo="2024-01-10", hi="2024-01-20").distinct())
+        .distinct()
+    )
