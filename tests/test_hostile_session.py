@@ -39,6 +39,16 @@ SENSITIVE = [
     # wrapper pins UTC
     "ev_theta_user_overlap",
     "ev_kll_quantile_rollup",
+    # round-4 behavioral entries: retention emits date-string cohorts
+    # (date_trunc + date_format — the most TZ-fragile shape in the
+    # repo), hopping/session windows bucket wall-clock time, and the
+    # set-ops entry filters on timestamp literals
+    "ev_retention_cohorts",
+    "ev_hopping_counts",
+    "ev_session_window_native",
+    "ev_rolling_hourly_zscore",
+    "ev_set_ops_users",
+    "ev_funnel_stages",
 ]
 
 
