@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "8"
+FIXTURE_VERSION = "9"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -362,6 +362,10 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "media_wav.parquet"), index=False
     )
 
+    # JSONL feed with planted corrupt lines (PERMISSIVE-mode ingestion
+    # test subject — json_corrupt_tolerant_scan)
+    write_dirty_jsonl(sf_rows(sf_name), os.path.join(out_dir, "dirty_events.jsonl"))
+
     # done marker written last: readers treat its presence as "complete"
     with open(os.path.join(out_dir, "_DONE"), "w") as fh:
         fh.write(FIXTURE_VERSION + "\n")
@@ -433,6 +437,24 @@ def media_wav(n: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["media_id", "payload"]).astype(
         {"media_id": "int64"}
     )
+
+
+def write_dirty_jsonl(n: int, path: str) -> None:
+    """A JSONL feed where every 20th line is truncated mid-value —
+    the guaranteed reality of any 100 TB ingest. Closed-form so the
+    PERMISSIVE-scan oracle can recompute valid/corrupt counts and the
+    valid-value sum without parsing:
+
+      line i valid    ⇔ i % 20 != 0
+      valid payload   = {"id": i, "v": (i*3) % 97}
+      corrupt payload = '{"id": i, "v":'  (unterminated)
+    """
+    with open(path, "w") as fh:
+        for i in range(n):
+            if i % 20 == 0:
+                fh.write('{"id": %d, "v":\n' % i)
+            else:
+                fh.write('{"id": %d, "v": %d}\n' % (i, i * 3 % 97))
 
 
 def emb_dup(n_base: int, seed: int, dim: int = 64) -> pd.DataFrame:

@@ -1,5 +1,6 @@
 """Round-4+ source/format additions: the Spark-4 built-in XML data
-source and the ``binaryFile`` raw-media ingestion path.
+source, the ``binaryFile`` raw-media ingestion path, and
+PERMISSIVE corrupt-record JSONL ingestion.
 
 Registered after the core plan modules (the driver's first-50 grading
 window holds the round-4 backlog; see COVERAGE.md). Same contract as
@@ -132,3 +133,45 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decode_ppm_features(media)
+
+
+@REGISTRY.register(
+    "json_corrupt_tolerant_scan",
+    oracle=f"""
+    WITH lines AS (
+      SELECT * FROM read_csv('{_ORACLE_FX}/dirty_events.jsonl',
+                             delim='\x01', quote='', header=false,
+                             columns={{'line': 'VARCHAR'}})),
+    parsed AS (SELECT json_valid(line) AS ok,
+                      CASE WHEN json_valid(line)
+                           THEN CAST(json_extract(line, '$.v') AS BIGINT)
+                      END AS v
+               FROM lines)
+    SELECT CAST(count(*) FILTER (ok) AS BIGINT) AS n_valid,
+           CAST(count(*) FILTER (NOT ok) AS BIGINT) AS n_corrupt,
+           CAST(sum(v) AS BIGINT) AS sum_v
+    FROM parsed""",
+    doc="PERMISSIVE corrupt-record ingestion: a JSONL feed with planted "
+    "truncated lines read under an explicit schema + "
+    "columnNameOfCorruptRecord — valid rows parse to typed columns, "
+    "corrupt rows land intact in the quarantine column instead of "
+    "killing the job (malformed data is a certainty at 100 TB; "
+    "FAILFAST is for tests, DROPMALFORMED silently lies about counts). "
+    "The oracle re-derives valid/corrupt/sum from raw line validity, "
+    "so a scan that dropped or mis-classified rows cannot match. "
+    "Aggregation keeps everything JVM-side; one pass, no shuffle "
+    "beyond the final 1-row reduce.",
+)
+def json_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = fixture_dir_for(sf_dir)
+    df = (
+        spark.read.schema("id LONG, v LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(os.path.join(fx, "dirty_events.jsonl"))
+    )
+    return df.agg(
+        F.count("v").alias("n_valid"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum("v").alias("sum_v"),
+    )
