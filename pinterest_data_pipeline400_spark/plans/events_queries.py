@@ -1638,3 +1638,64 @@ def ev_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .exceptAll(users("error", lo="2024-01-10", hi="2024-01-20").distinct())
         .distinct()
     )
+
+
+@REGISTRY.register(
+    "ev_unpivot_user_type",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, event_type""",
+    doc="Unpivot (melt): the per-user wide count matrix "
+    "(ev_pivot_user_type's output shape) folded back to long "
+    "(user_id, event_type, n_events) rows via DataFrame.unpivot — "
+    "wide->long is how per-feature matrices feed grouped operators "
+    "downstream. Zero-count cells (pivot fill) are filtered so the "
+    "round trip equals the direct long-form aggregate, which is "
+    "exactly what the oracle computes; unpivot itself is a narrow "
+    "generator (no shuffle beyond the pivot's own aggregate).",
+)
+def ev_unpivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = ev_pivot_user_type(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=list(EVENT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events") > 0)
+        .select("user_id", "event_type", F.col("n_events").cast("long"))
+    )
+
+
+@REGISTRY.register(
+    "ev_corr_value_props",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type, value,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n,
+           round(corr(value, k), 6) AS value_k_corr
+    FROM parsed GROUP BY event_type""",
+    doc="Bivariate statistics: Pearson correlation between the value "
+    "column and the JSON-extracted props.k per event type (F.corr — "
+    "the co-moment aggregate family beyond the robust-stats entry). "
+    "Single hash aggregate with mergeable co-moment partials "
+    "(map-side combine works, state is O(1) per group); null ks drop "
+    "out of the pairwise aggregate on both engines; rounded to 6 dp "
+    "to absorb accumulation-order ulps.",
+)
+def ev_corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        "value",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n"),
+        F.round(F.corr("value", "k"), 6).alias("value_k_corr"),
+    )
