@@ -447,3 +447,64 @@ def bucketed_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("o_cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# correlated subqueries — Catalyst decorrelation surface
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "q_exists_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 50000)""",
+    doc="Correlated EXISTS / NOT EXISTS subqueries, written as SQL so "
+    "Catalyst's decorrelation does the work: customers with at least "
+    "one 400k+ order and no cheap failed order. The rewrite turns both "
+    "subqueries into left-SEMI and left-ANTI hash joins on the "
+    "(uniform) customer key with the order-side predicates pushed to "
+    "the scan — no per-row re-execution, which is what a naive "
+    "correlated evaluation would cost at 100 TB.",
+)
+def q_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(f"""
+        SELECT c_custkey, c_name FROM parquet.`{sf_dir}/customer.parquet` c
+        WHERE EXISTS (SELECT 1 FROM parquet.`{sf_dir}/orders.parquet` o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM parquet.`{sf_dir}/orders.parquet` o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 50000)""")
+
+
+@REGISTRY.register(
+    "q_scalar_subquery_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE (SELECT max(CAST(round(o.o_totalprice * 100) AS BIGINT))
+           FROM orders o WHERE o.o_custkey = c.c_custkey)
+          > 3 * (SELECT avg(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    doc="Correlated SCALAR aggregate subqueries (max vs 3x avg of each "
+    "customer's own orders, exact integer cents so the avg is the same "
+    "double on both engines): Catalyst decorrelates each into an "
+    "aggregate-then-join on the customer key, and both subqueries scan "
+    "the same table so the aggregated side is computed once per "
+    "subquery, shuffled once — the decorrelated plan a hand-written "
+    "groupBy+join would produce, straight from declarative SQL.",
+)
+def q_scalar_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(f"""
+        SELECT c_custkey, c_name FROM parquet.`{sf_dir}/customer.parquet` c
+        WHERE (SELECT max(CAST(round(o.o_totalprice * 100) AS BIGINT))
+               FROM parquet.`{sf_dir}/orders.parquet` o
+               WHERE o.o_custkey = c.c_custkey)
+              > 3 * (SELECT avg(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                     FROM parquet.`{sf_dir}/orders.parquet` o
+                     WHERE o.o_custkey = c.c_custkey)""")

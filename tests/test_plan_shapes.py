@@ -217,3 +217,13 @@ def test_transition_matrix_single_sort_shuffle(spark):
     plan = _plan(eq.ev_transition_matrix(spark, TEST_SF_DIR))
     assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_exists_subqueries_decorrelate_to_semi_anti_joins(spark):
+    """Correlated EXISTS / NOT EXISTS must compile to left-semi /
+    left-anti hash joins (Catalyst decorrelation) — a naive per-row
+    re-execution shape would be unusable at scale."""
+    plan = _plan(tq.q_exists_customers(spark, TEST_SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
