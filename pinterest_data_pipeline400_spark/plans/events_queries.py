@@ -1699,3 +1699,50 @@ def ev_corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("k").alias("n"),
         F.round(F.corr("value", "k"), 6).alias("value_k_corr"),
     )
+
+
+GAPFILL_VALUE_MIN = 200.0  # rare high-value events -> genuinely sparse days
+
+
+@REGISTRY.register(
+    "ev_daily_gapfill",
+    oracle=f"""
+    WITH RECURSIVE src AS (
+      SELECT CAST(ts AS DATE) AS d FROM events WHERE value > {GAPFILL_VALUE_MIN}),
+    days(d) AS (
+      SELECT min(d) FROM src
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM days
+      WHERE d < (SELECT max(d) FROM src)),
+    daily AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY d)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+    FROM days LEFT JOIN daily ON days.d = daily.d""",
+    doc="Calendar gap-fill via RECURSIVE CTE (Spark 4 WITH RECURSIVE): "
+    "rare high-value events leave dayless gaps, and the recursive date "
+    "spine (min..max day) left-joined to the daily counts zero-fills "
+    "them — the dense series every time-series consumer downstream "
+    "assumes. The recursion is bounded by the date RANGE (30 steps "
+    "here), never the data volume; the daily aggregate is the only "
+    "wide operator. Day emitted as an ISO string on both sides (python "
+    "date objects hash differently from datetime64 in the driver "
+    "compare).",
+)
+def ev_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        _events(spark, sf_dir)
+        .filter(F.col("value") > GAPFILL_VALUE_MIN)
+        .select(F.col("ts").cast("date").alias("d"))
+    )
+    src.createOrReplaceTempView("sg_gapfill_src")
+    return spark.sql("""
+        WITH RECURSIVE days(d) AS (
+          SELECT min(d) FROM sg_gapfill_src
+          UNION ALL
+          SELECT date_add(d, 1) FROM days
+          WHERE d < (SELECT max(d) FROM sg_gapfill_src))
+        SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+               CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+        FROM days LEFT JOIN
+             (SELECT d, count(*) AS n FROM sg_gapfill_src GROUP BY d) daily
+        ON days.d = daily.d""")

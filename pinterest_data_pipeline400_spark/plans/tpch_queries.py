@@ -508,3 +508,32 @@ def q_scalar_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               > 3 * (SELECT avg(CAST(round(o.o_totalprice * 100) AS BIGINT))
                      FROM parquet.`{sf_dir}/orders.parquet` o
                      WHERE o.o_custkey = c.c_custkey)""")
+
+
+@REGISTRY.register(
+    "q_lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+             FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_cents DESC, o_orderkey ASC LIMIT 2) o""",
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT: each "
+    "customer's top-2 orders by price, written as the declarative "
+    "per-row subquery and left to Catalyst to decorrelate into a "
+    "set-based plan (rank-limited window over the join, not a per-row "
+    "re-execution). The lateral form is the SQL-standard spelling of "
+    "top-k-per-group; the DataFrame twin is analytics.top_per_group "
+    "(WindowGroupLimit-asserted).",
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(f"""
+        SELECT c.c_custkey, o.o_orderkey, o.o_cents
+        FROM parquet.`{sf_dir}/customer.parquet` c,
+        LATERAL (SELECT o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+                 FROM parquet.`{sf_dir}/orders.parquet`
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_cents DESC, o_orderkey ASC LIMIT 2) o""")
