@@ -72,10 +72,17 @@ def _ppm_files_dir(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(base, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(base, exist_ok=True)
-        pdf = spark.read.parquet(src).toPandas()
-        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-            with open(os.path.join(base, f"{int(mid):06d}.ppm"), "wb") as fh:
-                fh.write(bytes(payload))
+
+        # Executors write their own partitions' files (foreachPartition)
+        # rather than funnelling every payload through the driver — the
+        # shape a real corpus materialization has on a shared filesystem.
+        def write_partition(rows) -> None:
+            for r in rows:
+                p = os.path.join(base, f"{int(r.media_id):06d}.ppm")
+                with open(p, "wb") as fh:
+                    fh.write(bytes(r.payload))
+
+        spark.read.parquet(src).foreachPartition(write_partition)
         with open(marker, "w") as fh:
             fh.write("ok\n")
     return base
