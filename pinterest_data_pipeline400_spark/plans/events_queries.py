@@ -1746,3 +1746,44 @@ def ev_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM days LEFT JOIN
              (SELECT d, count(*) AS n FROM sg_gapfill_src GROUP BY d) daily
         ON days.d = daily.d""")
+
+
+@REGISTRY.register(
+    "ev_daily_gapfill_seq",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(ts AS DATE) AS d FROM events WHERE value > {GAPFILL_VALUE_MIN}),
+    daily AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY d),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+    FROM days LEFT JOIN daily ON days.d = daily.d""",
+    doc="Calendar gap-fill, SCALE path: same dense zero-filled series "
+    "as ev_daily_gapfill, but the date spine is sequence(min_d, max_d) "
+    "exploded from the 1-row bounds aggregate instead of a recursive "
+    "CTE. The recursive form costs one Spark job PER DAY of range "
+    "(bounded, but ~30 sequential jobs here = multi-second fixed "
+    "overhead); this form is ONE corpus pass (the daily aggregate), a "
+    "1-row reduction of that tiny result for bounds, and a broadcast "
+    "join of the exploded spine back to it - job count independent of "
+    "the date range. tests/test_events_ops.py pins the two entries "
+    "result-identical.",
+)
+def ev_daily_gapfill_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        _events(spark, sf_dir)
+        .filter(F.col("value") > GAPFILL_VALUE_MIN)
+        .select(F.col("ts").cast("date").alias("d"))
+    )
+    # One wide operator: the daily counts. Bounds reduce the (tiny,
+    # already-aggregated) daily frame, never rescanning events.
+    daily = src.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return days.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )

@@ -239,3 +239,14 @@ def test_stream_upsert_multi_batch_and_idempotent(spark):
     )
     again = spark.read.parquet(sink).toPandas().set_index("event_type")["n_events"]
     assert again.sort_index().tolist() == exact.sort_index().tolist()
+
+
+def test_gapfill_seq_equals_recursive(spark):
+    """The sequence()-spine gap-fill (scale path) and the recursive-CTE
+    gap-fill (SQL-standard showcase) are the same query: pin their
+    results identical row-for-row."""
+    rec = eq.ev_daily_gapfill(spark, TEST_SF_DIR).toPandas()
+    seq = eq.ev_daily_gapfill_seq(spark, TEST_SF_DIR).toPandas()
+    rec = rec.sort_values("day").reset_index(drop=True)
+    seq = seq.sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(rec, seq)
