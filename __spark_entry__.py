@@ -37,6 +37,7 @@ from pinterest_data_pipeline400_spark.plans import (  # noqa: F401
     media_queries,       # round-4 additions: real WAV audio decode
     fingerprints,        # round-4 additions: winnowing fingerprints
     formats_extra,       # round-4 additions: XML + binaryFile sources
+    profiling,           # round-4 additions: table profile + SCD-2
 )
 
 from pinterest_data_pipeline400_spark.plans.registry import REGISTRY

@@ -227,3 +227,29 @@ def test_exists_subqueries_decorrelate_to_semi_anti_joins(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_custkey_exchange(spark):
+    """orders_priority_scd2: the lag/run-sum windows hash-partition by
+    o_custkey and the island-closing groupBy must REUSE that
+    partitioning (grouping keys are a superset of the partitioning
+    key) — a second exchange here would double the op's cost at scale."""
+    from pinterest_data_pipeline400_spark.plans import profiling as pr
+
+    plan = _plan(pr.orders_priority_scd2(spark, TEST_SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_profile_scale_mode_is_single_narrow_pass(spark, monkeypatch):
+    """profile_orders in SPARK_GRAFT_DISTINCT_MODE=approx: every
+    cardinality is a HyperLogLog++ sketch, so the plan must contain NO
+    Expand (the exact-mode count-distinct row multiplier) and no
+    shuffle wider than the 1-row final aggregate."""
+    monkeypatch.setenv("SPARK_GRAFT_DISTINCT_MODE", "approx")
+    from pinterest_data_pipeline400_spark.plans import profiling as pr
+
+    plan = _plan(pr.profile_orders(spark, TEST_SF_DIR))
+    assert "Expand" not in plan
+    monkeypatch.delenv("SPARK_GRAFT_DISTINCT_MODE")
+    exact_plan = _plan(pr.profile_orders(spark, TEST_SF_DIR))
+    assert "Expand" in exact_plan  # the documented exact-mode tradeoff
