@@ -1787,3 +1787,103 @@ def ev_daily_gapfill_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+@REGISTRY.register(
+    "ev_value_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(round(value * 100)) AS BIGINT) AS lo_cents,
+           CAST(max(round(value * 100)) AS BIGINT) AS hi_cents
+    FROM ranked GROUP BY event_type, decile""",
+    doc="Equal-population value deciles per event type via ntile(10) — "
+    "the SQL-standard quantile-bucketing window, with (value, event_id) "
+    "as a deterministic total order on both engines and decile bounds "
+    "emitted as integer cents. SCALE caveat, stated honestly: ntile "
+    "needs a full sort within each event_type partition, and with ~5 "
+    "types that is 5 giant sorted partitions at 100 TB. The scale "
+    "substitute is the docs_quality_buckets pattern (percentile_approx "
+    "boundaries as a 1-row aggregate broadcast back, bucket = "
+    "comparison against constants — no per-type global sort); this "
+    "entry exists for exact ntile/window coverage and grades the "
+    "fixture scale it runs at.",
+)
+def ev_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.round(F.col("value") * 100)).cast("long").alias("lo_cents"),
+            F.max(F.round(F.col("value") * 100)).cast("long").alias("hi_cents"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "ev_type_cooccurrence",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+    per_type AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM pairs GROUP BY event_type),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM pairs a JOIN pairs b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT co.type_a, co.type_b, co.n_both,
+           round(CAST(co.n_both AS DOUBLE)
+                 / (ta.n + tb.n - co.n_both), 6) AS jaccard
+    FROM co
+    JOIN per_type ta ON ta.event_type = co.type_a
+    JOIN per_type tb ON tb.event_type = co.type_b""",
+    doc="Item co-occurrence graph (the collaborative-filtering / "
+    "related-items primitive): distinct (user, type) incidence pairs, "
+    "self-joined per user into co-engagement edges with Jaccard "
+    "affinity. Scale shape: the distinct() dedup is the one wide "
+    "shuffle over the corpus; the self-join keys on high-cardinality "
+    "user_id where each user carries at most |types| rows, so the "
+    "per-key work is the bounded ~|types|^2/2, never a hot-key "
+    "blow-up; the per-type totals are a tiny aggregate broadcast back "
+    "onto the edge list.",
+)
+def ev_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    per_type = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = F.broadcast(per_type.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(per_type.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return co.join(ta, "type_a").join(tb, "type_b").select(
+        "type_a",
+        "type_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -49,6 +49,12 @@ SENSITIVE = [
     "ev_rolling_hourly_zscore",
     "ev_set_ops_users",
     "ev_funnel_stages",
+    # round-4 late additions: both gap-fill spines cast ts -> date and
+    # emit ISO day strings (TZ-fragile on both ends); SCD-2 casts
+    # o_orderdate -> date and formats interval bounds
+    "ev_daily_gapfill",
+    "ev_daily_gapfill_seq",
+    "orders_priority_scd2",
 ]
 
 
