@@ -1887,3 +1887,44 @@ def ev_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+@REGISTRY.register(
+    "ev_cube_day_type",
+    oracle="""
+    SELECT coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(event_type, 'ALL') AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    GROUP BY CUBE (strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type)""",
+    doc="CUBE aggregation: all four grains of (day x event_type) - "
+    "(day,type), (day), (type), grand total - in ONE pass; the "
+    "completion of ev_rollup_multigrain's hierarchical rollup to the "
+    "full lattice. Spark plans cube as a single Expand (4 output rows "
+    "per input) feeding one partial+final hash aggregate: one corpus "
+    "scan, one shuffle of already-reduced partials - at 100 TB the "
+    "map-side combine absorbs the 4x expansion before any exchange. "
+    "NULL grain labels coalesced to 'ALL' on both engines (fixture "
+    "days/types are never null, so the sentinel is unambiguous).",
+)
+def ev_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        ev.cube("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_value_cents"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )

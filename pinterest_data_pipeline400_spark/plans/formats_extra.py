@@ -182,3 +182,45 @@ def json_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt_record").alias("n_corrupt"),
         F.sum("v").alias("sum_v"),
     )
+
+
+@REGISTRY.register(
+    "parquet_schema_evolution_nation",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+    FROM nation WHERE n_nationkey < 13
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey >= 13""",
+    doc="Schema-evolution scan: a dataset whose early files predate a "
+    "column (nation rows < 13 written WITHOUT n_regionkey, the rest "
+    "with it) read back in one scan with mergeSchema=true - missing "
+    "columns surface as NULL, the additive-evolution contract every "
+    "long-lived 100 TB dataset depends on. mergeSchema reconciles "
+    "footers at PLANNING time (a driver-side footer pass, or the "
+    "_common_metadata summary on a real lake); row groups are still "
+    "read columnar with pushdown intact. Value-checked against a "
+    "UNION oracle that re-derives both eras from the original table.",
+)
+def parquet_schema_evolution_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_path = os.path.join(sf_dir, "nation.parquet")
+    st = os.stat(src_path)
+    base = os.path.join(
+        _FMT_ROOT,
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"nation_evolved_{int(st.st_mtime_ns)}_{st.st_size}",
+    )
+    v1, v2 = os.path.join(base, "era=v1"), os.path.join(base, "era=v2")
+    if not (os.path.exists(os.path.join(v1, "_SUCCESS"))
+            and os.path.exists(os.path.join(v2, "_SUCCESS"))):
+        src = spark.read.parquet(src_path)
+        src.filter(F.col("n_nationkey") < 13).select(
+            "n_nationkey", "n_name"
+        ).write.mode("overwrite").parquet(v1)
+        src.filter(F.col("n_nationkey") >= 13).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.mode("overwrite").parquet(v2)
+    back = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return back.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("int")
+    )

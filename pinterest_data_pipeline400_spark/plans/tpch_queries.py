@@ -537,3 +537,53 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM parquet.`{sf_dir}/orders.parquet`
                  WHERE o_custkey = c.c_custkey
                  ORDER BY o_cents DESC, o_orderkey ASC LIMIT 2) o""")
+
+
+@REGISTRY.register(
+    "q_full_outer_orders_customers",
+    oracle="""
+    WITH ord AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                 FROM orders GROUP BY o_custkey),
+    cust AS (SELECT c_custkey,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+             FROM customer WHERE c_acctbal > 5000)
+    SELECT coalesce(ord.o_custkey, cust.c_custkey) AS custkey,
+           CAST(coalesce(ord.n_orders, 0) AS BIGINT) AS n_orders,
+           coalesce(cust.acctbal_cents, CAST(-1 AS BIGINT)) AS acctbal_cents,
+           ord.o_custkey IS NOT NULL AS has_orders,
+           cust.c_custkey IS NOT NULL AS has_account
+    FROM ord FULL OUTER JOIN cust ON ord.o_custkey = cust.c_custkey""",
+    doc="FULL OUTER join reconciliation: order activity vs the "
+    "high-balance account roster, keeping customers on EITHER side "
+    "only (the two-ledger diff every reconciliation job runs). Keys "
+    "coalesced, absence surfaced as explicit flags + sentinels. Scale "
+    "shape: the orders side pre-aggregates to one row per customer "
+    "BEFORE the join (partial counts combine map-side), then a "
+    "shuffled SMJ on custkey - full outer cannot broadcast (both "
+    "sides must retain unmatched rows), so reducing the fact side "
+    "first is the lever.",
+)
+def q_full_outer_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ord_agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+    )
+    joined = ord_agg.join(
+        cust, ord_agg.o_custkey == cust.c_custkey, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("acctbal_cents", F.lit(-1)).cast("long").alias("acctbal_cents"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+        F.col("c_custkey").isNotNull().alias("has_account"),
+    )

@@ -55,6 +55,8 @@ SENSITIVE = [
     "ev_daily_gapfill",
     "ev_daily_gapfill_seq",
     "orders_priority_scd2",
+    # cube grains bucket by ISO day string from ts — TZ-fragile
+    "ev_cube_day_type",
 ]
 
 
