@@ -44,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # explicit caller override.
 os.environ.setdefault("SPARK_GRAFT_PERCENTILE_MODE", "approx")
 os.environ.setdefault("SPARK_GRAFT_DISTINCT_MODE", "approx")
+os.environ.setdefault("SPARK_GRAFT_TOPK_MODE", "approx")
 
 from pinterest_data_pipeline400_spark.generator import ensure_fixtures  # noqa: E402
 from pinterest_data_pipeline400_spark.session import build_session  # noqa: E402

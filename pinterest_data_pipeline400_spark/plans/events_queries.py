@@ -1928,3 +1928,136 @@ def ev_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_cents",
         )
     )
+
+
+ZORDER_USER_LO, ZORDER_USER_HI = 3, 9
+
+
+def _zordered_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per fixture CONTENT) a Z-order-clustered copy of
+    events: Morton key of (user_id, day index since 2024-01-01), range
+    partitioning into 32 files, in-file sort. The layout IS the index
+    — see operators/scale.py zorder_key."""
+    from ..operators.scale import write_zordered
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    base = (
+        "/tmp/spark_graft_formats/events_zorder_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{int(st.st_mtime_ns)}_{st.st_size}"
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        ev = _events(spark, sf_dir).withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        write_zordered(
+            ev,
+            x=F.col("user_id"),
+            y=F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date")),
+            dst_dir=base,
+            n_files=32,
+        )
+    return base
+
+
+@REGISTRY.register(
+    "ev_zorder_pruned_scan",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    WHERE user_id BETWEEN {ZORDER_USER_LO} AND {ZORDER_USER_HI}
+      AND CAST(ts AS DATE) BETWEEN DATE '{PRUNE_DAY_LO}'
+                               AND DATE '{PRUNE_DAY_HI}'
+    GROUP BY event_type""",
+    doc="Box query over a Z-order-clustered copy of events (Morton-"
+    "interleaved user_id x day, range-partitioned + in-file sorted — "
+    "operators/scale.py). Multi-dimensional clustering makes file and "
+    "row-group [min,max] stats tight in BOTH dimensions, so the "
+    "ordinary pushed-down user/day predicates skip most of the table "
+    "— what a linear sort gives only its leading column, and what "
+    "Hive-style day partitioning gives only the partition column. "
+    "Same answer as the plain table (oracle); the file-stat pruning "
+    "power is measured directly from parquet footers in "
+    "tests/test_scale_ops.py. At 100 TB this is the OPTIMIZE ZORDER "
+    "maintenance job: one range shuffle amortized over every "
+    "subsequent selective scan.",
+)
+def ev_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _zordered_events_dir(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            F.col("user_id").between(ZORDER_USER_LO, ZORDER_USER_HI)
+            & F.col("day").between(PRUNE_DAY_LO, PRUNE_DAY_HI)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+    )
+
+
+TOPK_USERS_K = 5
+
+
+def _topk_exact() -> bool:
+    """Exact-vs-sketch switch for frequent-items top-k, mirror of the
+    median/distinct switches (``SPARK_GRAFT_TOPK_MODE=approx`` →
+    approx_top_k sketch; bench runs approx, the oracle gate exact)."""
+    return os.environ.get("SPARK_GRAFT_TOPK_MODE", "exact") != "approx"
+
+
+@REGISTRY.register(
+    "ev_top_users_sketch",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, user_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n_events DESC, user_id) AS rk
+      FROM counts)
+    SELECT event_type, user_id, n_events, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {TOPK_USERS_K}""",
+    doc=f"Frequent-items (heavy hitters) top-{TOPK_USERS_K} users per "
+    "event type, completing the sketch family (KLL quantiles, Theta "
+    "sets, HLL distinct): exact mode = per-key counts + "
+    "WindowGroupLimit-pushed row_number (the oracle gate); "
+    "SPARK_GRAFT_TOPK_MODE=approx = Spark 4's approx_top_k aggregate "
+    "— ONE corpus pass, bounded per-group tracker state, partials "
+    "merge map-side, no (type,user) key shuffle at all. Counts from "
+    "the sketch are exact while the tracker holds all items "
+    "(maxItemsTracked=100k here); accuracy pinned vs exact in "
+    "tests/test_events_ops.py. At 100 TB the sketch path is the only "
+    "one that avoids materializing the full (type,user) count matrix.",
+)
+def ev_top_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    if _topk_exact():
+        counts = ev.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("n_events"), F.asc("user_id")
+        )
+        return counts.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= TOPK_USERS_K
+        )
+    sk = ev.groupBy("event_type").agg(
+        F.expr(f"approx_top_k(user_id, {TOPK_USERS_K}, 100000)").alias("tk")
+    )
+    return sk.select(
+        "event_type", F.posexplode("tk").alias("pos", "it")
+    ).select(
+        "event_type",
+        F.col("it.item").alias("user_id"),
+        F.col("it.count").cast("long").alias("n_events"),
+        (F.col("pos") + 1).cast("int").alias("rk"),
+    )

@@ -75,7 +75,14 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in _ORDERS_COLS:
         aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
-        aggs.append(distinct_count_expr(c).cast("long").alias(f"nd_{c}"))
+        # approx mode: a profile is a drift monitor, so 5% rsd is the
+        # right sketch size here — the engine-default 1% rsd costs a
+        # ~100x larger HLL register array PER COLUMN (1.04/rsd^2) and
+        # measured 6x slower on this 6-sketch single pass. Exact mode
+        # (the oracle gate) ignores rsd entirely.
+        aggs.append(
+            distinct_count_expr(c, rsd=0.05).cast("long").alias(f"nd_{c}")
+        )
     one = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', nn_{c}, nd_{c}" for c in _ORDERS_COLS

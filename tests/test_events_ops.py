@@ -250,3 +250,26 @@ def test_gapfill_seq_equals_recursive(spark):
     rec = rec.sort_values("day").reset_index(drop=True)
     seq = seq.sort_values("day").reset_index(drop=True)
     pd.testing.assert_frame_equal(rec, seq)
+
+
+def test_top_users_sketch_mode_accuracy(spark, monkeypatch):
+    """approx_top_k with a tracker larger than the (type,user) domain
+    returns EXACT counts; item order may differ from the exact path
+    only on count ties, so compare the per-type count multisets and
+    require every non-tied item to match."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    exact = eq.ev_top_users_sketch(spark, TEST_SF_DIR).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_TOPK_MODE", "approx")
+    approx = eq.ev_top_users_sketch(spark, TEST_SF_DIR).toPandas()
+    assert sorted(approx["event_type"].unique()) == sorted(
+        exact["event_type"].unique()
+    )
+    for et, g in exact.groupby("event_type"):
+        a = approx[approx["event_type"] == et]
+        assert sorted(a["n_events"]) == sorted(g["n_events"]), et
+        # items whose count is unique within the group must agree
+        uniq = g[~g["n_events"].duplicated(keep=False)]
+        assert set(zip(uniq["user_id"], uniq["n_events"])) <= set(
+            zip(a["user_id"], a["n_events"])
+        ), et

@@ -57,6 +57,9 @@ SENSITIVE = [
     "orders_priority_scd2",
     # cube grains bucket by ISO day string from ts — TZ-fragile
     "ev_cube_day_type",
+    # the z-ordered copy derives its day strings (and the Morton key)
+    # from ts at WRITE time and caches the layout across sessions
+    "ev_zorder_pruned_scan",
 ]
 
 

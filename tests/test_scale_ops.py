@@ -245,3 +245,54 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark):
+    """The Z-order clustered events copy must yield parquet file stats
+    tight in BOTH dimensions: for the entry's box predicate, few files'
+    [min,max] envelopes intersect the user range, the day range, or
+    the box — that file-skip ratio IS the operator's value at 100 TB.
+    Measured from the footers directly (engine-independent), at sf0.01
+    where both domains are wide enough to cluster (at sf0.001 the
+    user domain is only 15 values across 32 files, so every file
+    spans it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    d = eq._zordered_events_dir(spark, "/root/testdata/sf0.01")
+    files = sorted(glob.glob(d + "/part-*.parquet"))
+    assert len(files) == 32
+    hit_u = hit_d = hit_box = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+
+        def span(col):
+            lo = min(
+                md.row_group(g).column(cols[col]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(cols[col]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            return lo, hi
+
+        ulo, uhi = span("user_id")
+        dlo, dhi = span("day")
+        u = not (uhi < eq.ZORDER_USER_LO or ulo > eq.ZORDER_USER_HI)
+        dd = not (dhi < eq.PRUNE_DAY_LO or dlo > eq.PRUNE_DAY_HI)
+        hit_u += u
+        hit_d += dd
+        hit_box += u and dd
+    # measured: 5 / 21 / 3 of 32 — assert with headroom against
+    # sampling jitter in repartitionByRange
+    assert hit_u <= 12, hit_u
+    assert hit_d <= 26, hit_d
+    assert hit_box <= 8, hit_box
