@@ -603,7 +603,11 @@ def minhash_oracle_sql(parquet_path: str, norm_sql: str, tau: float = DEFAULT_TA
 CC_MAX_ITER = 50
 
 
-def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = CC_MAX_ITER,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """(doc_id, cluster_id) for every node of ``edges`` (doc_a, doc_b),
     where cluster_id is the MINIMUM doc_id reachable in the undirected
     graph — the standard canonical labeling for duplicate clusters.
@@ -613,18 +617,38 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     one groupBy per round), stopping at the fixpoint. The driver holds
     only the iteration counter and a has-anything-changed flag — never
     row data — so the loop distributes like any other join pipeline.
-    ``localCheckpoint`` materializes each round's labels and cuts the
-    lineage, keeping round N's plan O(1) instead of O(N) deep.
+    Each round's labels are materialized with the lineage cut, keeping
+    round N's plan O(1) instead of O(N) deep.
+
+    ``checkpoint_dir`` selects the materialization strategy:
+    ``None`` (default) uses ``localCheckpoint`` — executor-local block
+    storage, fastest, right for single-JVM / short loops. On a real
+    cluster the executor-local blocks are NOT replicated: an executor
+    loss mid-loop kills the job. Passing a (fault-tolerant, e.g. HDFS/
+    object-store) directory switches every round to a reliable
+    ``checkpoint()``, which survives executor death — the production
+    form for long CC loops over 100 TB edge sets.
 
     Exact fixpoint labeling is deterministic regardless of partitioning
     or iteration order, which is what makes it oracle-checkable against
     a recursive-CTE transitive closure.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     # Materialize the (typically expensive) pair generator ONCE before
     # symmetrizing: a union's branches are evaluated independently, so
     # building sym straight off `edges` would run the whole upstream
     # pipeline twice.
-    edges = edges.select("doc_a", "doc_b").localCheckpoint()
+    edges = _materialize(edges.select("doc_a", "doc_b"))
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -638,8 +662,8 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("min_nbr"))
         .select("node", F.least("node", "min_nbr").alias("label"))
-        .localCheckpoint()
     )
+    labels = _materialize(labels)
     for _ in range(max_iter):
         # One aggregate does the whole round: neighbor labels (own=0)
         # union the node's current label (own=1); min over both is the
@@ -657,8 +681,8 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
                 F.min("label").alias("label"),
                 F.max(F.when(F.col("own") == 1, F.col("label"))).alias("old_label"),
             )
-            .localCheckpoint()
         )
+        step = _materialize(step)
         labels = step.select("node", "label")
         changed = step.filter(F.col("label") != F.col("old_label")).limit(1).count()
         if changed == 0:

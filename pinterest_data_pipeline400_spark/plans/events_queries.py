@@ -1829,6 +1829,82 @@ def ev_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "ev_value_deciles_bounded",
+    oracle="""
+    WITH thr AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.1), 6) AS d1,
+             round(quantile_cont(value, 0.2), 6) AS d2,
+             round(quantile_cont(value, 0.3), 6) AS d3,
+             round(quantile_cont(value, 0.4), 6) AS d4,
+             round(quantile_cont(value, 0.5), 6) AS d5,
+             round(quantile_cont(value, 0.6), 6) AS d6,
+             round(quantile_cont(value, 0.7), 6) AS d7,
+             round(quantile_cont(value, 0.8), 6) AS d8,
+             round(quantile_cont(value, 0.9), 6) AS d9
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             CAST(1 + (round(e.value, 6) > t.d1)::INT
+                    + (round(e.value, 6) > t.d2)::INT
+                    + (round(e.value, 6) > t.d3)::INT
+                    + (round(e.value, 6) > t.d4)::INT
+                    + (round(e.value, 6) > t.d5)::INT
+                    + (round(e.value, 6) > t.d6)::INT
+                    + (round(e.value, 6) > t.d7)::INT
+                    + (round(e.value, 6) > t.d8)::INT
+                    + (round(e.value, 6) > t.d9)::INT AS INT) AS decile,
+             e.value
+      FROM events e JOIN thr t ON e.event_type = t.event_type)
+    SELECT event_type, decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(round(value * 100)) AS BIGINT) AS lo_cents,
+           CAST(max(round(value * 100)) AS BIGINT) AS hi_cents
+    FROM b GROUP BY event_type, decile""",
+    doc="Value deciles per event type, the SCALE-SAFE registered form "
+    "(the docs_quality_buckets pattern, plans/curation.py): the nine "
+    "decile THRESHOLDS per type are one tiny aggregate (exact "
+    "interpolated percentile, Spark `percentile` == DuckDB "
+    "`quantile_cont`, both rounded to 6 dp) broadcast back onto the "
+    "events, and each row buckets by constant comparison — a map-side "
+    "join plus one partial-aggregated groupBy, NO per-type global sort. "
+    "ev_value_deciles keeps the exact ntile(10) window as the "
+    "equal-population twin; at 100 TB with ~5 event types that form is "
+    "5 giant single-task sorts, this form is the one to run. Ties at a "
+    "threshold fall to the lower bucket on both engines, so bucket "
+    "populations are near-equal rather than exactly equal — the "
+    "documented trade for unbounded scale.",
+)
+def ev_value_deciles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..config import percentile_accuracy, percentile_exact
+
+    ev = _events(spark, sf_dir)
+    if percentile_exact():  # oracle mode: matches quantile_cont exactly
+        q = "percentile(value, {p})"
+    else:  # 100 TB mode: bounded-memory mergeable sketch
+        q = f"percentile_approx(value, {{p}}, {percentile_accuracy()})"
+    thr = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(q.format(p=i / 10)), 6).alias(f"d{i}")
+            for i in range(1, 10)
+        ]
+    )
+    v6 = F.round(F.col("value"), 6)
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (v6 > F.col(f"d{i}")).cast("int")
+    return (
+        ev.join(F.broadcast(thr), on="event_type")
+        .groupBy("event_type", decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.round(F.col("value") * 100)).cast("long").alias("lo_cents"),
+            F.max(F.round(F.col("value") * 100)).cast("long").alias("hi_cents"),
+        )
+    )
+
+
+@REGISTRY.register(
     "ev_type_cooccurrence",
     oracle="""
     WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),

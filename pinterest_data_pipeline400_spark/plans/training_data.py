@@ -578,7 +578,7 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ORDER BY doc_id) AS cum
                FROM toks)
     SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
-           (cum - n_tokens) // {PACK_CONTEXT_TOKENS} AS bin_id
+           CAST((cum - n_tokens) // {PACK_CONTEXT_TOKENS} AS BIGINT) AS bin_id
     FROM packed""",
     doc=f"Sequence packing for LLM training: docs are assigned to "
     f"{PACK_CONTEXT_TOKENS}-token context bins by a running token-count "

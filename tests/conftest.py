@@ -65,6 +65,17 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     for col in a.columns:
         av, bv = a[col], b[col]
+        # The driver's value hash is REPRESENTATION-sensitive: an int64
+        # Spark column vs a float64 oracle column hash-mismatches even
+        # when every value is equal (this exact miss shipped once, as
+        # docs_pack_bins' HUGEINT-window // returning float64 from
+        # DuckDB). Catch it here instead of in the driver's report.
+        assert {av.dtype.kind, bv.dtype.kind} != {"i", "f"}, (
+            f"{name}.{col}: integer-vs-float dtype mismatch "
+            f"({av.dtype} vs {bv.dtype}) — the driver's value hash "
+            "would flag this even with equal values; CAST the oracle "
+            "(or the Spark column) so both sides agree"
+        )
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             pd.testing.assert_series_equal(
                 av.astype(float), bv.astype(float), check_names=False,

@@ -253,3 +253,17 @@ def test_profile_scale_mode_is_single_narrow_pass(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_DISTINCT_MODE")
     exact_plan = _plan(pr.profile_orders(spark, TEST_SF_DIR))
     assert "Expand" in exact_plan  # the documented exact-mode tradeoff
+
+
+def test_bounded_deciles_avoid_partition_sort(spark):
+    """ev_value_deciles_bounded is the scale-safe decile form: decile
+    thresholds are a tiny per-type aggregate broadcast back, bucketing
+    is constant comparison — the plan must contain NO window (ntile's
+    per-type full sort is exactly what this entry exists to avoid) and
+    must broadcast the threshold side."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_value_deciles_bounded(spark, TEST_SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

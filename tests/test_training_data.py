@@ -496,3 +496,32 @@ def test_winnowing_property_shared_substring(spark):
             f"case {cid}: docs sharing an 8+-char substring got disjoint "
             f"fingerprints: {cases[cid]}"
         )
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint (executor-local blocks, lost
+    on executor death) for a reliable checkpoint — the production form
+    for long CC loops at cluster scale. Labels must be identical to the
+    local-checkpoint run and the directory must actually receive
+    checkpoint data."""
+    import os
+
+    from pinterest_data_pipeline400_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (7, 8), (10, 11)], ["doc_a", "doc_b"]
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    reliable = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert reliable == local == {(1, 1), (2, 1), (3, 1), (7, 1), (8, 1), (10, 10), (11, 10)}
+    wrote = [
+        os.path.join(d, f) for d, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert wrote, "reliable checkpoint wrote nothing to checkpoint_dir"
