@@ -88,8 +88,53 @@ def main() -> None:
     # in a session pays the worker spin-up (~seconds); without this the
     # alphabetically-first Python-boundary query absorbs it.
     _materialize(spark.range(1).mapInPandas(lambda it: it, "id long"))
+    # ... and the Structured Streaming machinery: the first streaming
+    # query in a session spins up the micro-batch thread pools, state
+    # store maintenance pool, and (for the RocksDB entries) loads the
+    # native RocksDB library — measured 1.5-3.7 s absorbed by whichever
+    # streaming entry happens to run first (r4's artifact showed the
+    # stateful entries 1.4-1.6x slower than r3 purely from sweep
+    # position). One untimed availableNow stateful drain with the
+    # RocksDB provider pays all of it outside the timers.
+    try:
+        import shutil
+        import tempfile
 
-    OUTLIER_SEC = 2.0
+        _ckpt = tempfile.mkdtemp(prefix="bench_stream_warmup_")
+        _conf = "spark.sql.streaming.stateStore.providerClass"
+        _prev = spark.conf.get(_conf, None)
+        from pinterest_data_pipeline400_spark.streaming import ROCKSDB_PROVIDER
+
+        spark.conf.set(_conf, ROCKSDB_PROVIDER)
+        try:
+            (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", "1")
+                .load()
+                .groupBy("value")
+                .count()
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", _ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(60)
+            )
+        finally:
+            if _prev is None:
+                spark.conf.unset(_conf)
+            else:
+                spark.conf.set(_conf, _prev)
+        shutil.rmtree(_ckpt, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — warm-up only
+        pass
+
+    # 1.0 (was 2.0): r4→r5 A/B showed entries in the 1-2 s band (batch
+    # JSON scans, streaming drains) swing 1.3-1.7x run-to-run from GC /
+    # micro-batch scheduling noise a single sample can't average out;
+    # min-of-2 over the band costs ~30 s of sweep and makes the
+    # round-over-round per-entry deltas mean something.
+    OUTLIER_SEC = 1.0
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     for name in sorted(qfns):
