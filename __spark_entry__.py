@@ -30,6 +30,7 @@ from pinterest_data_pipeline400_spark.plans import (  # noqa: F401
     fingerprints,        # winnowing fingerprints
     formats_extra,       # XML + binaryFile sources
     profiling,           # table profile + SCD-2
+    relational_extra,    # round-5: lineitem/part/supplier, grouping sets
 )
 
 from pinterest_data_pipeline400_spark.plans.registry import REGISTRY
@@ -87,6 +88,17 @@ GRADE_WINDOW = [
     "docs_pack_bins",
     # round-5 additions (new this round, graded immediately)
     "ev_value_deciles_bounded",
+    "q_pricing_summary",
+    "q_supplier_nation_revenue",
+    "q_part_brand_margins",
+    "q_grouping_sets_region_segment",
+    "q_anti_join_customers",
+    "orders_rolling_90d_spend",
+    "ev_user_streaks",
+    "ev_time_weighted_avg",
+    "emb_knn_lsh",
+    "docs_cluster_keep_longest",
+    "docs_hist_token_log2",
 ]
 
 

@@ -528,19 +528,27 @@ def embedding_near_dup_pairs(
     )
 
 
-def embedding_near_dup_oracle_sql(parquet_path: str, tau: float = DEFAULT_COSINE_TAU) -> str:
-    """DuckDB mirror of :func:`embedding_near_dup_pairs` — generated
-    from the same EMB_BANDS/EMB_BAND_BITS constants so the band layout
-    can't drift."""
-    band_keys = ", ".join(
+def emb_band_keys_sql(vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`_emb_band_keys`: the comma-separated band
+    key expressions (for an ``unnest([...])``), generated from the same
+    EMB_BANDS/EMB_BAND_BITS constants so the band layout can't drift
+    between the Spark plan and any oracle built on it."""
+    return ", ".join(
         str(j << EMB_BAND_BITS)
         + " + "
         + " + ".join(
-            f"(CASE WHEN embedding[{j * EMB_BAND_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            f"(CASE WHEN {vec_col}[{j * EMB_BAND_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
             for i in range(EMB_BAND_BITS)
         )
         for j in range(EMB_BANDS)
     )
+
+
+def embedding_near_dup_oracle_sql(parquet_path: str, tau: float = DEFAULT_COSINE_TAU) -> str:
+    """DuckDB mirror of :func:`embedding_near_dup_pairs` — generated
+    from the same EMB_BANDS/EMB_BAND_BITS constants so the band layout
+    can't drift."""
+    band_keys = emb_band_keys_sql()
     return f"""
     WITH keyed AS (SELECT vec_id, embedding,
                           unnest([{band_keys}]) AS band_key

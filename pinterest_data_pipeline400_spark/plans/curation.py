@@ -246,3 +246,48 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(F.avg("y") - slope * F.avg("x"), 6).alias("zipf_intercept"),
     )
+
+
+@REGISTRY.register(
+    "docs_hist_token_log2",
+    oracle="""
+    WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS n_tokens
+               FROM documents),
+    b AS (SELECT n_tokens,
+                 CAST(floor(log2(n_tokens + 1)) AS INT) AS bucket
+          FROM n)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM b GROUP BY bucket""",
+    doc="Log2-bucketed document-length histogram — the curation "
+    "telemetry read before choosing chunking and packing parameters "
+    "(a linear histogram is useless over lengths spanning 4 orders of "
+    "magnitude). bucket = floor(log2(n_tokens+1)): log2 of an exact "
+    "small integer is knife-edge-free in IEEE double (powers of two "
+    "are exact, non-powers cannot round to an integer), so bucket "
+    "assignment matches across engines without any epsilon. Pure "
+    "projection + one tiny aggregate — no shuffle beyond the "
+    "~30-group combine, embarrassingly parallel at any corpus size.",
+)
+def docs_hist_token_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import ws_token_count
+
+    n = _docs(spark, sf_dir).select(
+        ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        n.select(
+            "n_tokens",
+            F.floor(F.log2(F.col("n_tokens") + 1)).cast("int").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

@@ -2137,3 +2137,135 @@ def ev_top_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.count").cast("long").alias("n_events"),
         (F.col("pos") + 1).cast("int").alias("rk"),
     )
+
+
+@REGISTRY.register(
+    "ev_user_streaks",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id,
+                         date_diff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS day_num
+                  FROM events),
+    flagged AS (
+      SELECT user_id, day_num,
+             CASE WHEN day_num - lag(day_num) OVER w = 1 THEN 0 ELSE 1 END
+               AS new_streak
+      FROM days WINDOW w AS (PARTITION BY user_id ORDER BY day_num)),
+    isl AS (SELECT user_id, day_num,
+                   sum(new_streak) OVER (PARTITION BY user_id ORDER BY day_num
+                                         ROWS UNBOUNDED PRECEDING) AS streak_id
+            FROM flagged),
+    streaks AS (SELECT user_id, streak_id, CAST(count(*) AS BIGINT) AS len
+                FROM isl GROUP BY user_id, streak_id)
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id""",
+    doc="Per-user consecutive-active-day streaks — gaps-and-islands on "
+    "the event calendar (the engagement metric behind every 'N-day "
+    "streak' feature): distinct active days, a lag-gap flag numbers "
+    "the islands via a running sum, and the per-user rollup reports "
+    "active days / streak count / longest run. Scale shape: ONE "
+    "shuffle on the high-cardinality user key does everything — the "
+    "distinct, both windows, and both aggregates all reuse that "
+    "partitioning (per-user day counts are bounded by the calendar, "
+    "so per-key state stays tiny at any corpus size).",
+)
+def ev_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    flagged = days.withColumn(
+        "new_streak",
+        F.when(F.col("day_num") - F.lag("day_num").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = flagged.withColumn(
+        "streak_id", F.sum("new_streak").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    streaks = isl.groupBy("user_id", "streak_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+@REGISTRY.register(
+    "ev_time_weighted_avg",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      event_id
+               FROM events),
+    weighted AS (
+      SELECT event_type, day, cents,
+             coalesce(lead(sec) OVER w,
+                      CAST(epoch(day + INTERVAL 1 DAY) AS BIGINT)) - sec AS w_sec
+      FROM e WINDOW w AS (PARTITION BY event_type, day
+                          ORDER BY sec, event_id))
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w_sec) AS BIGINT) AS total_weight_sec,
+           round(CAST(sum(cents * w_sec) AS DOUBLE) / sum(w_sec), 6)
+             AS twa_value_cents
+    FROM weighted GROUP BY event_type, day""",
+    doc="Time-weighted average value per (type, day) — the "
+    "irregular-sampling aggregate (TimescaleDB's time_weight, LOCF "
+    "form): each observation holds until the next one in its "
+    "partition, so its weight is the integer-second gap to the "
+    "successor (day end for the last), and the mean weights values by "
+    "how long they were current rather than how often they were "
+    "sampled. All-integer numerator/denominator (cents x seconds) "
+    "until one final division, so partial-aggregation order cannot "
+    "perturb the result on either engine. One shuffle on (type, day); "
+    "per-key window state is a single lead row.",
+)
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.unix_timestamp(F.col("ts")).alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("sec", "event_id")
+    day_end = F.unix_timestamp(F.date_add(F.col("day"), 1).cast("timestamp"))
+    weighted = e.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.coalesce(F.lead("sec").over(w), day_end) - F.col("sec")).alias("w_sec"),
+    )
+    return (
+        weighted.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w_sec").cast("long").alias("total_weight_sec"),
+            F.round(
+                F.sum(F.col("cents") * F.col("w_sec")).cast("double")
+                / F.sum("w_sec"),
+                6,
+            ).alias("twa_value_cents"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_weight_sec",
+            "twa_value_cents",
+        )
+    )

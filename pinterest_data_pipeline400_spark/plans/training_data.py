@@ -34,8 +34,10 @@ from pyspark.sql import functions as F
 
 from ..generator import ensure_fixtures, fixture_dir_for
 from ..operators.dedup import (
+    _emb_band_keys,
     dup_clusters,
     dup_clusters_oracle_sql,
+    emb_band_keys_sql,
     embedding_near_dup_oracle_sql,
     edit_distance_oracle_sql,
     edit_distance_pairs,
@@ -1774,4 +1776,131 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dup_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_keeper"
+    )
+
+
+@REGISTRY.register(
+    "emb_knn_lsh",
+    oracle=f"""
+    WITH keyed AS (SELECT vec_id, embedding,
+                          unnest([{emb_band_keys_sql()}]) AS band_key
+                   FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qemb, band_key
+          FROM keyed WHERE vec_id < {N_QUERIES}),
+    cand AS (SELECT DISTINCT q.qid AS query_id, e.vec_id AS neighbor_id,
+                    {_COS_SQL} AS cosine
+             FROM keyed e JOIN q ON e.band_key = q.band_key
+             WHERE e.vec_id <> q.qid),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+               FROM cand)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {K_NEIGHBORS}""",
+    doc="Hyperplane sign-LSH top-k — the third ANN family next to "
+    "brute force (exact baseline) and IVF (partition-by-cell): "
+    "candidates are corpus vectors sharing ANY of the 3 x 14-bit "
+    "leading-coordinate sign bands with the query (the same "
+    "OR-amplified banding emb_neardup_pairs uses for dedup, here "
+    "driving retrieval), fetched by a hash equi-join on the band key "
+    "with the exploded query side broadcast. Exact rounded cosine + "
+    "(cosine desc, id) rank only over candidates — never a full scan "
+    "per query, never all-pairs. Queries whose true neighbors "
+    "sign-flip in every band miss identically on both engines, so "
+    "the approximation itself is oracle-checked.",
+)
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    keyed = embs.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*_emb_band_keys("embedding"))).alias("band_key"),
+    )
+    q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        "band_key",
+    )
+    cand = (
+        keyed.join(F.broadcast(q), on="band_key")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine(_as_double(F.col("embedding")), _as_double(F.col("qemb"))), 6
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@REGISTRY.register(
+    "docs_cluster_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({minhash_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL)})),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a AS node, b AS r FROM edges
+              UNION
+              SELECT x.node, e.b FROM reach x JOIN edges e ON e.a = x.r),
+    lab AS (SELECT node AS doc_id, min(r) AS mr FROM reach GROUP BY node),
+    cl AS (SELECT doc_id,
+                  CASE WHEN mr < doc_id THEN mr ELSE doc_id END AS cluster_id
+           FROM lab),
+    lens AS (SELECT doc_id, CAST(length({_NORM_SQL}) AS BIGINT) AS len
+             FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')),
+    m AS (SELECT cl.doc_id, cl.cluster_id, lens.len
+          FROM cl JOIN lens USING (doc_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY len DESC, doc_id ASC) AS rn
+          FROM m),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM m GROUP BY cluster_id)
+    SELECT r.cluster_id, r.doc_id AS keeper_doc_id, r.len AS keeper_len,
+           s.cluster_size
+    FROM r JOIN sizes s USING (cluster_id) WHERE rn = 1""",
+    doc="Quality-keeper selection over near-dup clusters: where "
+    "docs_dup_clusters keeps the MIN doc_id (a canonical but "
+    "arbitrary choice), production curation keeps the BEST member — "
+    "here the longest normalized text, tiebroken by doc_id — because "
+    "near-dup groups typically contain truncated/boilerplate-wrapped "
+    "variants of one source. Same minhash pair generation and "
+    "Pregel-style transitive closure; the keeper is one row_number "
+    "window over the (bounded-size) clusters. The argmax-per-cluster "
+    "pattern generalizes to any quality score (model score, source "
+    "priority) by swapping the ORDER BY.",
+)
+def docs_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    labels = connected_components(minhash_near_dup_pairs(normed))
+    lens = normed.select("doc_id", F.length("norm").cast("long").alias("len"))
+    m = labels.select("doc_id", "cluster_id").join(lens, on="doc_id")
+    sizes = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("len").desc(), F.col("doc_id").asc()
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, on="cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("len").alias("keeper_len"),
+            "cluster_size",
+        )
     )

@@ -259,6 +259,9 @@ def test_top_users_sketch_mode_accuracy(spark, monkeypatch):
     require every non-tied item to match."""
     from pinterest_data_pipeline400_spark.plans import events_queries as eq
 
+    # the exact baseline must really take the exact path — a bench-style
+    # wrapper exporting approx mode would make this test vacuous
+    monkeypatch.delenv("SPARK_GRAFT_TOPK_MODE", raising=False)
     exact = eq.ev_top_users_sketch(spark, TEST_SF_DIR).toPandas()
     monkeypatch.setenv("SPARK_GRAFT_TOPK_MODE", "approx")
     approx = eq.ev_top_users_sketch(spark, TEST_SF_DIR).toPandas()

@@ -267,3 +267,67 @@ def test_bounded_deciles_avoid_partition_sort(spark):
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushes_shipdate_and_single_shuffle(spark):
+    """TPC-H Q1 shape: the shipdate cutoff reaches the parquet scan
+    (row-group skipping at 100 TB) and the whole query is one
+    partial-combined hash aggregate — a single exchange on the 6-value
+    group key."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_pricing_summary(spark, TEST_SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_dim_joins_broadcast_never_shuffle_fact(spark):
+    """supplier/nation (and part) are broadcast dims: the lineitem fact
+    side must stream through BroadcastHashJoins — zero SortMergeJoin,
+    zero exchange before the aggregate's own shuffle."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    for fn, n_bhj in ((rx.q_supplier_nation_revenue, 2), (rx.q_part_brand_margins, 1)):
+        plan = _plan(fn(spark, TEST_SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= n_bhj, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+
+def test_grouping_sets_is_one_expand_aggregate(spark):
+    """GROUPING SETS must compile to a single Expand + hash aggregate
+    (each row fans to its grains map-side), never one job per grain."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_grouping_sets_region_segment(spark, TEST_SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 3  # customer + the two dims, once each
+
+
+def test_anti_join_compiles_left_anti(spark):
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_anti_join_customers(spark, TEST_SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_knn_lsh_is_bucketed_not_all_pairs(spark):
+    """LSH KNN candidates come from a band-key equi-join with the
+    exploded query side broadcast — no cartesian/nested-loop product
+    anywhere in the plan (the brute-force entry is the only permitted
+    BroadcastNestedLoopJoin in the ANN family)."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.emb_knn_lsh(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_user_streaks_single_user_shuffle(spark):
+    """Gaps-and-islands on the event calendar: the distinct, both
+    windows, and both aggregates must all reuse ONE user_id exchange."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_user_streaks(spark, TEST_SF_DIR))
+    assert plan.count("Exchange") <= 2  # user shuffle + AQE read leeway
+    assert "CartesianProduct" not in plan
