@@ -99,6 +99,9 @@ GRADE_WINDOW = [
     "emb_knn_lsh",
     "docs_cluster_keep_longest",
     "docs_hist_token_log2",
+    "docs_dedup_pr",
+    # round-5 additions past the 50-slot window (pytest-oracle-green;
+    # front-load in round 6): emb_decontaminate, docs_temperature_mix
 ]
 
 

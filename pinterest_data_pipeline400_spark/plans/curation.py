@@ -291,3 +291,92 @@ def docs_hist_token_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+MIX_ALPHA = 0.5  # temperature: share_s ∝ n_s^alpha (1 = natural, 0 = uniform)
+MIX_BUDGET_FRAC = 0.6  # target corpus fraction after resampling
+
+#: Per-doc uniform integer in [0, 1e6) from md5 hex chars 17-24 —
+#: independent of the split (chars 1-8) and packing (9-16) hashes, so
+#: composing this sampler with those operators never correlates.
+_MIX_PCT_SPARK = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 17, 8), 16, 10) AS BIGINT) % 1000000"
+)
+_MIX_PCT_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8)) AS BIGINT) % 1000000"
+)
+
+
+@REGISTRY.register(
+    "docs_temperature_mix",
+    oracle=f"""
+    WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   sum(pow(n_docs, {MIX_ALPHA})) AS z
+            FROM n),
+    rates AS (SELECT n.source, n.n_docs,
+                     round(least(1.0,
+                       floor({MIX_BUDGET_FRAC} * tot.total)
+                       * pow(n.n_docs, {MIX_ALPHA}) / tot.z / n.n_docs), 6)
+                       AS keep_rate
+              FROM n CROSS JOIN tot),
+    kept AS (SELECT d.source,
+                    CASE WHEN {_MIX_PCT_DUCK}
+                              < CAST(round(r.keep_rate * 1000000) AS BIGINT)
+                         THEN 1 ELSE 0 END AS keep
+             FROM documents d JOIN rates r USING (source))
+    SELECT r.source, r.n_docs, r.keep_rate,
+           CAST(sum(k.keep) AS BIGINT) AS n_kept
+    FROM kept k JOIN rates r USING (source)
+    GROUP BY r.source, r.n_docs, r.keep_rate""",
+    doc="Temperature-scaled mixture resampling (the multilingual/"
+    "multi-source rebalancing rule from the T5/mBERT lineage): target "
+    "share per source ∝ n^alpha (alpha=0.5 upweights small sources), "
+    "keep_rate = min(1, budget * share / n), and each doc keeps or "
+    "drops by an independent md5 uniform compared to the rate — "
+    "deterministic on any engine/partitioning where rand() is not, and "
+    "drawn from md5 chars independent of the split/packing hashes so "
+    "samplers compose without correlation. Where docs_mixture_resample "
+    "caps sources at a fixed budget, this derives the rates from "
+    "corpus statistics: one tiny per-source aggregate broadcast back, "
+    "one projection — the corpus is scanned once. The float "
+    "keep_rate is rounded to 6 dp on BOTH sides before the integer "
+    "threshold compare, so the kept set is identical across engines.",
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = n.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).alias("z"),
+    )
+    rates = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.floor(MIX_BUDGET_FRAC * F.col("total"))
+                * F.pow("n_docs", F.lit(MIX_ALPHA))
+                / F.col("z")
+                / F.col("n_docs"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    kept = docs.join(F.broadcast(rates), on="source").select(
+        "source",
+        "n_docs",
+        "keep_rate",
+        F.when(
+            F.expr(_MIX_PCT_SPARK)
+            < F.round(F.col("keep_rate") * 1000000).cast("long"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+    return kept.groupBy("source", "n_docs", "keep_rate").agg(
+        F.sum("keep").cast("long").alias("n_kept")
+    )

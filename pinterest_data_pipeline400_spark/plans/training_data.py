@@ -1904,3 +1904,153 @@ def docs_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# detector evaluation + embedding decontamination (round 5)
+# --------------------------------------------------------------------------
+
+#: A doc's planted family root: copies carry provenance 'exact_of_N' /
+#: 'near_of_N'; the root of a base doc is itself. Same expression both
+#: engines — pure string/regexp arithmetic.
+_ROOT_SQL = (
+    "CASE WHEN provenance LIKE '%_of_%' "
+    "THEN CAST(regexp_extract(provenance, '([0-9]+)$', 1) AS BIGINT) "
+    "ELSE doc_id END"
+)
+
+
+def _pr_counts_sql(method: str, det_sql: str) -> str:
+    """One method's precision/recall row: planted-truth pairs vs the
+    detector's emitted pairs, all set algebra on (doc_a, doc_b)."""
+    return f"""
+    SELECT '{method}' AS method,
+           (SELECT count(*) FROM truth) AS n_truth_pairs,
+           CAST(count(*) AS BIGINT) AS n_detected,
+           CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_positive,
+           round(CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS precision,
+           round(CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / (SELECT count(*) FROM truth), 6) AS recall
+    FROM ({det_sql}) d LEFT JOIN truth t USING (doc_a, doc_b)"""
+
+
+@REGISTRY.register(
+    "docs_dedup_pr",
+    oracle=f"""
+    WITH roots AS (SELECT doc_id, {_ROOT_SQL} AS root
+                   FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')),
+    truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM roots a JOIN roots b
+                ON a.root = b.root AND a.doc_id < b.doc_id)
+    {_pr_counts_sql("minhash", minhash_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL))}
+    UNION ALL
+    {_pr_counts_sql("simhash", simhash_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL))}""",
+    doc="Detector EVALUATION against planted ground truth — the dedup "
+    "twin of emb_knn_recall: the fixture's provenance column names each "
+    "copy's source, so the true duplicate-pair relation (same planted "
+    "family) is computable exactly, and each detector's emitted pairs "
+    "score precision/recall against it as a first-class query instead "
+    "of a docstring claim. MinHash-LSH and SimHash side by side: both "
+    "are precision-1 by construction (verified pairs only); recall "
+    "differs by what each fingerprint considers near (word-shingle "
+    "Jaccard ≥ 0.5 vs hamming ≤ 3 over token-set bits). Truth pairs "
+    "come from a root-key equi-join (families are tiny, no skew); "
+    "scoring is one outer join per detector on the pair key.",
+)
+def docs_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    roots = dup.select("doc_id", F.expr(_ROOT_SQL).alias("root"))
+    a = roots.select(F.col("doc_id").alias("doc_a"), "root")
+    b = roots.select(F.col("doc_id").alias("doc_b"), "root")
+    truth = a.join(b, on="root").filter(F.col("doc_a") < F.col("doc_b")).drop("root")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+
+    def score(method: str, det: DataFrame) -> DataFrame:
+        d = det.select("doc_a", "doc_b").join(
+            truth.withColumn("is_true", F.lit(1)), on=["doc_a", "doc_b"], how="left"
+        )
+        counts = d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_detected"),
+            F.sum(F.coalesce("is_true", F.lit(0))).cast("long").alias("n_true_positive"),
+        )
+        return counts.crossJoin(F.broadcast(n_truth)).select(
+            F.lit(method).alias("method"),
+            F.col("n_truth_pairs").cast("long").alias("n_truth_pairs"),
+            "n_detected",
+            "n_true_positive",
+            F.round(F.col("n_true_positive").cast("double") / F.col("n_detected"), 6).alias(
+                "precision"
+            ),
+            F.round(
+                F.col("n_true_positive").cast("double") / F.col("n_truth_pairs"), 6
+            ).alias("recall"),
+        )
+
+    return score("minhash", minhash_near_dup_pairs(normed)).unionByName(
+        score("simhash", simhash_near_dup_pairs(normed))
+    )
+
+
+EMB_EVAL_SET = 200  # held-out "benchmark" = vec_id < 200
+EMB_DECON_TAU = 0.99
+
+
+@REGISTRY.register(
+    "emb_decontaminate",
+    oracle=f"""
+    WITH keyed AS (SELECT vec_id, embedding,
+                          unnest([{emb_band_keys_sql()}]) AS band_key
+                   FROM read_parquet('{_ORACLE_FX}/emb_dup.parquet')),
+    ev AS (SELECT vec_id AS eval_id, embedding AS eemb, band_key
+           FROM keyed WHERE vec_id < {EMB_EVAL_SET}),
+    hits AS (SELECT DISTINCT t.vec_id, ev.eval_id,
+                    round(list_cosine_similarity(t.embedding, ev.eemb), 6)
+                      AS cosine
+             FROM keyed t JOIN ev USING (band_key)
+             WHERE t.vec_id >= {EMB_EVAL_SET}),
+    flagged AS (SELECT vec_id, eval_id, cosine FROM hits
+                WHERE cosine >= {EMB_DECON_TAU})
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_eval_matches,
+           max(cosine) AS best_cosine
+    FROM flagged GROUP BY vec_id""",
+    doc="Embedding-space DECONTAMINATION — the semantic twin of "
+    "docs_decontaminate's n-gram overlap: training vectors whose cosine "
+    "to ANY held-out benchmark vector clears 0.99 are flagged (the "
+    "planted exact/near copies of eval-set members). Candidates come "
+    "from the shared sign-LSH band machinery — the (tiny, exploded) "
+    "eval side joins the training side on the band key, so the corpus "
+    "is touched once and never all-pairs; at 100 TB the eval set "
+    "broadcast is a few thousand benchmark rows. Same "
+    "approximation-is-oracle-checked property as every LSH entry: a "
+    "contaminated vector whose perturbation sign-flips every band "
+    "misses identically on both engines.",
+)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "emb_dup.parquet"))
+    keyed = embs.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*_emb_band_keys("embedding"))).alias("band_key"),
+    )
+    ev = keyed.filter(F.col("vec_id") < EMB_EVAL_SET).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eemb"), "band_key"
+    )
+    hits = (
+        keyed.filter(F.col("vec_id") >= EMB_EVAL_SET)
+        .join(F.broadcast(ev), on="band_key")
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(cosine(F.col("embedding"), F.col("eemb")), 6).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= EMB_DECON_TAU)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+        F.max("cosine").alias("best_cosine"),
+    )

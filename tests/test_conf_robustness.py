@@ -1,0 +1,82 @@
+"""Results must not depend on runtime tuning confs: whole-stage codegen
+off (interpreted evaluation), AQE off (static planning), and an awkward
+shuffle partition count must all produce value-identical frames — the
+engine's determinism rules (integer arithmetic, rounding before
+comparison, explicit tiebreaks) are what guarantee this, and this suite
+is what proves the guarantee instead of asserting it in docstrings.
+
+These are exactly the knobs that differ between a laptop test run and a
+tuned 1000-executor cluster, so conf-sensitivity here would mean
+scale-up changes answers."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+
+from tests.conftest import TEST_SF_DIR, assert_frames_match
+
+def _representatives():
+    """Raw plan functions, NOT the registry wrappers: the wrapper
+    re-pins spark.sql.shuffle.partitions on every call (by design, for
+    foreign driver sessions), which would silently undo the
+    weird_shuffle override and make that case vacuous. The pytest
+    session already carries the engine's base confs."""
+    from pinterest_data_pipeline400_spark.plans import (
+        events_queries,
+        relational_extra,
+        tpch_queries,
+        training_data,
+    )
+
+    return {
+        # join -> group -> window top-1 (the flagship spine)
+        "q1_top_priority_per_nation": tpch_queries.q1_top_priority_per_nation,
+        # banded LSH self-join + verify (the dedup spine)
+        "docs_dup_minhash_pairs": training_data.docs_dup_minhash_pairs,
+        # exact-cents fact rollup with pushed filter
+        "q_pricing_summary": relational_extra.q_pricing_summary,
+        # RANGE-frame window over a partitioned key
+        "orders_rolling_90d_spend": relational_extra.orders_rolling_90d_spend,
+        # broadcast-threshold bucketing (1-row agg broadcast back)
+        "ev_value_deciles_bounded": events_queries.ev_value_deciles_bounded,
+    }
+
+
+REPRESENTATIVES = sorted(_representatives())
+
+HOSTILE_CONFS = {
+    "codegen_off": {"spark.sql.codegen.wholeStage": "false"},
+    "aqe_off": {"spark.sql.adaptive.enabled": "false"},
+    "weird_shuffle": {"spark.sql.shuffle.partitions": "7"},
+}
+
+
+@contextmanager
+def _confs(spark, overrides: dict):
+    saved = {}
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+@pytest.mark.parametrize("conf_name", sorted(HOSTILE_CONFS))
+@pytest.mark.parametrize("entry", REPRESENTATIVES)
+def test_results_invariant_under_runtime_confs(spark, entry, conf_name):
+    fn = _representatives()[entry]
+    baseline = fn(spark, TEST_SF_DIR).toPandas()
+    with _confs(spark, HOSTILE_CONFS[conf_name]):
+        assert spark.conf.get(list(HOSTILE_CONFS[conf_name])[0]) == list(
+            HOSTILE_CONFS[conf_name].values()
+        )[0]
+        hostile = fn(spark, TEST_SF_DIR).toPandas()
+    assert_frames_match(baseline, hostile, f"{entry}[{conf_name}]")

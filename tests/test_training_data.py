@@ -525,3 +525,45 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         os.path.join(d, f) for d, _, fs in os.walk(ckpt) for f in fs
     ]
     assert wrote, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
+def test_apply_in_pandas_grouped_map_matches_native(spark):
+    """API-surface proof for the grouped-map Pandas path (the brief's
+    applyInPandas): a per-source stats computation written as an
+    Arrow-batched grouped-map UDF must equal the native JVM aggregate.
+    Like the chunk_doc UDTF proof, this pins the API works end-to-end
+    while the registry keeps its entries on codegen'd plans (Python
+    grouped-map shuffles ALL rows to Python workers — the slow path by
+    design, reserved for logic built-ins cannot express)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline400_spark.plans.training_data import _docs
+
+    docs = _docs(spark, TEST_SF_DIR).select("source", "n_chars")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+            }
+        )
+
+    via_pandas = (
+        docs.groupBy("source")
+        .applyInPandas(stats, "source string, n_docs long, total_chars long")
+        .toPandas()
+    )
+    native = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .toPandas()
+    )
+    from tests.conftest import assert_frames_match
+
+    assert_frames_match(via_pandas, native, "applyInPandas-vs-native")
