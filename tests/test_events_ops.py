@@ -276,3 +276,100 @@ def test_top_users_sketch_mode_accuracy(spark, monkeypatch):
         assert set(zip(uniq["user_id"], uniq["n_events"])) <= set(
             zip(a["user_id"], a["n_events"])
         ), et
+
+
+def test_user_streaks_matches_bruteforce(spark):
+    """Gaps-and-islands vs a direct Python recompute over synthetic day
+    sets covering the edge shapes: singleton, full run, run with gaps,
+    duplicate events on one day, and a month boundary crossing."""
+    import datetime as dt
+
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    day_sets = {
+        1: [1, 2, 3, 10, 11, 30],         # two runs + singleton
+        2: [5],                           # singleton only
+        3: list(range(1, 29)),            # one unbroken run
+        4: [27, 28, 29, 30, 31, 32, 33],  # crosses a month boundary
+        5: [7, 7, 7, 8],                  # duplicate events same day
+    }
+    rows = []
+    eid = 0
+    for uid, days in day_sets.items():
+        for d in days:
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(days=d - 1, hours=eid % 24),
+                    uid,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import pinterest_data_pipeline400_spark.plans.events_queries as mod
+
+    # route _events to the synthetic frame for this call only
+    orig = mod._events
+    mod._events = lambda s, sf: df
+    try:
+        got = {
+            r["user_id"]: (r["n_active_days"], r["n_streaks"], r["longest_streak"])
+            for r in eq.ev_user_streaks(spark, "unused").collect()
+        }
+    finally:
+        mod._events = orig
+
+    for uid, days in day_sets.items():
+        uniq = sorted(set(days))
+        runs, cur = [], 1
+        for a, b in zip(uniq, uniq[1:]):
+            if b - a == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert got[uid] == (len(uniq), len(runs), max(runs)), uid
+
+
+def test_time_weighted_avg_constant_value_invariant(spark):
+    """LOCF property: if every event in a (type, day) carries the same
+    value, the time-weighted average equals that value regardless of
+    event spacing — and the weights must tile the day exactly (sum =
+    seconds from first event to midnight)."""
+    import datetime as dt
+
+    import pinterest_data_pipeline400_spark.plans.events_queries as mod
+
+    rows = []
+    # irregular spacing, constant value 7.25 -> twa must be 725.0
+    for i, minute in enumerate([0, 1, 5, 59, 301, 1402]):
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 3, 10, 0, 0, 0) + dt.timedelta(minutes=minute),
+                1,
+                "click",
+                7.25,
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = mod._events
+    mod._events = lambda s, sf: df
+    try:
+        out = mod.ev_time_weighted_avg(spark, "unused").collect()
+    finally:
+        mod._events = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["twa_value_cents"] == 725.0
+    assert r["n_events"] == 6
+    assert r["total_weight_sec"] == 86400  # first event at midnight tiles the day
