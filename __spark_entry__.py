@@ -101,7 +101,8 @@ GRADE_WINDOW = [
     "docs_hist_token_log2",
     "docs_dedup_pr",
     # round-5 additions past the 50-slot window (pytest-oracle-green;
-    # front-load in round 6): emb_decontaminate, docs_temperature_mix
+    # front-load in round 6): emb_decontaminate, docs_temperature_mix,
+    # docs_remove_common_spans
 ]
 
 

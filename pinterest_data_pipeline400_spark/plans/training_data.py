@@ -2054,3 +2054,95 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
         F.max("cosine").alias("best_cosine"),
     )
+
+
+@REGISTRY.register(
+    "docs_remove_common_spans",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_NORM_SQL} AS norm
+                 FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')),
+    t AS (SELECT doc_id, string_split(norm, ' ') AS t FROM src),
+    pos_spans AS (SELECT doc_id, unnest(range(1, len(t) - {SPAN_N - 2})) AS i, t
+                  FROM t WHERE len(t) >= {SPAN_N}),
+    occ AS (SELECT doc_id, i,
+                   array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS span
+            FROM pos_spans),
+    flagged AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM occ)
+                GROUP BY span HAVING count(*) >= {SPAN_MIN_DF}),
+    covered AS (SELECT DISTINCT o.doc_id, unnest(range(o.i, o.i + {SPAN_N})) AS p
+                FROM occ o JOIN flagged f USING (span)),
+    cov AS (SELECT doc_id, list(p) AS cov FROM covered GROUP BY doc_id),
+    rebuilt AS (
+      SELECT t.doc_id,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             list_transform(
+               list_filter(range(1, len(t.t) + 1),
+                           p -> NOT list_contains(coalesce(cov.cov, []), p)),
+               p -> t.t[p]) AS kept
+      FROM t LEFT JOIN cov USING (doc_id))
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+    FROM rebuilt""",
+    doc=f"Boilerplate REMOVAL — the actionable form of docs_common_spans "
+    "(detection): every occurrence of a flagged cross-document "
+    f"{SPAN_N}-word span is excised from the text by POSITION (token "
+    "indices covered by any flagged occurrence are dropped, so "
+    "overlapping occurrences merge instead of double-deleting — the "
+    "C4/CCNet line-dedup analog at span granularity). One span explode "
+    "feeds both the df aggregate (distinct-per-doc, HAVING-bounded) "
+    "and the occurrence list; covered positions come back via a join "
+    "on the span and collapse to one per-doc position set; the rebuild "
+    "is a row-local filter+transform over the token array. Output is "
+    "compact and hash-checkable: token counts plus the md5 of the "
+    "scrubbed text. At 100 TB the flagged-span side is the "
+    "HAVING-filtered aggregate (true boilerplate is by definition the "
+    "high-df tail) and AQE picks broadcast vs shuffle from its runtime "
+    "size.",
+)
+def docs_remove_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    dup = dup.repartition(spark.sparkContext.defaultParallelism)
+    toks = dup.select("doc_id", ws_tokens(norm_text(F.col("text"))).alias("t"))
+    occ = toks.filter(F.size("t") >= SPAN_N).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (SPAN_N - 1))).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(" ", F.slice("t", F.col("i"), SPAN_N)).alias("span"),
+    )
+    flagged = (
+        occ.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= SPAN_MIN_DF)
+        .select("span")
+    )
+    covered = (
+        occ.join(flagged, on="span")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + SPAN_N - 1)).alias("p"))
+        .distinct()
+    )
+    cov = covered.groupBy("doc_id").agg(F.collect_set("p").alias("cov"))
+    rebuilt = toks.join(cov, on="doc_id", how="left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size("t")),
+                lambda p: ~F.array_contains(
+                    F.coalesce(F.col("cov"), F.array().cast("array<integer>")), p
+                ),
+            ),
+            lambda p: F.element_at(F.col("t"), p),
+        ).alias("kept"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.md5(F.encode(F.concat_ws(" ", F.col("kept")), "UTF-8")).alias("clean_md5"),
+    )

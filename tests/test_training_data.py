@@ -567,3 +567,46 @@ def test_apply_in_pandas_grouped_map_matches_native(spark):
     from tests.conftest import assert_frames_match
 
     assert_frames_match(via_pandas, native, "applyInPandas-vs-native")
+
+
+def test_remove_common_spans_scrubs_planted_dups(spark):
+    """Semantic check of the removal (the oracle already pins values):
+    an exact-duplicate family shares its ENTIRE text, so every token of
+    both members sits in a flagged cross-doc span — n_removed must
+    equal n_tokens for each; docs in no family should be mostly
+    untouched (near-dup perturbation spans aside)."""
+    import re
+
+    fx = os.path.join(td.fixture_dir_for(TEST_SF_DIR), "docs_dup.parquet")
+    prov = {
+        r["doc_id"]: r["provenance"]
+        for r in spark.read.parquet(fx).select("doc_id", "provenance").collect()
+    }
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in td.docs_remove_common_spans(spark, TEST_SF_DIR).collect()
+    }
+    exact_family = set()
+    for did, p in prov.items():
+        m = re.match(r"exact_of_(\d+)$", p)
+        if m:
+            exact_family.add(did)
+            exact_family.add(int(m.group(1)))
+    assert exact_family, "fixture has no planted exact dups"
+    for did in exact_family:
+        n, rem = out[did]
+        assert rem == n, f"doc {did}: {rem}/{n} removed — exact dup must scrub fully"
+    referenced = {
+        int(m.group(1))
+        for p in prov.values()
+        if (m := re.search(r"_of_(\d+)$", p))
+    }
+    untouched = [
+        did
+        for did, p in prov.items()
+        if p == "base" and did not in referenced and out[did][1] == 0
+    ]
+    lone = [did for did, p in prov.items() if p == "base" and did not in referenced]
+    assert len(untouched) > 0.5 * len(lone), (
+        "most family-free base docs should keep all tokens"
+    )
