@@ -106,8 +106,9 @@ def main() -> None:
         from pinterest_data_pipeline400_spark.streaming import ROCKSDB_PROVIDER
 
         spark.conf.set(_conf, ROCKSDB_PROVIDER)
+        _q = None
         try:
-            (
+            _q = (
                 spark.readStream.format("rate")
                 .option("rowsPerSecond", "1")
                 .load()
@@ -118,14 +119,20 @@ def main() -> None:
                 .option("checkpointLocation", _ckpt)
                 .trigger(availableNow=True)
                 .start()
-                .awaitTermination(60)
             )
+            # On timeout the query would otherwise keep running through
+            # the timed sweep — the exact contamination the warm-up
+            # exists to prevent. Stop it explicitly.
+            if not _q.awaitTermination(60):
+                _q.stop()
         finally:
+            if _q is not None and _q.isActive:
+                _q.stop()
             if _prev is None:
                 spark.conf.unset(_conf)
             else:
                 spark.conf.set(_conf, _prev)
-        shutil.rmtree(_ckpt, ignore_errors=True)
+            shutil.rmtree(_ckpt, ignore_errors=True)
     except Exception:  # noqa: BLE001 — warm-up only
         pass
 

@@ -637,20 +637,70 @@ def connected_components(
     ``checkpoint()``, which survives executor death — the production
     form for long CC loops over 100 TB edge sets.
 
+    Reliable-mode storage discipline: Spark never deletes checkpoint
+    files on its own (the ContextCleaner conf is off by default), so a
+    naive loop would retain one full label-set copy per round — ~50x
+    the label size in the worst case. Each round therefore checkpoints
+    into its own subdirectory of ``checkpoint_dir`` and the rounds no
+    longer referenced by any live plan are deleted as the loop
+    advances (the edges checkpoint stays for the whole loop — `sym` is
+    a persist() over it and may recompute from it after executor
+    loss; on convergence everything but the FINAL round — which the
+    returned DataFrame reads — is removed). If the session had a
+    checkpoint dir set, it is restored on exit rather than left
+    pointing into ``checkpoint_dir``. The final round's files belong
+    to the caller:
+    they back the returned DataFrame, so remove ``checkpoint_dir``
+    only after consuming it.
+
     Exact fixpoint labeling is deterministic regardless of partitioning
     or iteration order, which is what makes it oracle-checkable against
     a recursive-CTE transitive closure.
     """
+    _restore_ckpt_dir = None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        spark = edges.sparkSession
+        sc = spark.sparkContext
+        _prev_dir = sc.getCheckpointDir()
+        _restore_ckpt_dir = lambda: _prev_dir and sc.setCheckpointDir(_prev_dir)  # noqa: E731
+        _hconf = spark._jsc.hadoopConfiguration()
+        _jpath = spark._jvm.org.apache.hadoop.fs.Path
+        _state = {"round": 0, "live": []}  # live = deletable round dirs
+
+        def _rm(dir_str: str) -> None:
+            p = _jpath(dir_str)
+            p.getFileSystem(_hconf).delete(p, True)
 
         def _materialize(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            sub = f"{checkpoint_dir}/round_{_state['round']}"
+            sc.setCheckpointDir(sub)
+            out = df.checkpoint(eager=True)
+            # round 0 is the edges checkpoint: sym recomputes from it
+            # on block eviction, so it lives until the loop ends
+            if _state["round"] > 0:
+                _state["live"].append(sub)
+            _state["round"] += 1
+            # the new round is fully materialized; label rounds older
+            # than the previous one are unreachable by any plan
+            while len(_state["live"]) > 2:
+                _rm(_state["live"].pop(0))
+            return out
+
+        def _finalize() -> None:
+            # keep only the final round (it backs the returned DF)
+            for d in _state["live"][:-1]:
+                _rm(d)
+            if _state["round"] > 1:
+                _rm(f"{checkpoint_dir}/round_0")
+            _restore_ckpt_dir()
 
     else:
 
         def _materialize(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
+
+        def _finalize() -> None:
+            pass
 
     # Materialize the (typically expensive) pair generator ONCE before
     # symmetrizing: a union's branches are evaluated independently, so
@@ -695,9 +745,14 @@ def connected_components(
         changed = step.filter(F.col("label") != F.col("old_label")).limit(1).count()
         if changed == 0:
             sym.unpersist()
+            _finalize()
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
+    # non-convergence: leave the round dirs in place for debugging, but
+    # never leave the session's checkpoint dir pointing at them
+    if _restore_ckpt_dir is not None:
+        _restore_ckpt_dir()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -296,29 +296,36 @@ def docs_hist_token_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_ALPHA = 0.5  # temperature: share_s ∝ n_s^alpha (1 = natural, 0 = uniform)
 MIX_BUDGET_FRAC = 0.6  # target corpus fraction after resampling
 
-#: Per-doc uniform integer in [0, 1e6) from md5 hex chars 17-24 —
-#: independent of the split (chars 1-8) and packing (9-16) hashes, so
-#: composing this sampler with those operators never correlates.
+#: Per-doc uniform integer in [0, 1e6) from a SALTED md5 ('mix:'||id)
+#: — all four 8-hex-char windows of the plain doc-id md5 are already
+#: claimed (split 1-8, packing 9-16, resample percentile + source-cap
+#: order 17-24, stratified sample 25-32), so a fresh salt is the only
+#: way this sampler stays independent of every existing one and
+#: composes with them without correlated thinning.
 _MIX_PCT_SPARK = (
-    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 17, 8), 16, 10) AS BIGINT) % 1000000"
+    "CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT) % 1000000"
 )
 _MIX_PCT_DUCK = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8)) AS BIGINT) % 1000000"
+    "CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 1000000"
 )
 
 
 @REGISTRY.register(
     "docs_temperature_mix",
     oracle=f"""
-    WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(round(pow(count(*), {MIX_ALPHA}) * 1000000) AS BIGINT)
+                        AS pow6
                FROM documents GROUP BY source),
     tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
-                   sum(pow(n_docs, {MIX_ALPHA})) AS z
+                   CAST(sum(pow6) AS BIGINT) AS z6
             FROM n),
     rates AS (SELECT n.source, n.n_docs,
                      round(least(1.0,
                        floor({MIX_BUDGET_FRAC} * tot.total)
-                       * pow(n.n_docs, {MIX_ALPHA}) / tot.z / n.n_docs), 6)
+                       * CAST(n.pow6 AS DOUBLE) / tot.z6 / n.n_docs), 6)
                        AS keep_rate
               FROM n CROSS JOIN tot),
     kept AS (SELECT d.source,
@@ -336,20 +343,33 @@ _MIX_PCT_DUCK = (
     "keep_rate = min(1, budget * share / n), and each doc keeps or "
     "drops by an independent md5 uniform compared to the rate — "
     "deterministic on any engine/partitioning where rand() is not, and "
-    "drawn from md5 chars independent of the split/packing hashes so "
-    "samplers compose without correlation. Where docs_mixture_resample "
-    "caps sources at a fixed budget, this derives the rates from "
-    "corpus statistics: one tiny per-source aggregate broadcast back, "
-    "one projection — the corpus is scanned once. The float "
+    "drawn from a SALTED hash ('mix:'||id) disjoint from every other "
+    "sampler's hash window, so composing this with split/pack/resample/"
+    "cap/stratify never correlates. Where docs_mixture_resample caps "
+    "sources at a fixed budget, this derives the rates from corpus "
+    "statistics: one tiny per-source aggregate broadcast back, one "
+    "projection — the corpus is scanned once. Determinism discipline: "
+    "the per-source n^alpha terms are scaled to integers BEFORE "
+    "summing (float partial sums are aggregation-order-dependent), and "
     "keep_rate is rounded to 6 dp on BOTH sides before the integer "
     "threshold compare, so the kept set is identical across engines.",
 )
 def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # pow terms scaled to integers BEFORE the sum: a float sum of
+    # per-source n^alpha would be partial-aggregation-order-dependent
+    # (the one class of drift the whole suite excludes by summing
+    # integers); round(pow*1e6) is deterministic per row on both
+    # engines and the integer sum is order-free.
+    n = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.pow(F.count(F.lit(1)), F.lit(MIX_ALPHA)) * 1000000)
+        .cast("long")
+        .alias("pow6"),
+    )
     tot = n.agg(
         F.sum("n_docs").cast("long").alias("total"),
-        F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).alias("z"),
+        F.sum("pow6").cast("long").alias("z6"),
     )
     rates = n.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -358,8 +378,8 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.lit(1.0),
                 F.floor(MIX_BUDGET_FRAC * F.col("total"))
-                * F.pow("n_docs", F.lit(MIX_ALPHA))
-                / F.col("z")
+                * F.col("pow6").cast("double")
+                / F.col("z6")
                 / F.col("n_docs"),
             ),
             6,

@@ -1952,10 +1952,13 @@ def _pr_counts_sql(method: str, det_sql: str) -> str:
     "copy's source, so the true duplicate-pair relation (same planted "
     "family) is computable exactly, and each detector's emitted pairs "
     "score precision/recall against it as a first-class query instead "
-    "of a docstring claim. MinHash-LSH and SimHash side by side: both "
-    "are precision-1 by construction (verified pairs only); recall "
-    "differs by what each fingerprint considers near (word-shingle "
-    "Jaccard ≥ 0.5 vs hamming ≤ 3 over token-set bits). Truth pairs "
+    "of a docstring claim. MinHash-LSH and SimHash side by side: "
+    "measured at sf0.01, minhash is P=1.0/R=1.0 (its exact-Jaccard "
+    "verify aligns with how the dups were planted) while simhash is "
+    "P~0.95/R~0.45 — hamming ≤ 3 over token-set bits is a STRICTER, "
+    "cheaper criterion that keeps mostly exact copies and can also "
+    "admit a near-fingerprint pair outside the planted families, "
+    "which is exactly the trade this entry makes visible. Truth pairs "
     "come from a root-key equi-join (families are tiny, no skew); "
     "scoring is one outer join per detector on the pair key.",
 )

@@ -525,6 +525,17 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         os.path.join(d, f) for d, _, fs in os.walk(ckpt) for f in fs
     ]
     assert wrote, "reliable checkpoint wrote nothing to checkpoint_dir"
+    # storage discipline: rounds no longer referenced by any live plan
+    # are deleted — only the FINAL round (backing the returned frame)
+    # may retain data files
+    rounds_with_files = {
+        os.path.relpath(d, ckpt).split(os.sep)[0]
+        for d, _, fs in os.walk(ckpt)
+        if fs
+    }
+    assert len(rounds_with_files) == 1, (
+        f"stale checkpoint rounds left behind: {sorted(rounds_with_files)}"
+    )
 
 
 def test_apply_in_pandas_grouped_map_matches_native(spark):
