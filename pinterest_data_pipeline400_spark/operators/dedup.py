@@ -472,16 +472,21 @@ EMB_BAND_BITS = 14
 DEFAULT_COSINE_TAU = 0.99
 
 
-def _emb_band_keys(vec_col: str) -> list:
-    """Band keys: key_j = (j << EMB_BAND_BITS) | sign-bits of block j —
-    the (j <<) namespace keeps bands from colliding with each other,
-    so one equi-join column carries all bands."""
+def _emb_band_keys(
+    vec_col: str, bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS
+) -> list:
+    """Band keys: key_j = (j << bits) | sign-bits of block j — the
+    (j <<) namespace keeps bands from colliding with each other, so
+    one equi-join column carries all bands. Defaults are the near-dup
+    banding (3x14: high precision, recall only at cosine ~0.99);
+    callers tune (bands, bits) to their cosine regime — KNN over
+    mid-cosine neighbors needs many short bands instead."""
     keys = []
-    for j in range(EMB_BANDS):
-        key = F.lit(j << EMB_BAND_BITS)
-        for i in range(EMB_BAND_BITS):
+    for j in range(bands):
+        key = F.lit(j << bits)
+        for i in range(bits):
             key = key + F.when(
-                F.get(F.col(vec_col), j * EMB_BAND_BITS + i) > 0, F.lit(1 << i)
+                F.get(F.col(vec_col), j * bits + i) > 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
         keys.append(key)
     return keys
@@ -528,19 +533,21 @@ def embedding_near_dup_pairs(
     )
 
 
-def emb_band_keys_sql(vec_col: str = "embedding") -> str:
+def emb_band_keys_sql(
+    vec_col: str = "embedding", bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS
+) -> str:
     """DuckDB twin of :func:`_emb_band_keys`: the comma-separated band
     key expressions (for an ``unnest([...])``), generated from the same
-    EMB_BANDS/EMB_BAND_BITS constants so the band layout can't drift
-    between the Spark plan and any oracle built on it."""
+    (bands, bits) parameters so the band layout can't drift between
+    the Spark plan and any oracle built on it."""
     return ", ".join(
-        str(j << EMB_BAND_BITS)
+        str(j << bits)
         + " + "
         + " + ".join(
-            f"(CASE WHEN {vec_col}[{j * EMB_BAND_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(EMB_BAND_BITS)
+            f"(CASE WHEN {vec_col}[{j * bits + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
         )
-        for j in range(EMB_BANDS)
+        for j in range(bands)
     )
 
 

@@ -621,3 +621,14 @@ def test_remove_common_spans_scrubs_planted_dups(spark):
     assert len(untouched) > 0.5 * len(lone), (
         "most family-free base docs should keep all tokens"
     )
+
+
+def test_knn_lsh_recall_beats_neardup_banding(spark):
+    """The KNN banding choice is load-bearing: 12x5-bit bands must
+    deliver usable recall on mid-cosine neighbors (the 3x14 near-dup
+    banding measures 0.0 here — that regression shape is exactly what
+    this guards). Pinned loosely: fixture embeddings are near-random,
+    the hardest case for hyperplane LSH."""
+    out = td.emb_knn_recall_lsh(spark, TEST_SF_DIR).toPandas()
+    assert len(out) == td.N_QUERIES
+    assert out.recall_at_k.mean() >= 0.5, out.recall_at_k.mean()
