@@ -2206,3 +2206,121 @@ def emb_knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+LLOYD_ITERS = 3
+
+
+def _lloyd_oracle_sql(iters: int) -> str:
+    """Unrolled DuckDB mirror of the Lloyd loop: iteration t assigns
+    against cent_{t-1} and derives cent_t by the integer-scaled mean
+    (sum of round(x*1e6) as BIGINT, divided back — order-independent,
+    the same discipline as the Spark side). Generated from one loop so
+    the two engines cannot drift structurally."""
+    parts = [
+        f"""cent_0 AS (SELECT vec_id AS cluster_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+               FROM embeddings WHERE vec_id < {K_CLUSTERS})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    pairs_{t} AS (SELECT e.vec_id, e.embedding, c.cluster_id,
+        round(list_cosine_similarity(
+            list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cemb), 6)
+          AS cosine
+      FROM embeddings e, cent_{t - 1} c),
+    ranked_{t} AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cosine DESC, cluster_id ASC) AS rn
+                   FROM pairs_{t}),
+    a_{t} AS (SELECT * FROM ranked_{t} WHERE rn = 1),
+    exp_{t} AS (SELECT cluster_id,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                         AS v6
+                FROM a_{t}),
+    centl_{t} AS (SELECT cluster_id, dim,
+                         CAST(sum(v6) AS DOUBLE) / 1000000 / count(*) AS cval
+                  FROM exp_{t} GROUP BY cluster_id, dim),
+    cent_{t} AS (SELECT cluster_id, list(cval ORDER BY dim) AS cemb
+                 FROM centl_{t} GROUP BY cluster_id)""")
+    return "WITH " + ",".join(parts)
+
+
+@REGISTRY.register(
+    "emb_kmeans_lloyd",
+    oracle=f"""{_lloyd_oracle_sql(LLOYD_ITERS)}
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(round(cosine * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / count(*), 6) AS avg_cosine
+    FROM a_{LLOYD_ITERS} GROUP BY cluster_id""",
+    doc=f"FULL Lloyd k-means loop — {LLOYD_ITERS} assign+update "
+    "iterations composed as DataFrame rounds (the second iterative "
+    "algorithm after connected components; emb_kmeans_assign/"
+    "_centroids are its single steps): each round broadcasts the "
+    f"{K_CLUSTERS} current centroids, ranks every vector by rounded "
+    "cosine, and re-derives centroids by the INTEGER-SCALED mean "
+    "(coordinates quantized to 1e-6 before the sum, so the mean is "
+    "bit-identical on any engine and any aggregation order — a raw "
+    "double mean would drift and compound across iterations). The "
+    "tiny centroid frame localCheckpoints each round to keep lineage "
+    "O(1); the driver holds no row data. Output: per-cluster "
+    "membership and mean assignment cosine after the final round, "
+    "both from order-free integer sums. Oracle: the loop unrolled "
+    "into generated CTEs — structurally incapable of semantic drift "
+    "from the Spark rounds.",
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    cent = embs.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cluster_id"),
+        _as_double(F.col("embedding")).alias("cemb"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("cluster_id").asc()
+    )
+    assigned = None
+    for _ in range(LLOYD_ITERS):
+        scored = embs.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cluster_id",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("cemb")), 6).alias(
+                "cosine"
+            ),
+        )
+        assigned = scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        exploded = assigned.select(
+            "cluster_id",
+            F.posexplode(
+                F.transform(
+                    _as_double(F.col("embedding")),
+                    lambda x: F.round(x * 1000000).cast("long"),
+                )
+            ).alias("dim", "v6"),
+        )
+        centl = exploded.groupBy("cluster_id", "dim").agg(
+            (F.sum("v6").cast("double") / 1000000 / F.count(F.lit(1))).alias("cval")
+        )
+        cent = (
+            centl.groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s.getField("cval"),
+                ).alias("cemb")
+            )
+            .localCheckpoint()  # 8 rows; cuts the per-round lineage
+        )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.round(F.col("cosine") * 1000000).cast("long")).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cosine"),
+    )
