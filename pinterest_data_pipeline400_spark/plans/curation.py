@@ -400,3 +400,68 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source", "n_docs", "keep_rate").agg(
         F.sum("keep").cast("long").alias("n_kept")
     )
+
+
+#: Lexicon-based polarity (the EDBT'16 'Large Scale Sentiment Analysis
+#: on Twitter with Spark' pattern: token-level lexicon hits aggregated
+#: distributively — no model, no Python). Lexicons are tiny literal
+#: lists compiled into the plan; swap for AFINN/VADER wordlists in a
+#: real deployment.
+SENTIMENT_POS = ["fast", "small"]
+SENTIMENT_NEG = ["slow", "big"]
+
+
+@REGISTRY.register(
+    "docs_sentiment_lexicon",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source,
+                        unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    scored AS (SELECT doc_id, source,
+                      CAST(sum(CASE WHEN token IN ({", ".join(f"'{w}'" for w in SENTIMENT_POS)})
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                      CAST(sum(CASE WHEN token IN ({", ".join(f"'{w}'" for w in SENTIMENT_NEG)})
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+               FROM tok GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_pos) AS BIGINT) AS total_pos,
+           CAST(sum(n_neg) AS BIGINT) AS total_neg,
+           CAST(sum(CASE WHEN n_pos > n_neg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive_docs,
+           CAST(sum(CASE WHEN n_neg > n_pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative_docs,
+           round(CAST(sum(n_pos) - sum(n_neg) AS DOUBLE)
+                 / greatest(sum(n_pos) + sum(n_neg), 1), 6) AS polarity
+    FROM scored GROUP BY source""",
+    doc="Lexicon-based sentiment scoring per source (the EDBT 2016 "
+    "Spark-sentiment pattern, PAPERS.md): token-level positive/"
+    "negative lexicon hits counted per document, rolled up to "
+    "per-source polarity (pos-neg over pos+neg) and document-level "
+    "majority verdicts. Purely distributive integer counting — the "
+    "lexicons compile into the plan as literal IN-lists (at real "
+    "lexicon sizes, a broadcast join against a lexicon table), both "
+    "aggregates combine map-side, and the final division runs on "
+    "exact integer sums — no floats until the last expression, no "
+    "Python anywhere.",
+)
+def docs_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+    )
+    scored = tok.groupBy("doc_id", "source").agg(
+        F.sum(F.col("token").isin(SENTIMENT_POS).cast("int")).cast("long").alias("n_pos"),
+        F.sum(F.col("token").isin(SENTIMENT_NEG).cast("int")).cast("long").alias("n_neg"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_pos").cast("long").alias("total_pos"),
+        F.sum("n_neg").cast("long").alias("total_neg"),
+        F.sum((F.col("n_pos") > F.col("n_neg")).cast("int")).cast("long").alias("n_positive_docs"),
+        F.sum((F.col("n_neg") > F.col("n_pos")).cast("int")).cast("long").alias("n_negative_docs"),
+        F.round(
+            (F.sum("n_pos") - F.sum("n_neg")).cast("double")
+            / F.greatest(F.sum("n_pos") + F.sum("n_neg"), F.lit(1)),
+            6,
+        ).alias("polarity"),
+    )
