@@ -44,9 +44,16 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # the in-memory catalog forgets tables across sessions but their
     # warehouse directories persist; clear orphans or saveAsTable
-    # refuses with LOCATION_ALREADY_EXISTS
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+    # refuses with LOCATION_ALREADY_EXISTS. Managed-table layout is
+    # {warehouse}/{db}.db/{table} for qualified names, {warehouse}/
+    # {table} for the default database; local file warehouses only —
+    # a remote warehouse (s3://...) cannot hold cross-session orphans
+    # from this single-JVM engine, so the cleanup skips it.
+    wh_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh_uri.scheme in ("", "file"):
+        parts = table_name.lower().split(".")
+        rel = f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[-1]
+        shutil.rmtree(f"{wh_uri.path}/{rel}", ignore_errors=True)
     (
         df.write.format(fmt)
         .mode("overwrite")
@@ -86,18 +93,40 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: spread each key of the (skewed) big
     side over ``salt`` sub-partitions and replicate the small side to
-    match. Output equals ``big.join(small, on, how)`` exactly; the hot
-    key's work runs on ``salt`` tasks instead of one.
+    match. Output equals ``big.join(small, on, how)`` exactly for the
+    supported join types; the hot key's work runs on ``salt`` tasks
+    instead of one.
+
+    ``how`` is restricted to the types where salting preserves join
+    semantics: inner and the big-side-preserving left family (left /
+    left_semi / left_anti). Right and full outer are REJECTED — the
+    replicated small side would surface up to ``salt`` null-extended
+    copies of every unmatched small row, silently corrupting the
+    result; for those, salt the other side or pre-aggregate.
 
     Use when one key's row count dwarfs the rest (power-law keys) and
     the small side is too big to broadcast outright but cheap to
     replicate ``salt``×.
     """
-    big_salted = big.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "left_semi", "leftsemi",
+               "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side breaks right/full-outer semantics (each "
+            "unmatched small row would appear up to `salt` times)"
+        )
+    # uniquified temp column: never clobber a caller's same-named column
+    salt_col = "__salt"
+    taken = set(big.columns) | set(small.columns)
+    while salt_col in taken:
+        salt_col += "_"
+    big_salted = big.withColumn(salt_col, (F.rand(seed=0) * salt).cast("int"))
     salts = F.explode(F.array(*[F.lit(i) for i in range(salt)]))
-    small_replicated = small.withColumn("__salt", salts)
-    out = big_salted.join(small_replicated, on=[on, "__salt"], how=how)
-    return out.drop("__salt")
+    small_replicated = small.withColumn(salt_col, salts)
+    out = big_salted.join(small_replicated, on=[on, salt_col], how=how)
+    return out.drop(salt_col)
 
 
 def compact_parquet(
@@ -128,6 +157,15 @@ def compact_parquet(
     """
     import math
     import os
+
+    # in-place compaction would truncate the source before the lazy
+    # scan materializes (mode=overwrite deletes dst first) — refuse
+    src_real, dst_real = os.path.realpath(src_dir), os.path.realpath(dst_dir)
+    if dst_real == src_real or src_real.startswith(dst_real + os.sep):
+        raise ValueError(
+            f"compact_parquet dst_dir {dst_dir!r} would overwrite its own "
+            "source; compact into a fresh directory, then swap"
+        )
 
     total = sum(
         os.path.getsize(os.path.join(root, f))
@@ -190,11 +228,14 @@ def write_zordered(
     index; readers just scan with ordinary pushdown filters and let
     file/row-group stats skip.
     """
-    keyed = df.withColumn("__z", zorder_key(x, y, bits))
+    z_col = "__z"
+    while z_col in df.columns:  # never clobber a caller's column
+        z_col += "_"
+    keyed = df.withColumn(z_col, zorder_key(x, y, bits))
     (
-        keyed.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        keyed.repartitionByRange(n_files, z_col)
+        .sortWithinPartitions(z_col)
+        .drop(z_col)
         .write.mode("overwrite")
         .parquet(dst_dir)
     )

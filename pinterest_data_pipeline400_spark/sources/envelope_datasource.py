@@ -77,37 +77,21 @@ class EnvelopeReader(DataSourceReader):
         return [_EnvelopeFilePartition(p) for p in files]
 
     def read(self, partition: _EnvelopeFilePartition):
-        import pyarrow as pa
-
-        names, keys, datas = [], [], []
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                rec = json.loads(line)
-                row = (
-                    rec.get("StreamName"),
-                    rec.get("PartitionKey"),
-                    rec.get("Data"),
-                )
-                if any(
-                    row[("StreamName", "PartitionKey", "Data").index(col)] != val
-                    for col, val in self.eq_filters
-                ):
-                    continue
-                names.append(row[0])
-                keys.append(row[1])
-                datas.append(row[2])
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(names, pa.string()), pa.array(keys, pa.string()),
-             pa.array(datas, pa.string())],
-            names=["StreamName", "PartitionKey", "Data"],
-        )
+        # filter columns resolve to tuple indices ONCE, not per row
+        idx_filters = [
+            (_ENVELOPE_COLS.index(col), val) for col, val in self.eq_filters
+        ]
+        yield from _read_envelope_file(partition.path, idx_filters)
 
 
-def _read_envelope_file(path: str):
-    """One JSONL part file → one pyarrow RecordBatch (shared by the
-    batch and streaming readers)."""
+_ENVELOPE_COLS = ("StreamName", "PartitionKey", "Data")
+
+
+def _read_envelope_file(path: str, idx_filters: Sequence[tuple[int, str]] = ()):
+    """One JSONL part file → one pyarrow RecordBatch — the single parse
+    loop shared by the batch and streaming readers (``idx_filters`` are
+    the batch reader's pushed equality predicates, pre-resolved to
+    column indices; the streaming reader pushes nothing)."""
     import pyarrow as pa
 
     names, keys, datas = [], [], []
@@ -116,13 +100,16 @@ def _read_envelope_file(path: str):
             if not line.strip():
                 continue
             rec = json.loads(line)
-            names.append(rec.get("StreamName"))
-            keys.append(rec.get("PartitionKey"))
-            datas.append(rec.get("Data"))
+            row = (rec.get("StreamName"), rec.get("PartitionKey"), rec.get("Data"))
+            if any(row[i] != val for i, val in idx_filters):
+                continue
+            names.append(row[0])
+            keys.append(row[1])
+            datas.append(row[2])
     yield pa.RecordBatch.from_arrays(
         [pa.array(names, pa.string()), pa.array(keys, pa.string()),
          pa.array(datas, pa.string())],
-        names=["StreamName", "PartitionKey", "Data"],
+        names=list(_ENVELOPE_COLS),
     )
 
 
@@ -165,12 +152,26 @@ class EnvelopeStreamReader(DataSourceStreamReader):
     def _watermark(self, offset: dict) -> str:
         """Offset → file-name watermark; upgrades a legacy count-based
         checkpoint ({"n_files": N} = the first N names of the sorted
-        listing) in place so old checkpoints keep resuming correctly."""
+        listing) in place.
+
+        The upgrade is best-effort BY CONSTRUCTION: a count cannot
+        identify WHICH files were consumed, so if a late out-of-order
+        file landed between the legacy checkpoint and this resume, the
+        positional mapping shifts and the file at the boundary may be
+        re-read once (duplicate, at-least-once) — which is exactly why
+        the offset format moved to names; name offsets never shift.
+        If the listing has FEWER files than the count (files were
+        deleted — already undefined behavior for a file source), the
+        watermark falls to the LAST existing name: possibly skipping
+        re-added files, but never replaying the whole directory into
+        the sink as duplicates."""
         if "last_file" in offset:
             return offset["last_file"]
         n = offset.get("n_files", 0)
         names = self._names()
-        return names[n - 1] if 0 < n <= len(names) else ""
+        if n <= 0 or not names:
+            return ""
+        return names[n - 1] if n <= len(names) else names[-1]
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = self._watermark(start), self._watermark(end)

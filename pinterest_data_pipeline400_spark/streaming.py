@@ -136,8 +136,13 @@ def run_pipeline_to_sink(
     checkpoint_dir: str,
     timeout_sec: int = STREAM_DRAIN_TIMEOUT_SEC,
 ) -> None:
-    """source → decode → clean → dedup-on-stream → checkpointed append;
-    drains all pending input (AvailableNow) and returns when committed."""
+    """source → decode → clean → checkpointed append; drains all
+    pending input (AvailableNow) and returns when committed. Dedup
+    runs where the reference ran it: inside the PIN cleaning
+    (clean_pin's dropDuplicates — mount.py's pipeline); geo/user
+    streams append as-cleaned. For explicit at-least-once-input dedup
+    on any stream, compose :func:`dedup_stream` before the sink (the
+    `stream_dedup_watermarked` entry is that form, driver-checked)."""
     raw = read_envelope_stream(spark, stream_dir)
     cleaned = clean_stream(decode_stream(raw, RAW_SCHEMAS[table]), table)
     query = write_stream_append(cleaned, sink_dir, checkpoint_dir)
@@ -164,6 +169,10 @@ def stateful_running_counts(stream: DataFrame, key_col: str = "user_id") -> Data
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # output schema derives from the key's ACTUAL dtype: grouping by a
+    # string key (event_type, country) must work like the bigint default
+    key_dtype = stream.schema[key_col].dataType.simpleString()
+
     def update(key: tuple, batches, state: GroupState):
         total = state.get[0] if state.exists else 0
         n = 0
@@ -171,11 +180,11 @@ def stateful_running_counts(stream: DataFrame, key_col: str = "user_id") -> Data
             n += len(pdf)
         total += n
         state.update((total,))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events_so_far": [total]})
+        yield pd.DataFrame({key_col: [key[0]], "n_events_so_far": [total]})
 
     return stream.groupBy(F.col(key_col)).applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events_so_far long",
+        outputStructType=f"{key_col} {key_dtype}, n_events_so_far long",
         stateStructType="total long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -225,9 +234,10 @@ def stateful_running_counts_tws(stream: DataFrame, key_col: str = "user_id") -> 
         def close(self) -> None:
             pass
 
+    key_dtype = stream.schema[key_col].dataType.simpleString()
     return stream.groupBy(F.col(key_col)).transformWithStateInPandas(
         RunningCount(),
-        outputStructType="user_id long, n_events_so_far long",
+        outputStructType=f"{key_col} {key_dtype}, n_events_so_far long",
         outputMode="append",
         timeMode="none",
     )

@@ -296,3 +296,61 @@ def test_zorder_layout_prunes_on_both_dimensions(spark):
     assert hit_u <= 12, hit_u
     assert hit_d <= 26, hit_d
     assert hit_box <= 8, hit_box
+
+
+def test_salted_join_left_and_anti_match_plain_join(spark):
+    """Salting must preserve semantics for the big-side-preserving
+    join family, including big rows with NO match (left: one
+    null-extended row, never `salt` copies; anti: exactly the
+    unmatched keys)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    big = spark.range(200).select(
+        (F.col("id") % 12).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(7).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    for how in ("left", "left_anti"):
+        plain = big.join(small, on="k", how=how).toPandas()
+        salted = salted_join(big, small, on="k", salt=8, how=how).toPandas()
+        cols = sorted(plain.columns)
+        a = plain[cols].sort_values(cols, ignore_index=True)
+        b = salted[cols].sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b), how
+
+
+def test_salted_join_rejects_outer_forms(spark):
+    """right/full outer would surface up to `salt` null-extended copies
+    of every unmatched small row — must be an explicit error, not a
+    silently corrupt result."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(10).select((F.col("id") % 3).alias("k"))
+    small = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(big, small, on="k", how=how)
+
+
+def test_salted_join_survives_caller_salt_column(spark):
+    """A pre-existing __salt column on either input must pass through
+    untouched, never be clobbered or used as the join key."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), F.lit(99).alias("__salt")
+    )
+    small = spark.range(5).select(F.col("id").alias("k"), F.lit(-1).alias("w"))
+    out = salted_join(big, small, on="k", salt=4).toPandas()
+    assert "__salt" in out.columns
+    assert (out["__salt"] == 99).all()
+    assert len(out) == 50
+
+
+def test_compact_parquet_refuses_in_place(spark, tmp_path):
+    from pinterest_data_pipeline400_spark.operators.scale import compact_parquet
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="overwrite its own source"):
+        compact_parquet(spark, src, src)

@@ -302,3 +302,26 @@ def test_envelope_stream_reader_offsets_are_name_based(tmp_path):
     # current sorted listing [a, b, d, e] -> watermark "d.jsonl"
     got = [os.path.basename(p.path) for p in r.partitions({"n_files": 3}, second)]
     assert got == ["e.jsonl"]
+
+
+def test_legacy_count_offset_with_missing_files_never_full_replays(tmp_path):
+    """Legacy {'n_files': N} checkpoints with N beyond the current
+    listing (files deleted — UB for a file source, but it happens)
+    must fall to the LAST existing name, not to '' — '' would replay
+    the entire directory into the sink as duplicates."""
+    import json as _json
+    import os as _os
+
+    from pinterest_data_pipeline400_spark.sources.envelope_datasource import (
+        EnvelopeStreamReader,
+    )
+
+    d = str(tmp_path)
+    for name in ("a.jsonl", "b.jsonl"):
+        with open(_os.path.join(d, name), "w") as fh:
+            fh.write(_json.dumps({"StreamName": "s", "PartitionKey": "1", "Data": "{}"}) + "\n")
+    r = EnvelopeStreamReader({"path": d})
+    assert r._watermark({"n_files": 5}) == "b.jsonl"  # clamp, don't replay
+    assert r._watermark({"n_files": 2}) == "b.jsonl"
+    assert r._watermark({"n_files": 0}) == ""
+    assert r._watermark({"last_file": "a.jsonl"}) == "a.jsonl"

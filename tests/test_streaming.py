@@ -218,3 +218,32 @@ def test_foreach_batch_sink_idempotent_partitions(spark, tmp_path):
     all_rows = spark.read.parquet(os.path.join(out, "*")).count()
     assert all_rows == 15
     assert len(set(os.listdir(out)) - batches_after_first) == 1  # one new batch dir
+
+
+def test_stateful_counts_string_key_col(spark, tmp_path):
+    """key_col works for non-default, non-bigint keys: the output
+    schema derives from the key's ACTUAL dtype (a hardcoded 'user_id
+    long' struct used to make any other key fail at Arrow conversion —
+    this guards the fix)."""
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.streaming import stateful_running_counts
+
+    in_dir, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    os.makedirs(in_dir)
+    pd.DataFrame({"country": ["US", "US", "DE", "FR", "DE", "US"]}).to_parquet(
+        os.path.join(in_dir, "p0.parquet")
+    )
+    stream = spark.readStream.schema("country string").parquet(in_dir)
+    q = (
+        stateful_running_counts(stream, key_col="country")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(60)
+    out = {r.country: r.n_events_so_far for r in spark.read.parquet(sink).collect()}
+    assert out == {"US": 3, "DE": 2, "FR": 1}
