@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         spark = build_session(app_name=f"cli-{args.cmd}")
 
+    # run/explain need no ensure_runtime_confs here: spec.fn is the
+    # registry WRAPPER, which pins the correctness confs on every call
+    # (plans/registry.py) — the same guarantee the sql path gets
+    # explicitly below.
     if args.cmd == "run":
         reg.specs[args.name].fn(spark, args.sf_dir).show(args.limit, truncate=False)
     elif args.cmd == "explain":

@@ -59,15 +59,19 @@ def convert_follower_count(count: str | None) -> int | None:
     *before* 'M'; float parse then int-truncate; any ValueError → None."""
     if count is None:
         return None
+    # OverflowError: int(float('inf')) — 'Infinityk' parses as a float
+    # the int() conversion cannot represent; the native twin yields
+    # NULL there (try_cast overflow), so None keeps the pair aligned
+    # instead of killing the task.
     if "k" in count:
         try:
             return int(float(count.replace("k", "")) * 1000)
-        except ValueError:
+        except (ValueError, OverflowError):
             return None
     if "M" in count:
         try:
             return int(float(count.replace("M", "")) * 1000000)
-        except ValueError:
+        except (ValueError, OverflowError):
             return None
     try:
         return int(count)
@@ -109,7 +113,7 @@ def parse_follower_count(col: Column) -> Column:
 # shared row-wise ops
 # --------------------------------------------------------------------------
 
-def normalize_nulls(df: DataFrame) -> Column | DataFrame:
+def normalize_nulls(df: DataFrame) -> DataFrame:
     """''/'NA'/'N/A' → NULL across all string columns (mount.py:99)."""
     return df.na.replace(NULL_TOKENS, None)
 
@@ -160,9 +164,11 @@ def clean_pin(
 
     if impute == "median":
         # Mid-plan action, exactly like the reference: exact median of the
-        # parsed values, re-embedded as a literal.
-        median = df.approxQuantile("follower_count", [0.5], 0.0)[0]
-        fill = F.lit(int(median)).cast("int")
+        # parsed values, re-embedded as a literal. approxQuantile returns
+        # [] when every parsed value is NULL (empty batch, all-junk
+        # column) — there is no median to impute, so the NULLs stand.
+        q = df.approxQuantile("follower_count", [0.5], 0.0)
+        fill = F.lit(int(q[0])).cast("int") if q else F.lit(None).cast("int")
     elif impute == "constant":
         fill = F.lit(STREAM_IMPUTE_CONSTANT).cast("int")
     else:

@@ -128,6 +128,8 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:  # NULL payload: contract error, not TypeError
+                    raise ValueError(f"media_id {mid}: NULL payload")
                 w, h, maxval, s = parse_ppm(bytes(p))
                 rows.append((mid, w, h, maxval, s, s / (3.0 * w * h)))
             yield pd.DataFrame(
@@ -180,6 +182,12 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
             )
             if audio_format != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV encoding fmt={audio_format}/{bits}bit")
+            if channels == 0 or sample_rate == 0:
+                # must stay inside the documented ValueError contract —
+                # otherwise these escape as ZeroDivisionError downstream
+                raise ValueError(
+                    f"malformed fmt chunk: channels={channels}, rate={sample_rate}"
+                )
         elif cid == b"data":
             if channels is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -221,6 +229,8 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:  # NULL payload: contract error, not TypeError
+                    raise ValueError(f"media_id {mid}: NULL payload")
                 c, sr, frames, s = parse_wav(bytes(p))
                 rows.append((mid, c, sr, frames, s, frames / sr))
             yield pd.DataFrame(
@@ -262,14 +272,27 @@ def decode_image_real(payload: bytes) -> dict:
         }
 
 
+def fake_dims(n: int) -> tuple[int, int]:
+    """The fake decode's (width, height) from a byte length — ONE
+    definition shared by fake_features and resize_media, because the
+    oracles mirror this exact arithmetic (a drifted copy would break
+    parity in a non-obvious place)."""
+    return n % 64 + 16, (n // 64) % 64 + 16
+
+
+def fake_frame_count(n: int) -> int:
+    """The fake decode's video frame count — shared by fake_features
+    and sample_frames for the same no-drift reason."""
+    return n % 30 + 1
+
+
 def fake_features(payload: bytes, media_type: str) -> tuple[int, int, int, int, int]:
     """Deterministic stand-in decode: features derived arithmetically
     from the payload bytes (mirrored exactly by the DuckDB oracle)."""
     n = len(payload)
     first = payload[0] if n else 0
-    width = n % 64 + 16
-    height = (n // 64) % 64 + 16
-    n_frames = n % 30 + 1 if media_type == "video" else 1
+    width, height = fake_dims(n)
+    n_frames = fake_frame_count(n) if media_type == "video" else 1
     return n, first, width, height, n_frames
 
 
@@ -326,7 +349,7 @@ def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(p) if p is not None else b""
                 n = len(p)
-                n_frames = n % 30 + 1
+                n_frames = fake_frame_count(n)
                 for i in range(0, n_frames, stride):
                     seg = p[i * n // n_frames : (i + 1) * n // n_frames]
                     rows.append((mid, i, len(seg), hashlib.md5(seg).hexdigest()))
@@ -373,10 +396,8 @@ def resize_media(media: DataFrame, scale_num: int = 1, scale_den: int = 2) -> Da
                 m = n * scale_num // scale_den
                 off = (n - m) // 2
                 seg = p[off : off + m]
-                rows.append(
-                    (mid, n, m, m % 64 + 16, (m // 64) % 64 + 16,
-                     hashlib.md5(seg).hexdigest())
-                )
+                new_w, new_h = fake_dims(m)
+                rows.append((mid, n, m, new_w, new_h, hashlib.md5(seg).hexdigest()))
             if rows:
                 yield pd.DataFrame(
                     rows,

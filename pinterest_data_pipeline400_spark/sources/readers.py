@@ -39,7 +39,9 @@ def load_tables(
     (mount.py:77-82) with a plain dict (SURVEY.md §2.10 quirk 3).
     """
     out: dict[str, DataFrame] = {}
-    for name in names or TESTDATA_TABLES:
+    # `is None`, not truthiness: an explicitly empty selection means
+    # load nothing, not load everything
+    for name in TESTDATA_TABLES if names is None else names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             out[name] = spark.read.parquet(path)

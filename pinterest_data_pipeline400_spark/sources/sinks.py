@@ -90,6 +90,8 @@ def with_retries(
     ``max_retries`` times, sleeping ``backoff_base ** attempt`` seconds
     after failed attempt number ``attempt`` (0-based), re-raising the
     last failure. ``sleep`` is injectable for tests."""
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
     last: Exception | None = None
     for attempt in range(max_retries):
         try:
