@@ -103,7 +103,7 @@ GRADE_WINDOW = [
     # round-5 additions past the 50-slot window (pytest-oracle-green;
     # front-load in round 6): emb_decontaminate, docs_temperature_mix,
     # docs_remove_common_spans, emb_knn_recall_lsh, emb_kmeans_lloyd,
-    # docs_sentiment_lexicon
+    # docs_sentiment_lexicon, orders_rfm_segments
 ]
 
 

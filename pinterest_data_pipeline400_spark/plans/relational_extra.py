@@ -306,3 +306,88 @@ def orders_rolling_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("long").alias("rolling_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_orders_90d"),
     )
+
+
+RFM_ASOF = "2001-09-01"  # analysis date: just past the last fixture order
+
+
+@REGISTRY.register(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '{RFM_ASOF}') AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    thr AS (SELECT round(quantile_cont(CAST(recency_days AS DOUBLE), 0.5), 6) AS r_med,
+                   round(quantile_cont(CAST(frequency AS DOUBLE), 0.5), 6) AS f_med,
+                   round(quantile_cont(CAST(monetary_cents AS DOUBLE), 0.5), 6) AS m_med
+            FROM rfm),
+    seg AS (SELECT r.*,
+                   (CAST(r.recency_days AS DOUBLE) <= t.r_med) AS recent,
+                   (CAST(r.frequency AS DOUBLE) > t.f_med) AS frequent,
+                   (CAST(r.monetary_cents AS DOUBLE) > t.m_med) AS big_spender
+            FROM rfm r CROSS JOIN thr t)
+    SELECT CASE WHEN recent AND frequent AND big_spender THEN 'champion'
+                WHEN recent AND (frequent OR big_spender) THEN 'loyal'
+                WHEN NOT recent AND (frequent OR big_spender) THEN 'at_risk'
+                WHEN recent THEN 'new'
+                ELSE 'hibernating' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(min(recency_days) AS BIGINT) AS min_recency_days,
+           CAST(max(recency_days) AS BIGINT) AS max_recency_days
+    FROM seg GROUP BY 1""",
+    doc="RFM customer segmentation — the classic recency/frequency/"
+    "monetary analysis, composed scale-first: per-customer RFM facts "
+    "from ONE partial-combined aggregate over orders (exact integer "
+    "cents, integer day recency against a fixed analysis date), the "
+    "three median THRESHOLDS as one tiny exact-percentile aggregate "
+    "broadcast back (the docs_quality_buckets pattern — never a "
+    "global-sort ntile), segments by boolean comparison, and a "
+    "5-group rollup. Two shuffles total at any scale: the customer "
+    "aggregate and the bounded segment aggregate. Medians rounded to "
+    "6 dp on both engines; all comparisons are against integers cast "
+    "to double, so the knife edges are the rounded thresholds "
+    "themselves, identical by construction.",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    thr = rfm.agg(
+        F.round(F.expr("percentile(CAST(recency_days AS DOUBLE), 0.5)"), 6).alias("r_med"),
+        F.round(F.expr("percentile(CAST(frequency AS DOUBLE), 0.5)"), 6).alias("f_med"),
+        F.round(F.expr("percentile(CAST(monetary_cents AS DOUBLE), 0.5)"), 6).alias(
+            "m_med"
+        ),
+    )
+    seg = rfm.crossJoin(F.broadcast(thr)).select(
+        "*",
+        (F.col("recency_days").cast("double") <= F.col("r_med")).alias("recent"),
+        (F.col("frequency").cast("double") > F.col("f_med")).alias("frequent"),
+        (F.col("monetary_cents").cast("double") > F.col("m_med")).alias("big_spender"),
+    )
+    segment = (
+        F.when(F.col("recent") & F.col("frequent") & F.col("big_spender"), "champion")
+        .when(F.col("recent") & (F.col("frequent") | F.col("big_spender")), "loyal")
+        .when(~F.col("recent") & (F.col("frequent") | F.col("big_spender")), "at_risk")
+        .when(F.col("recent"), "new")
+        .otherwise("hibernating")
+    )
+    return seg.groupBy(segment.alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        F.min("recency_days").cast("long").alias("min_recency_days"),
+        F.max("recency_days").cast("long").alias("max_recency_days"),
+    )
