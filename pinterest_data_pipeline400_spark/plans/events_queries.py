@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import (
+    SCRATCH_ROOT,
     STREAM_DRAIN_TIMEOUT_SEC,
     STREAM_STATE_PARTITIONS,
     scoped_shuffle_partitions,
@@ -235,7 +236,7 @@ def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     stamp = f"{int(st.st_mtime_ns)}_{st.st_size}"
     base = (
-        "/tmp/spark_graft_formats/events_by_day_"
+        SCRATCH_ROOT + "/events_by_day_"
         + os.path.basename(os.path.normpath(sf_dir))
         + "_"
         + stamp
@@ -2019,7 +2020,7 @@ def _zordered_events_dir(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     base = (
-        "/tmp/spark_graft_formats/events_zorder_"
+        SCRATCH_ROOT + "/events_zorder_"
         + os.path.basename(os.path.normpath(sf_dir))
         + f"_{int(st.st_mtime_ns)}_{st.st_size}"
     )

@@ -25,9 +25,8 @@ from pyspark.sql import functions as F
 
 from ..generator import ensure_fixtures, fixture_dir_for
 from ..operators.multimodal import decode_ppm_features
+from ..session import SCRATCH_ROOT as _FMT_ROOT
 from .registry import REGISTRY
-
-_FMT_ROOT = "/tmp/spark_graft_formats"
 _ORACLE_FX = ensure_fixtures("sf0.01")
 
 
@@ -61,26 +60,38 @@ def _ppm_files_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per fixture content) each media_ppm payload as
     its own ``<media_id>.ppm`` file — the on-disk shape a real image
     corpus lands in before ingestion."""
+    import glob
+    import shutil
+
     fx = fixture_dir_for(sf_dir)
     src = os.path.join(fx, "media_ppm.parquet")
     st = os.stat(src)
-    base = os.path.join(
-        _FMT_ROOT,
-        os.path.basename(os.path.normpath(sf_dir)),
-        f"ppm_files_{int(st.st_mtime_ns)}_{st.st_size}",
-    )
+    sf_root = os.path.join(_FMT_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    base = os.path.join(sf_root, f"ppm_files_{int(st.st_mtime_ns)}_{st.st_size}")
     marker = os.path.join(base, "_DONE")
     if not os.path.exists(marker):
+        # fixture regeneration changes the content key; drop stale
+        # generations instead of leaking one image tree per rewrite
+        for stale in glob.glob(os.path.join(sf_root, "ppm_files_*")):
+            if stale != base:
+                shutil.rmtree(stale, ignore_errors=True)
         os.makedirs(base, exist_ok=True)
 
         # Executors write their own partitions' files (foreachPartition)
         # rather than funnelling every payload through the driver — the
         # shape a real corpus materialization has on a shared filesystem.
+        # Writes go to an attempt-unique temp name and os.replace() into
+        # place: duplicate task attempts (speculation, zombie retries)
+        # then race atomically instead of interleaving bytes into a
+        # corrupt file the _DONE marker would freeze forever.
         def write_partition(rows) -> None:
+            pid = os.getpid()
             for r in rows:
                 p = os.path.join(base, f"{int(r.media_id):06d}.ppm")
-                with open(p, "wb") as fh:
+                tmp = f"{p}.tmp.{pid}"
+                with open(tmp, "wb") as fh:
                     fh.write(bytes(r.payload))
+                os.replace(tmp, p)
 
         spark.read.parquet(src).foreachPartition(write_partition)
         with open(marker, "w") as fh:
@@ -177,8 +188,11 @@ def json_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(os.path.join(fx, "dirty_events.jsonl"))
     )
+    # valid = NOT quarantined (mirrors the oracle's json_valid), not
+    # count(v): a JSON-valid line without an integer v would otherwise
+    # count as corrupt-silently-missing on one side only
     return df.agg(
-        F.count("v").alias("n_valid"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast("long").alias("n_valid"),
         F.count("_corrupt_record").alias("n_corrupt"),
         F.sum("v").alias("sum_v"),
     )
@@ -203,16 +217,19 @@ def json_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UNION oracle that re-derives both eras from the original table.",
 )
 def parquet_schema_evolution_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
     src_path = os.path.join(sf_dir, "nation.parquet")
     st = os.stat(src_path)
-    base = os.path.join(
-        _FMT_ROOT,
-        os.path.basename(os.path.normpath(sf_dir)),
-        f"nation_evolved_{int(st.st_mtime_ns)}_{st.st_size}",
-    )
+    sf_root = os.path.join(_FMT_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    base = os.path.join(sf_root, f"nation_evolved_{int(st.st_mtime_ns)}_{st.st_size}")
     v1, v2 = os.path.join(base, "era=v1"), os.path.join(base, "era=v2")
     if not (os.path.exists(os.path.join(v1, "_SUCCESS"))
             and os.path.exists(os.path.join(v2, "_SUCCESS"))):
+        for stale in glob.glob(os.path.join(sf_root, "nation_evolved_*")):
+            if stale != base:  # drop prior fixture generations' trees
+                shutil.rmtree(stale, ignore_errors=True)
         src = spark.read.parquet(src_path)
         src.filter(F.col("n_nationkey") < 13).select(
             "n_nationkey", "n_name"

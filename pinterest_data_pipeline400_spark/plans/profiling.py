@@ -139,9 +139,9 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
-    run = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # derived from w, not re-spelled: the lag flags and the running sum
+    # MUST share one ordering or islands silently mis-number
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     seq = orders.withColumn(
         "chg",
         F.when(

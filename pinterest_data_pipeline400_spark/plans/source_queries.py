@@ -181,7 +181,7 @@ def pyds_stream_envelope_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
-_FMT_ROOT = "/tmp/spark_graft_formats"
+from ..session import SCRATCH_ROOT as _FMT_ROOT  # noqa: E402 — shared scratch root
 
 
 @REGISTRY.register(

@@ -119,6 +119,13 @@ STREAM_STATE_PARTITIONS = int(
 #: to exactly that). Override via env for genuinely large replays.
 STREAM_DRAIN_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "60"))
 
+#: One scratch root for every module that materializes derived
+#: on-disk layouts (format round trips, partitioned/z-ordered
+#: copies, per-file media trees). A single definition: changing it
+#: (e.g. to honor TMPDIR) cannot leave another module writing to
+#: the old location.
+SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_formats")
+
 
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
