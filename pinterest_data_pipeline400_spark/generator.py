@@ -282,8 +282,20 @@ def _media_types(rng: np.random.Generator, n: int) -> np.ndarray:
 
 
 def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
-    """Write parquet + streaming JSONL for one scale factor; returns dir."""
-    out_dir = os.path.join(root, sf_name)
+    """Write parquet + streaming JSONL for one scale factor; returns dir.
+
+    ATOMIC PUBLISH: everything builds into a pid-unique staging dir and
+    renames into place at the end, so a concurrent session (pytest next
+    to bench.py, parallel drivers) either sees the previous complete
+    generation or the new complete one — never half-written parquet
+    footers or a JSONL mid-rewrite. If two builders race, one rename
+    wins and the loser adopts the winner's output.
+    """
+    import shutil as _sh
+
+    final_dir = os.path.join(root, sf_name)
+    out_dir = f"{final_dir}.tmp.{os.getpid()}"
+    _sh.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     tables = build_tables(sf_rows(sf_name))
     for name, df in tables.items():
@@ -369,7 +381,20 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
     # done marker written last: readers treat its presence as "complete"
     with open(os.path.join(out_dir, "_DONE"), "w") as fh:
         fh.write(FIXTURE_VERSION + "\n")
-    return out_dir
+
+    # publish: rename the staging dir into place (atomic on one fs)
+    try:
+        os.rename(out_dir, final_dir)
+    except OSError:
+        aside = f"{final_dir}.old.{os.getpid()}"
+        try:
+            os.rename(final_dir, aside)  # move the stale generation off
+            os.rename(out_dir, final_dir)
+            _sh.rmtree(aside, ignore_errors=True)
+        except OSError:
+            # a concurrent builder published first — adopt its output
+            _sh.rmtree(out_dir, ignore_errors=True)
+    return final_dir
 
 
 def media_ppm(n: int) -> pd.DataFrame:

@@ -24,8 +24,8 @@ from .training_data import (
     VOCAB_TOP_K,
     _NORM_SQL,
     _docs,
-    docs_unigram_logprob,
     norm_text,
+    unigram_scored,
     ws_tokens,
 )
 
@@ -71,29 +71,35 @@ _SCORED_CTE = f"""
     "is scanned once and the only wide exchange is on the token key.",
 )
 def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both the vocabulary branch and the per-doc branch hang off ONE
+    # persisted (doc_id, token) term-frequency aggregate — without the
+    # materialization each branch re-derives from its own parquet scan
+    # (column-pruning differences defeat Spark's exchange reuse), i.e.
+    # a second full corpus explode at 100 TB. Plan-asserted: every tf
+    # consumer is an InMemoryTableScan, so the corpus parquet is read
+    # once (the cache fill). clearCache() in the registry wrapper
+    # drops it at the next entry.
     docs = _docs(spark, sf_dir, spread=True)
     tok = docs.select(
         "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
     )
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()  # shared by the vocab branch and the per-doc branch
+    counts = tf.groupBy("token").agg(F.sum("n").cast("long").alias("n"))
     top = (
         counts.orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(VOCAB_TOP_K)
         .select("token", F.lit(True).alias("in_vocab"))
     )
+    oov_n = F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0))
     return (
-        tok.join(F.broadcast(top), on="token", how="left")
+        tf.join(F.broadcast(top), on="token", how="left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_oov"),
-            F.round(
-                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("oov_rate"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            oov_n.cast("long").alias("n_oov"),
+            F.round(oov_n / F.sum("n"), 6).alias("oov_rate"),
         )
     )
 
@@ -125,7 +131,9 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Spark `percentile` == DuckDB `quantile_cont`).",
 )
 def docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = docs_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    # scored-only helper, NOT the full entry: the entry's keep-threshold
+    # subtree is an extra corpus aggregation this caller would discard
+    scored = unigram_scored(spark, sf_dir).select("doc_id", "avg_logprob")
     thr = scored.agg(
         *[
             F.round(F.expr(f"percentile(avg_logprob, {p})"), 6).alias(q)

@@ -29,13 +29,20 @@ _PIN_STRING_COLS = [
     "tag_list", "is_image_or_video", "image_src", "save_location", "category",
 ]
 
+#: Bare-numeral branch is regexp-guarded: DuckDB TRY_CAST('12.5' AS
+#: INTEGER) ROUNDS to 13, while Spark ANSI try_cast and the reference's
+#: Python int() both reject decimals (NULL/None). The guard pins the
+#: oracle to integer-literal inputs only, so the three parsers agree on
+#: any input, not just the fixture grammar.
 _PARSE_FC = """CASE
       WHEN follower_count IS NULL THEN NULL
       WHEN contains(follower_count, 'k')
         THEN TRY_CAST(trunc(TRY_CAST(replace(follower_count, 'k', '') AS DOUBLE) * 1000) AS INTEGER)
       WHEN contains(follower_count, 'M')
         THEN TRY_CAST(trunc(TRY_CAST(replace(follower_count, 'M', '') AS DOUBLE) * 1000000) AS INTEGER)
-      ELSE TRY_CAST(follower_count AS INTEGER)
+      WHEN regexp_full_match(follower_count, '\\s*[+-]?[0-9]+\\s*')
+        THEN TRY_CAST(follower_count AS INTEGER)
+      ELSE NULL
     END"""
 
 

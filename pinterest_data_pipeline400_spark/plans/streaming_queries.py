@@ -37,6 +37,7 @@ from ..streaming import (
     clean_stream,
     decode_stream,
     dedup_stream,
+    fresh_dirs,
     read_envelope_stream,
     stateful_running_counts,
     write_stream_append,
@@ -44,7 +45,9 @@ from ..streaming import (
 from .pin_oracle import ORACLE_FX, _ctes
 from .registry import REGISTRY
 
-_WORK_ROOT = "/tmp/spark_graft_stream"
+from ..session import SCRATCH_ROOT  # noqa: E402 — single scratch root
+
+_WORK_ROOT = os.path.join(SCRATCH_ROOT, "stream")
 
 
 def _run_entry(
@@ -59,10 +62,7 @@ def _run_entry(
     fx = fixture_dir_for(sf_dir)
     stream_dir = os.path.join(fx, "stream", topic)
     base = os.path.join(_WORK_ROOT, f"{name}_{os.path.basename(fx)}")
-    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
-    for d in (sink, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+    sink, ckpt = fresh_dirs(base)  # the single T5 reset implementation
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         streamed = build(read_envelope_stream(spark, stream_dir))
         query = write_stream_append(streamed, sink, ckpt)
@@ -210,10 +210,10 @@ def _run_two_phase_stateful(
     base = os.path.join(
         _WORK_ROOT, f"{name}_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
-    for d in (in_dir, sink, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+    in_dir = os.path.join(base, "in")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir, exist_ok=True)
+    sink, ckpt = fresh_dirs(base)  # the single T5 reset implementation
 
     ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
     split = (ev.event_id.max() + 1) // 2
@@ -271,7 +271,17 @@ def _run_two_phase_stateful(
     "re-delivered geo stream (~1% duplicate envelopes, at-least-once "
     "delivery) is deduped on (ind) behind a 10-minute watermark on "
     "event time; output must reconstruct the duplicate-free table "
-    "exactly. State is bounded by the watermark horizon at scale.",
+    "exactly. State is bounded by the watermark horizon at scale. "
+    "WATERMARK CONTRACT, stated for replays: "
+    "dropDuplicatesWithinWatermark assumes event time tracks arrival "
+    "order (a live stream) — rows older than max(ts)-delay are "
+    "dropped as late. Here the whole fixture drains in ONE "
+    "availableNow batch so the watermark never advances mid-replay; "
+    "replaying HISTORICAL data across multiple micro-batches (e.g. "
+    "maxFilesPerTrigger) must instead use the unbounded-compat dedup "
+    "(stream_clean_pin's form) or a delay spanning the data's time "
+    "range — otherwise the watermark jumps to the newest event and "
+    "everything older in later batches is silently discarded.",
 )
 def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(raw: DataFrame) -> DataFrame:

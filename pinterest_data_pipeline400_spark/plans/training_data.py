@@ -340,9 +340,14 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
     )
+    # persist: dfreq and the scored join BOTH consume tf; without a
+    # materialization Spark re-derives each branch from its own parquet
+    # scan (column-pruning differences defeat exchange reuse — measured
+    # 3 corpus scans). The registry wrapper's clearCache() drops this
+    # at the next entry; at extreme scale tf materializes as a table.
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).persist()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     scored = (
@@ -372,6 +377,43 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: more than this many standard deviations below the corpus mean score
 #: (gibberish, boilerplate soup under the corpus's own LM) are dropped.
 LOGPROB_KEEP_SIGMAS = 2.0
+
+
+def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM scoring pipeline WITHOUT the keep-threshold
+    subtree: (doc_id, n_tokens, avg_logprob). Shared by the
+    docs_unigram_logprob entry (which adds the threshold/keep verdict)
+    and docs_quality_buckets (which needs only the scores — running the
+    full entry there would pay an extra corpus aggregation for a
+    threshold the caller discards). The DuckDB twin is curation's
+    _SCORED_CTE."""
+    docs = _docs(spark, sf_dir, spread=True)
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+    )
+    # persist: vocab/total AND the final scored join all consume tf;
+    # unmaterialized, every branch re-scans the corpus (measured 6
+    # parquet scans for the full entry). Cache is dropped by the
+    # registry wrapper's clearCache() at the next entry.
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
+    vocab = tf.groupBy("token").agg(F.sum("n").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    avg_lp = F.round(
+        F.sum(F.col("n") * F.log10(F.col("c").cast("double") / F.col("t")))
+        / F.sum("n"),
+        6,
+    )
+    return (
+        tf.join(F.broadcast(vocab), on="token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            avg_lp.alias("avg_logprob"),
+        )
+    )
 
 
 @REGISTRY.register(
@@ -412,29 +454,7 @@ LOGPROB_KEEP_SIGMAS = 2.0
     "deterministic across engines.",
 )
 def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir, spread=True)
-    tok = docs.select(
-        "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    vocab = tf.groupBy("token").agg(F.sum("n").alias("c"))
-    total = vocab.agg(F.sum("c").alias("t"))
-    avg_lp = F.round(
-        F.sum(F.col("n") * F.log10(F.col("c").cast("double") / F.col("t")))
-        / F.sum("n"),
-        6,
-    )
-    scored = (
-        tf.join(F.broadcast(vocab), on="token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").cast("long").alias("n_tokens"),
-            avg_lp.alias("avg_logprob"),
-        )
-    )
+    scored = unigram_scored(spark, sf_dir)
     thr = scored.agg(
         F.round(
             F.avg("avg_logprob")

@@ -331,3 +331,18 @@ def test_user_streaks_single_user_shuffle(spark):
     plan = _plan(eq.ev_user_streaks(spark, TEST_SF_DIR))
     assert plan.count("Exchange") <= 2  # user shuffle + AQE read leeway
     assert "CartesianProduct" not in plan
+
+
+def test_tf_consumers_read_cached_aggregate_not_corpus(spark):
+    """The tf-sharing entries (tf-idf, unigram LM, OOV) persist their
+    (doc_id, token) aggregate so every downstream branch reads the
+    cache: without it, column-pruning differences defeat exchange
+    reuse and each branch re-scans + re-explodes the corpus (measured
+    3-6 parquet scans per entry before the fix). Asserted: the tf
+    consumers appear as InMemoryTableScan in the executed plan."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in ("docs_tfidf_topk", "docs_unigram_logprob", "docs_oov_rate"):
+        plan = _plan(qs[name](spark, TEST_SF_DIR))
+        assert "InMemoryTableScan" in plan, f"{name} lost its tf cache"
