@@ -121,6 +121,48 @@ def ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prune_stale_siblings(base: str) -> None:
+    """A content-stamped cache dir is being (re)built: delete sibling
+    dirs sharing its prefix up to the stamp — prior fixture
+    generations — so regenerations do not leak one full derived copy
+    each (the formats_extra pattern)."""
+    import glob
+
+    prefix = base.rsplit("_", 2)[0]  # strip the mtime_size stamp
+    for stale in glob.glob(prefix + "_*"):
+        if stale != base:
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def _stream_workdirs(name: str, sf_dir: str) -> tuple[str, str, str]:
+    """(in_dir, sink, ckpt) for one streaming entry run — wiped fresh,
+    under the shared SCRATCH_ROOT. ONE implementation of the reset the
+    five streaming entries previously each copy-pasted (round 2 lost a
+    whole bench to a drain-semantics bug; shared scaffolding means the
+    next such fix lands once)."""
+    base = os.path.join(
+        SCRATCH_ROOT,
+        "stream",
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    dirs = tuple(os.path.join(base, d) for d in ("in", "sink", "ckpt"))
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    return dirs
+
+
+def _drain(query, name: str) -> None:
+    """availableNow drain with the timeout/stop contract every entry
+    shares: raise on a hang, never leave a query running."""
+    try:
+        if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
+            raise TimeoutError(f"{name} did not drain")
+    finally:
+        if query.isActive:
+            query.stop()
+
+
 @REGISTRY.register(
     "ev_sessionization",
     oracle=f"""
@@ -243,6 +285,7 @@ def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
+        _prune_stale_siblings(base)
         ev = _events(spark, sf_dir).withColumn(
             "day", F.date_format("ts", "yyyy-MM-dd")
         )
@@ -385,7 +428,8 @@ def ev_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s GROUP BY user_id, sid)
     SELECT user_id, session_start, session_end, n_events
     FROM g
-    WHERE session_end <= (SELECT max(ts) FROM events)
+    WHERE session_end <= (SELECT date_trunc('millisecond', max(ts))
+                          FROM events)
                          - INTERVAL '{STREAM_WM_DELAY}'""",
     doc="STREAMING native session windows (F.session_window): per-user "
     "30-min-gap sessions merged by the engine's session-window state "
@@ -398,11 +442,7 @@ def ev_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
-    base = f"/tmp/spark_graft_stream/ev_sessions_{os.path.basename(os.path.normpath(sf_dir))}"
-    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
-    for d in (in_dir, sink, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+    in_dir, sink, ckpt = _stream_workdirs("ev_sessions", sf_dir)
     shutil.copy(src, os.path.join(in_dir, "events.parquet"))
 
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
@@ -429,12 +469,7 @@ def ev_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
-                raise TimeoutError("ev_stream_sessions did not drain")
-        finally:
-            if query.isActive:
-                query.stop()
+        _drain(query, "ev_stream_sessions")
     return spark.read.parquet(sink)
 
 
@@ -485,11 +520,7 @@ def ev_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
-    base = f"/tmp/spark_graft_stream/ev_ssjoin_{os.path.basename(os.path.normpath(sf_dir))}"
-    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
-    for d in (in_dir, sink, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+    in_dir, sink, ckpt = _stream_workdirs("ev_ssjoin", sf_dir)
     shutil.copy(src, os.path.join(in_dir, "events.parquet"))
 
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
@@ -535,12 +566,7 @@ def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
-                raise TimeoutError("ev_stream_stream_join did not drain")
-        finally:
-            if query.isActive:
-                query.stop()
+        _drain(query, "ev_stream_stream_join")
     return spark.read.parquet(sink)
 
 
@@ -600,11 +626,7 @@ def ev_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
-    base = f"/tmp/spark_graft_stream/ev_ssdim_{os.path.basename(os.path.normpath(sf_dir))}"
-    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
-    for d in (in_dir, sink, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+    in_dir, sink, ckpt = _stream_workdirs("ev_ssdim", sf_dir)
     shutil.copy(src, os.path.join(in_dir, "events.parquet"))
 
     static_dim = (
@@ -626,12 +648,7 @@ def ev_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
-                raise TimeoutError("ev_stream_static_join did not drain")
-        finally:
-            if query.isActive:
-                query.stop()
+        _drain(query, "ev_stream_static_join")
     return spark.read.parquet(sink)
 
 
@@ -858,11 +875,7 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
-    base = f"/tmp/spark_graft_stream/ev_windowed_{os.path.basename(os.path.normpath(sf_dir))}"
-    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
-    for d in (in_dir, sink, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+    in_dir, sink, ckpt = _stream_workdirs("ev_windowed", sf_dir)
     shutil.copy(src, os.path.join(in_dir, "events.parquet"))
 
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
@@ -881,12 +894,7 @@ def ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
-                raise TimeoutError("ev_stream_windowed did not drain")
-        finally:
-            if query.isActive:
-                query.stop()
+        _drain(query, "ev_stream_windowed")
     return spark.read.parquet(sink)
 
 
@@ -1213,11 +1221,7 @@ def ev_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
-    base = f"/tmp/spark_graft_stream/ev_upsert_{os.path.basename(os.path.normpath(sf_dir))}"
-    in_dir, sink, ckpt = (os.path.join(base, d) for d in ("in", "sink", "ckpt"))
-    for d in (in_dir, sink, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+    in_dir, sink, ckpt = _stream_workdirs("ev_upsert", sf_dir)
     # split the input into 3 files → 3 micro-batches under
     # maxFilesPerTrigger=1: the upsert really runs multiple times
     ev = _events(spark, sf_dir)
@@ -1247,12 +1251,7 @@ def ev_stream_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            if not query.awaitTermination(STREAM_DRAIN_TIMEOUT_SEC):
-                raise TimeoutError("ev_stream_upsert_counts did not drain")
-        finally:
-            if query.isActive:
-                query.stop()
+        _drain(query, "ev_stream_upsert_counts")
     return spark.read.parquet(sink).select("event_type", "n_events")
 
 
@@ -1633,11 +1632,13 @@ def ev_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = d.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
         return d.select("user_id")
 
+    # intersect() output is already distinct, so EXCEPT DISTINCT is
+    # exactly subtract() — the prior exceptAll(...distinct()).distinct()
+    # spelling added two redundant dedups around the same left-anti join
     return (
         users("purchase", hi="2024-01-08")
         .intersect(users("click", lo="2024-01-24"))
-        .exceptAll(users("error", lo="2024-01-10", hi="2024-01-20").distinct())
-        .distinct()
+        .subtract(users("error", lo="2024-01-10", hi="2024-01-20"))
     )
 
 
@@ -1735,18 +1736,28 @@ def ev_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > GAPFILL_VALUE_MIN)
         .select(F.col("ts").cast("date").alias("d"))
     )
-    src.createOrReplaceTempView("sg_gapfill_src")
-    return spark.sql("""
-        WITH RECURSIVE days(d) AS (
-          SELECT min(d) FROM sg_gapfill_src
-          UNION ALL
-          SELECT date_add(d, 1) FROM days
-          WHERE d < (SELECT max(d) FROM sg_gapfill_src))
-        SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
-               CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
-        FROM days LEFT JOIN
-             (SELECT d, count(*) AS n FROM sg_gapfill_src GROUP BY d) daily
-        ON days.d = daily.d""")
+    # per-call unique view name, dropped once the plan is analyzed:
+    # the driver hands queries ITS OWN session, so a fixed global name
+    # would permanently shadow same-named driver objects and race
+    # interleaved invocations
+    view = f"sg_gapfill_src_{id(src)}"
+    src.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            WITH RECURSIVE days(d) AS (
+              SELECT min(d) FROM {view}
+              UNION ALL
+              SELECT date_add(d, 1) FROM days
+              WHERE d < (SELECT max(d) FROM {view}))
+            SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+                   CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+            FROM days LEFT JOIN
+                 (SELECT d, count(*) AS n FROM {view} GROUP BY d) daily
+            ON days.d = daily.d""")
+    finally:
+        # resolution happened at analysis time (spark.sql returns an
+        # analyzed plan); the name is no longer needed
+        spark.catalog.dropTempView(view)
 
 
 @REGISTRY.register(
@@ -1795,8 +1806,8 @@ def ev_daily_gapfill_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT event_type, value,
-             ntile(10) OVER (PARTITION BY event_type
-                             ORDER BY value, event_id) AS decile
+             CAST(ntile(10) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS INT) AS decile
       FROM events)
     SELECT event_type, decile,
            CAST(count(*) AS BIGINT) AS n,
@@ -2025,6 +2036,7 @@ def _zordered_events_dir(spark: SparkSession, sf_dir: str) -> str:
         + f"_{int(st.st_mtime_ns)}_{st.st_size}"
     )
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        _prune_stale_siblings(base)
         ev = _events(spark, sf_dir).withColumn(
             "day", F.date_format("ts", "yyyy-MM-dd")
         )

@@ -425,8 +425,19 @@ def bucketed_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         stamp = f"{int(st.st_mtime_ns)}_{st.st_size}"
         name = f"sg_bucketed_{tbl}_{sf_name.replace('.', '_')}"
         names[tbl] = name
-        loc = f"/tmp/spark_graft_bucketed/{sf_name}/{tbl}_{stamp}"
+        from ..session import SCRATCH_ROOT
+
+        loc = os.path.join(SCRATCH_ROOT, "bucketed", sf_name, f"{tbl}_{stamp}")
         marker = os.path.join(loc, "_SUCCESS")
+        if not os.path.exists(marker):
+            # prune prior fixture generations' table data (DROP TABLE
+            # on an EXTERNAL location leaves the files behind)
+            import glob
+            import shutil as _sh
+
+            for stale in glob.glob(os.path.join(SCRATCH_ROOT, "bucketed", sf_name, f"{tbl}_*")):
+                if stale != loc:
+                    _sh.rmtree(stale, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(
             f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET "
