@@ -183,6 +183,21 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Self-sufficient committed artifact: the driver's BENCH_r{N}.json
+    # keeps only a tail of stdout, which truncates the front half of the
+    # alphabet's per-entry timings (VERDICT r5 nit). Write the COMPLETE
+    # map to a file too, so per-entry round-over-round deltas never
+    # depend on prose. Path overridable for ad-hoc runs.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
     print(json.dumps(out))
     # The driver's artifact keeps only the LAST ~2000 chars of stdout;
     # the full line above overflows that, so BENCH_r03 recorded

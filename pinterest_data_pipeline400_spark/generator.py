@@ -387,13 +387,30 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.rename(out_dir, final_dir)
     except OSError:
         aside = f"{final_dir}.old.{os.getpid()}"
+        moved_aside = False
         try:
             os.rename(final_dir, aside)  # move the stale generation off
+            moved_aside = True
             os.rename(out_dir, final_dir)
             _sh.rmtree(aside, ignore_errors=True)
         except OSError:
-            # a concurrent builder published first — adopt its output
-            _sh.rmtree(out_dir, ignore_errors=True)
+            # Either a concurrent builder published first, or our second
+            # rename failed after we moved the old generation aside. Never
+            # leave final_dir absent: restore the aside generation if we
+            # took it and nobody re-published, and only discard our fresh
+            # build once final_dir demonstrably exists again.
+            if moved_aside and not os.path.exists(final_dir):
+                try:
+                    os.rename(aside, final_dir)
+                except OSError:
+                    pass
+            if os.path.exists(final_dir):
+                _sh.rmtree(out_dir, ignore_errors=True)
+            else:  # last resort: promote our build non-atomically
+                try:
+                    os.rename(out_dir, final_dir)
+                except OSError:
+                    pass
     return final_dir
 
 

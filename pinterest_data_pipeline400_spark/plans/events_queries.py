@@ -125,13 +125,13 @@ def _prune_stale_siblings(base: str) -> None:
     """A content-stamped cache dir is being (re)built: delete sibling
     dirs sharing its prefix up to the stamp — prior fixture
     generations — so regenerations do not leak one full derived copy
-    each (the formats_extra pattern)."""
-    import glob
+    each. Delegates to the shared grace-aged pruner: siblings younger
+    than PRUNE_GRACE_SEC survive so a concurrent session still
+    scanning the old stamp drains safely first."""
+    from ..session import prune_stale_siblings
 
     prefix = base.rsplit("_", 2)[0]  # strip the mtime_size stamp
-    for stale in glob.glob(prefix + "_*"):
-        if stale != base:
-            shutil.rmtree(stale, ignore_errors=True)
+    prune_stale_siblings(prefix + "_*", keep=base)
 
 
 def _stream_workdirs(name: str, sf_dir: str) -> tuple[str, str, str]:

@@ -60,9 +60,6 @@ def _ppm_files_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per fixture content) each media_ppm payload as
     its own ``<media_id>.ppm`` file — the on-disk shape a real image
     corpus lands in before ingestion."""
-    import glob
-    import shutil
-
     fx = fixture_dir_for(sf_dir)
     src = os.path.join(fx, "media_ppm.parquet")
     st = os.stat(src)
@@ -72,9 +69,10 @@ def _ppm_files_dir(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(marker):
         # fixture regeneration changes the content key; drop stale
         # generations instead of leaking one image tree per rewrite
-        for stale in glob.glob(os.path.join(sf_root, "ppm_files_*")):
-            if stale != base:
-                shutil.rmtree(stale, ignore_errors=True)
+        # (grace-aged: a concurrent reader of the old stamp drains first)
+        from ..session import prune_stale_siblings
+
+        prune_stale_siblings(os.path.join(sf_root, "ppm_files_*"), keep=base)
         os.makedirs(base, exist_ok=True)
 
         # Executors write their own partitions' files (foreachPartition)
@@ -217,9 +215,6 @@ def json_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UNION oracle that re-derives both eras from the original table.",
 )
 def parquet_schema_evolution_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
-
     src_path = os.path.join(sf_dir, "nation.parquet")
     st = os.stat(src_path)
     sf_root = os.path.join(_FMT_ROOT, os.path.basename(os.path.normpath(sf_dir)))
@@ -227,9 +222,10 @@ def parquet_schema_evolution_nation(spark: SparkSession, sf_dir: str) -> DataFra
     v1, v2 = os.path.join(base, "era=v1"), os.path.join(base, "era=v2")
     if not (os.path.exists(os.path.join(v1, "_SUCCESS"))
             and os.path.exists(os.path.join(v2, "_SUCCESS"))):
-        for stale in glob.glob(os.path.join(sf_root, "nation_evolved_*")):
-            if stale != base:  # drop prior fixture generations' trees
-                shutil.rmtree(stale, ignore_errors=True)
+        # drop prior fixture generations' trees (grace-aged, see session)
+        from ..session import prune_stale_siblings
+
+        prune_stale_siblings(os.path.join(sf_root, "nation_evolved_*"), keep=base)
         src = spark.read.parquet(src_path)
         src.filter(F.col("n_nationkey") < 13).select(
             "n_nationkey", "n_name"

@@ -345,9 +345,12 @@ RFM_ASOF = "2001-09-01"  # analysis date: just past the last fixture order
     "monetary analysis, composed scale-first: per-customer RFM facts "
     "from ONE partial-combined aggregate over orders (exact integer "
     "cents, integer day recency against a fixed analysis date), the "
-    "three median THRESHOLDS as one tiny exact-percentile aggregate "
+    "three median THRESHOLDS as one tiny percentile aggregate "
     "broadcast back (the docs_quality_buckets pattern — never a "
-    "global-sort ntile), segments by boolean comparison, and a "
+    "global-sort ntile; exact `percentile` in oracle mode, "
+    "`percentile_approx` under SPARK_GRAFT_PERCENTILE_MODE=approx via "
+    "config.percentile_exact(), same branch as "
+    "ev_value_deciles_bounded), segments by boolean comparison, and a "
     "5-group rollup. Two shuffles total at any scale: the customer "
     "aggregate and the bounded segment aggregate. Medians rounded to "
     "6 dp on both engines; all comparisons are against integers cast "
@@ -365,12 +368,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
+    from ..config import percentile_accuracy, percentile_exact
+
+    if percentile_exact():  # oracle mode: matches quantile_cont exactly
+        med = "percentile(CAST({c} AS DOUBLE), 0.5)"
+    else:  # 100 TB mode: bounded-memory mergeable sketch
+        med = f"percentile_approx(CAST({{c}} AS DOUBLE), 0.5, {percentile_accuracy()})"
     thr = rfm.agg(
-        F.round(F.expr("percentile(CAST(recency_days AS DOUBLE), 0.5)"), 6).alias("r_med"),
-        F.round(F.expr("percentile(CAST(frequency AS DOUBLE), 0.5)"), 6).alias("f_med"),
-        F.round(F.expr("percentile(CAST(monetary_cents AS DOUBLE), 0.5)"), 6).alias(
-            "m_med"
-        ),
+        F.round(F.expr(med.format(c="recency_days")), 6).alias("r_med"),
+        F.round(F.expr(med.format(c="frequency")), 6).alias("f_med"),
+        F.round(F.expr(med.format(c="monetary_cents")), 6).alias("m_med"),
     )
     seg = rfm.crossJoin(F.broadcast(thr)).select(
         "*",
@@ -390,4 +397,299 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_cents").cast("long").alias("segment_cents"),
         F.min("recency_days").cast("long").alias("min_recency_days"),
         F.max("recency_days").cast("long").alias("max_recency_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 additions: the remaining canonical TPC-H shapes — fact-side
+# EXISTS decorrelation (Q4), aggregate-before-join distribution (Q13),
+# scalar-aggregate share threshold (Q11), argmax-by-scalar-subquery
+# (Q15), scalar-threshold + anti-join (Q22) — plus consecutive-row
+# gap features and a MERGE-style batch upsert.
+# --------------------------------------------------------------------------
+
+Q4_START, Q4_END = "1998-01-01", "1998-04-01"  # fixture orders 1995..2001-08
+
+
+@REGISTRY.register(
+    "q_order_priority_exists",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_START} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q4_END} 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority""",
+    doc="TPC-H Q4 order-priority checking: orders in a 3-month window "
+    "that have at least one line shipped after the order date, counted "
+    "per priority — the canonical correlated EXISTS on the FACT side "
+    "(q_exists_customers covers only the dimension side; VERDICT r5 "
+    "task #6). Expressed as a LEFT SEMI join with the non-equi date "
+    "predicate in the join condition, which is exactly what Catalyst "
+    "decorrelates the EXISTS into: the semi join never duplicates or "
+    "carries lineitem columns, the 3-month o_orderdate range is pushed "
+    "to the orders parquet scan, and at 100 TB both sides shuffle once "
+    "on orderkey (or co-locate for free on a bucketed layout — "
+    "bucketed_join_customer_orders shows that path).",
+)
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{Q4_START} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q4_END} 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@REGISTRY.register(
+    "q_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             CAST(coalesce(n.n_orders, 0) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                 FROM orders WHERE o_orderpriority <> '1-URGENT'
+                 GROUP BY o_custkey) n
+        ON c.c_custkey = n.o_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count""",
+    doc="TPC-H Q13 customer order distribution: how many customers "
+    "placed k non-urgent orders, INCLUDING the zero-order customers "
+    "the inner join would silently drop. Composed aggregate-first: the "
+    "orders fact is reduced to one row per custkey (partial counts "
+    "combine map-side) BEFORE the left join to the customer dim, so "
+    "the join carries counts, not orders — at 100 TB that's the "
+    "difference between shuffling ~1.5e9 pre-aggregated rows and "
+    "~1.5e10 raw order rows; the final distribution groupBy is over "
+    "~dozens of distinct k values and shuffles nothing. Equivalent to "
+    "Q13's canonical join-then-double-aggregate because count(order) "
+    "per customer is algebraic.",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    n = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    per = c.join(n, c["c_custkey"] == n["o_custkey"], "left").select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("c_count")
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+#: Fraction of corpus revenue above which a part is "important" —
+#: 1.5x the mean share for the fixture's 2k parts; at any scale the
+#: comparison stays (exact bigint cents) > (exact bigint total * frac).
+IMPORTANT_SHARE = 0.00075
+
+
+@REGISTRY.register(
+    "q_important_parts_share",
+    oracle=f"""
+    WITH pr AS (SELECT l_partkey,
+                       CAST(sum({_REVENUE_CENTS_SQL}) AS BIGINT) AS revenue_cents
+                FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS t FROM pr)
+    SELECT pr.l_partkey AS partkey, pr.revenue_cents
+    FROM pr CROSS JOIN tot
+    WHERE pr.revenue_cents > tot.t * {IMPORTANT_SHARE}""",
+    doc="TPC-H Q11-style important-stock cut: parts whose discounted "
+    "revenue exceeds a fixed fraction of TOTAL corpus revenue — the "
+    "scalar-aggregate-subquery threshold shape. One hash aggregate "
+    "builds per-part integer-cent revenue; the global total re-reduces "
+    "THAT aggregate (tiny — one row per part, ReusedExchange picks up "
+    "the shared shuffle under AQE) and broadcasts one row back; the "
+    "filter is exact-bigint > exact-bigint*frac, identical on both "
+    "engines because the total is an order-free integer sum well "
+    "under 2^53. Never a window-over-everything (which would funnel "
+    "the whole frame through one task).",
+)
+def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_revenue_cents()).cast("long").alias("revenue_cents"))
+    )
+    tot = pr.agg(F.sum("revenue_cents").cast("long").alias("t"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("revenue_cents") > F.col("t") * F.lit(IMPORTANT_SHARE))
+        .select("partkey", "revenue_cents")
+    )
+
+
+TOP_SUPP_START, TOP_SUPP_END = "1998-01-01", "1998-04-01"
+
+
+@REGISTRY.register(
+    "q_top_supplier_revenue",
+    oracle=f"""
+    WITH r AS (SELECT l_suppkey,
+                      CAST(sum({_REVENUE_CENTS_SQL}) AS BIGINT)
+                        AS total_revenue_cents
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '{TOP_SUPP_START} 00:00:00'
+                 AND l_shipdate < TIMESTAMP '{TOP_SUPP_END} 00:00:00'
+               GROUP BY l_suppkey),
+    mx AS (SELECT CAST(max(total_revenue_cents) AS BIGINT) AS m FROM r)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+    CROSS JOIN mx WHERE r.total_revenue_cents = mx.m""",
+    doc="TPC-H Q15 top supplier: the supplier(s) whose quarterly "
+    "discounted revenue equals the maximum — argmax by scalar "
+    "subquery, which (unlike a row_number-over-everything) keeps every "
+    "stage bounded: per-supplier integer-cent revenue is one hash "
+    "aggregate with the quarter predicate pushed to the scan, the max "
+    "re-reduces that small aggregate to ONE row broadcast back, and "
+    "the supplier dim joins by broadcast. Ties (multiple suppliers at "
+    "the max) are all returned, as in the spec — exact integer cents "
+    "make 'equal to max' deterministic, where float revenue would make "
+    "it engine-dependent.",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{TOP_SUPP_START} 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{TOP_SUPP_END} 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue_cents()).cast("long").alias("total_revenue_cents"))
+    )
+    mx = r.agg(F.max("total_revenue_cents").cast("long").alias("m"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(r, s["s_suppkey"] == r["l_suppkey"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_cents") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+IDLE_SINCE = "2001-01-01"  # "idle" = no orders on/after this date
+
+
+@REGISTRY.register(
+    "q_idle_rich_customers",
+    oracle=f"""
+    WITH bal AS (SELECT c_custkey, c_mktsegment,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+                 FROM customer),
+    thr AS (SELECT round(CAST(sum(CASE WHEN bal_cents > 0 THEN bal_cents
+                                       ELSE 0 END) AS DOUBLE)
+                         / count(*) FILTER (WHERE bal_cents > 0), 6)
+                     AS avg_pos_cents
+            FROM bal)
+    SELECT b.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(b.bal_cents) AS BIGINT) AS total_bal_cents
+    FROM bal b CROSS JOIN thr
+    WHERE b.bal_cents > thr.avg_pos_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{IDLE_SINCE} 00:00:00')
+    GROUP BY b.c_mktsegment""",
+    doc="TPC-H Q22 global-sales-opportunity shape: customers with "
+    "above-average positive balance and NO recent orders, rolled up "
+    "per market segment — scalar-aggregate threshold + NOT EXISTS "
+    "anti-join + aggregate in one plan. The average-positive-balance "
+    "threshold derives from an order-free integer-cent sum (1 row, "
+    "broadcast back); the NOT EXISTS decorrelates to a LEFT ANTI join "
+    "against only the orders rows surviving the pushed o_orderdate "
+    "cutoff (at 100 TB the anti-join probe side is the recent slice, "
+    "not all history); the final rollup is a handful of segments. "
+    "Compares bigint cents to the 6-dp-rounded double threshold — "
+    "knife edges are the rounded threshold itself, identical on both "
+    "engines.",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    thr = bal.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("bal_cents") > 0, F.col("bal_cents")).otherwise(0)
+            ).cast("double")
+            / F.count(F.when(F.col("bal_cents") > 0, F.lit(1))),
+            6,
+        ).alias("avg_pos_cents")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(f"{IDLE_SINCE} 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = bal.crossJoin(F.broadcast(thr)).filter(
+        F.col("bal_cents") > F.col("avg_pos_cents")
+    )
+    idle_rich = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return idle_rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+    )
+
+
+@REGISTRY.register(
+    "orders_interorder_gaps",
+    oracle="""
+    WITH g AS (SELECT o_custkey,
+                      datediff('day',
+                               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                      ORDER BY o_orderdate,
+                                                               o_orderkey),
+                               o_orderdate) AS gap
+               FROM orders)
+    SELECT o_custkey AS custkey,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_days,
+           CAST(max(gap) AS BIGINT) AS max_gap_days,
+           round(CAST(sum(gap) AS DOUBLE) / count(gap), 6) AS avg_gap_days
+    FROM g GROUP BY o_custkey HAVING count(gap) > 0""",
+    doc="Inter-order gap features per customer — the classic "
+    "consecutive-row lag() shape that feeds churn/LTV models: day gaps "
+    "between successive orders (ties broken by o_orderkey so the lag "
+    "is deterministic), aggregated to per-customer count/sum/max/mean "
+    "with the mean derived from the exact integer day sum. Scale "
+    "shape: the window partitions by o_custkey — high cardinality, "
+    "bounded rows per key — so it sorts small per-key runs after one "
+    "shuffle, never a global sort; the follow-up aggregate reuses the "
+    "same key so AQE coalesces it onto the window's partitioning.",
+)
+def orders_interorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap"),
+    )
+    return (
+        g.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sum_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+            F.round(F.sum("gap").cast("double") / F.count("gap"), 6).alias(
+                "avg_gap_days"
+            ),
+        )
+        .filter(F.col("n_gaps") > 0)
     )

@@ -431,13 +431,14 @@ def bucketed_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         marker = os.path.join(loc, "_SUCCESS")
         if not os.path.exists(marker):
             # prune prior fixture generations' table data (DROP TABLE
-            # on an EXTERNAL location leaves the files behind)
-            import glob
-            import shutil as _sh
+            # on an EXTERNAL location leaves the files behind);
+            # grace-aged so a session pinned to the old stamp drains
+            from ..session import prune_stale_siblings
 
-            for stale in glob.glob(os.path.join(SCRATCH_ROOT, "bucketed", sf_name, f"{tbl}_*")):
-                if stale != loc:
-                    _sh.rmtree(stale, ignore_errors=True)
+            prune_stale_siblings(
+                os.path.join(SCRATCH_ROOT, "bucketed", sf_name, f"{tbl}_*"),
+                keep=loc,
+            )
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(
             f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET "

@@ -126,6 +126,38 @@ STREAM_DRAIN_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "60"
 #: the old location.
 SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_formats")
 
+#: Grace age before a prior-generation derived-cache dir is pruned. A
+#: concurrent session pinned to the previous fixture stamp may still be
+#: mid-scan on the old tree; deleting it under that reader turns a disk
+#: leak into a cross-session query failure (ADVICE r5). Regeneration
+#: already makes the old stamp unreachable for NEW readers, so pruning
+#: can safely wait out in-flight ones.
+PRUNE_GRACE_SEC = int(os.environ.get("SPARK_GRAFT_PRUNE_GRACE_SEC", "600"))
+
+
+def prune_stale_siblings(pattern: str, keep: str) -> None:
+    """Delete content-stamped sibling cache dirs matching the glob
+    ``pattern``, except ``keep`` (the generation being built) and
+    except generations younger than :data:`PRUNE_GRACE_SEC` — the one
+    shared implementation of the prior-generation cleanup every
+    derived-layout builder (format round trips, media trees, bucketed
+    tables, z-ordered copies) previously hand-rolled with an immediate,
+    reader-unsafe ``rmtree``."""
+    import glob as _glob
+    import shutil as _sh
+    import time as _time
+
+    now = _time.time()
+    for stale in _glob.glob(pattern):
+        if stale == keep:
+            continue
+        try:
+            age = now - os.path.getmtime(stale)
+        except OSError:
+            continue  # vanished concurrently — nothing to prune
+        if age > PRUNE_GRACE_SEC:
+            _sh.rmtree(stale, ignore_errors=True)
+
 
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):

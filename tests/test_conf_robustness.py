@@ -69,6 +69,34 @@ def _confs(spark, overrides: dict):
                 spark.conf.set(k, old)
 
 
+def test_rfm_medians_honor_percentile_scale_switch(spark, monkeypatch):
+    """orders_rfm_segments must route its three median thresholds
+    through config.percentile_exact() like every other percentile
+    entry: approx mode swaps the plan to the bounded-memory
+    percentile_approx sketch (no exact-percentile buffer in the final
+    aggregate task) while segmentation stays sane — same segment
+    labels, same total customer count, per-segment counts within the
+    sketch tolerance of the exact run."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra
+
+    exact = {
+        r["segment"]: r["n_customers"]
+        for r in relational_extra.orders_rfm_segments(spark, TEST_SF_DIR).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_PERCENTILE_MODE", "approx")
+    approx_df = relational_extra.orders_rfm_segments(spark, TEST_SF_DIR)
+    plan = approx_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan.replace("percentile_approx(", "")
+    approx = {r["segment"]: r["n_customers"] for r in approx_df.collect()}
+    total = sum(exact.values())
+    assert sum(approx.values()) == total  # every customer still lands once
+    assert set(approx) <= set(exact) | {"new", "hibernating"}
+    for seg, n in exact.items():
+        # thresholds shift by at most the sketch error -> counts close
+        assert abs(approx.get(seg, 0) - n) <= max(5, 0.05 * total), (seg, n, approx)
+
+
 @pytest.mark.parametrize("conf_name", sorted(HOSTILE_CONFS))
 @pytest.mark.parametrize("entry", REPRESENTATIVES)
 def test_results_invariant_under_runtime_confs(spark, entry, conf_name):
