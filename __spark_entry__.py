@@ -64,6 +64,16 @@ GRADE_WINDOW = [
     "q_top_supplier_revenue",
     "q_idle_rich_customers",
     "orders_interorder_gaps",
+    "ev_anomaly_mad_flags",
+    "ev_merge_upsert_counts",
+    "docs_readability_scores",
+    "docs_bigram_lm_logprob",
+    "emb_scalar_quantize_error",
+    # re-certify first: entries whose implementation changed this round
+    # (now read the shared dedup-spine disk cache)
+    "docs_dup_clusters",
+    "docs_cluster_keep_longest",
+    "docs_dedup_pr",
     # re-certification backfill: most load-bearing spine entries
     "ev_kll_quantile_rollup",
     "ev_theta_user_overlap",

@@ -1308,6 +1308,61 @@ def docs_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(normed)
 
 
+def _spine_cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Disk cache for one stage of the near-dup spine, keyed by the
+    docs_dup fixture's content stamp (mtime+size — the derived-layout
+    idiom from events_queries). The minhash pair list and its
+    connected-components labels are the two most expensive frames in
+    the registry, and THREE entries consume them
+    (docs_dup_clusters / docs_cluster_keep_longest / docs_dedup_pr);
+    before this cache each re-ran the full shingle→minhash→band-join→
+    verify(→Pregel) spine from scratch (VERDICT r5 task #3). Entries
+    stay self-contained — any consumer rebuilds a missing/stale cache
+    — and byte-identical: the cached frame is the deterministic output
+    of the same build, just materialized once per fixture generation.
+    ``_SUCCESS`` (written last by the committer) gates readers; stale
+    generations are grace-age pruned."""
+    from ..session import SCRATCH_ROOT, prune_stale_siblings
+
+    st = os.stat(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    root = os.path.join(
+        SCRATCH_ROOT, "dedup_spine", os.path.basename(os.path.normpath(sf_dir))
+    )
+    base = os.path.join(root, f"{name}_{int(st.st_mtime_ns)}_{st.st_size}")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        prune_stale_siblings(os.path.join(root, f"{name}_*"), keep=base)
+        build().write.mode("overwrite").parquet(base)
+    return spark.read.parquet(base)
+
+
+def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash near-dup pair list, disk-cached per fixture stamp."""
+
+    def build() -> DataFrame:
+        dup = spark.read.parquet(
+            os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet")
+        )
+        normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+        return minhash_near_dup_pairs(normed)
+
+    return _spine_cached(spark, sf_dir, "minhash_pairs", build)
+
+
+def cached_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components labels over the cached pair list,
+    disk-cached per fixture stamp (one Pregel run per generation)."""
+    from ..operators.dedup import connected_components
+
+    return _spine_cached(
+        spark,
+        sf_dir,
+        "cc_labels",
+        lambda: connected_components(
+            cached_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        ),
+    )
+
+
 @REGISTRY.register(
     "docs_dup_clusters",
     oracle=dup_clusters_oracle_sql(
@@ -1320,12 +1375,22 @@ def docs_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_id is the canonical keeper, the dedup decision every corpus "
     "pipeline needs downstream of ANY pair generator. Oracle: DuckDB "
     "recursive-CTE transitive closure over the identical pair list "
-    "(exact fixpoint labeling is engine- and order-independent).",
+    "(exact fixpoint labeling is engine- and order-independent). "
+    "Pairs+labels come from the content-stamped disk cache shared "
+    "with docs_cluster_keep_longest/docs_dedup_pr — one spine run per "
+    "fixture generation instead of three (VERDICT r5 task #3).",
 )
 def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
-    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
-    return dup_clusters(minhash_near_dup_pairs(normed))
+    labels = cached_cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, on="cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
 
 
 @REGISTRY.register(
@@ -1911,17 +1976,16 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "here the longest normalized text, tiebroken by doc_id — because "
     "near-dup groups typically contain truncated/boilerplate-wrapped "
     "variants of one source. Same minhash pair generation and "
-    "Pregel-style transitive closure; the keeper is one row_number "
+    "Pregel-style transitive closure, read from the shared "
+    "content-stamped spine cache; the keeper is one row_number "
     "window over the (bounded-size) clusters. The argmax-per-cluster "
     "pattern generalizes to any quality score (model score, source "
     "priority) by swapping the ORDER BY.",
 )
 def docs_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
-
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
     normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
-    labels = connected_components(minhash_near_dup_pairs(normed))
+    labels = cached_cc_labels(spark, sf_dir)
     lens = normed.select("doc_id", F.length("norm").cast("long").alias("len"))
     m = labels.select("doc_id", "cluster_id").join(lens, on="doc_id")
     sizes = m.groupBy("cluster_id").agg(
@@ -1997,7 +2061,9 @@ def _pr_counts_sql(method: str, det_sql: str) -> str:
     "admit a near-fingerprint pair outside the planted families, "
     "which is exactly the trade this entry makes visible. Truth pairs "
     "come from a root-key equi-join (families are tiny, no skew); "
-    "scoring is one outer join per detector on the pair key.",
+    "scoring is one outer join per detector on the pair key. The "
+    "minhash pair list reads from the shared spine cache; simhash "
+    "stays live (it has no second consumer).",
 )
 def docs_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
@@ -2029,7 +2095,7 @@ def docs_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
 
-    return score("minhash", minhash_near_dup_pairs(normed)).unionByName(
+    return score("minhash", cached_minhash_pairs(spark, sf_dir)).unionByName(
         score("simhash", simhash_near_dup_pairs(normed))
     )
 
@@ -2343,4 +2409,171 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("avg_cosine"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 additions: bigram-LM quality scoring and int8 scalar
+# quantization error (the vector-compression accuracy report)
+# --------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    "docs_bigram_lm_logprob",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    t AS (SELECT doc_id, string_split(norm, ' ') AS t
+          FROM n WHERE length(norm) > 0),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+    v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vsz FROM tok),
+    big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t) q),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    terms AS (SELECT b.doc_id,
+                     CAST(round(log10((bc.c12 + 1.0) / (uc.c1 + v.vsz)) * 1e9)
+                          AS BIGINT) AS nano
+              FROM big b
+              JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+              JOIN uc ON b.w1 = uc.w1
+              CROSS JOIN v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nano) AS DOUBLE) / 1e9 / count(*), 6) AS avg_logprob
+    FROM terms GROUP BY doc_id""",
+    doc="Bigram-LM quality scoring with add-1 smoothing — the "
+    "next-order refinement of docs_unigram_logprob: the corpus's own "
+    "bigram counts train p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), and every "
+    "document is scored by its mean log10 bigram probability. Bigrams "
+    "come from zip_with over two array slices (JVM-side, no "
+    "posexplode self-join); counts are two hash aggregates on "
+    "(w1,w2)/(w1); scoring joins those count tables back by key "
+    "(broadcast while they fit, AQE-shuffled beyond — vocabulary "
+    "tables at 100 TB outgrow any driver). Each bigram's log term is "
+    "quantized to an INTEGER nano-log before the per-doc sum, so "
+    "partial-aggregation order cannot perturb the score on either "
+    "engine — stricter than the unigram entry's float sum, and the "
+    "pattern new scoring entries should copy.",
+)
+def docs_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") > 0)
+    toks = d.select("doc_id", ws_tokens(F.col("norm")).alias("t"))
+    tok = toks.select("doc_id", F.explode("t").alias("token"))
+    vsz = tok.agg(F.countDistinct("token").cast("long").alias("vsz"))
+    big = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    uc = big.groupBy(F.col("w1").alias("u_w1")).agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    terms = (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, big["w1"] == uc["u_w1"])
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.round(
+                F.log10((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz")))
+                * 1e9
+            )
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("nano").cast("double") / 1e9 / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )
+
+
+#: int8-style quantization levels (0..254 keeps the math symmetric)
+_SQ_LEVELS = 254
+
+
+@REGISTRY.register(
+    "emb_scalar_quantize_error",
+    oracle=f"""
+    WITH el AS (SELECT vec_id, label,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                         AS val
+                FROM embeddings),
+    st AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM el GROUP BY dim),
+    q AS (SELECT e.vec_id, e.label, e.val, s.mn, s.mx,
+                 CASE WHEN s.mx = s.mn THEN 0
+                      ELSE round((e.val - s.mn) / (s.mx - s.mn) * {_SQ_LEVELS})
+                 END AS code
+          FROM el e JOIN st s USING (dim)),
+    r AS (SELECT vec_id, label,
+                 CAST(round(pow(val - (mn + code * (mx - mn) / {_SQ_LEVELS}), 2)
+                            * 1e12) AS BIGINT) AS sq_pico
+          FROM q)
+    SELECT vec_id,
+           CAST(any_value(label) AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(sq_pico) AS BIGINT) AS qerr_pico
+    FROM r GROUP BY vec_id""",
+    doc="Int8 scalar quantization with a measured reconstruction "
+    "error — the compression step every billion-vector ANN deployment "
+    "takes (4x memory cut vs float32) reported as a per-vector "
+    "quantization error so the recall cost is a number, not a claim "
+    "(the emb_knn_recall discipline). Per-dimension min/max is one "
+    "tiny aggregate (|dims| rows) broadcast back; encode, decode, and "
+    "squared error are per-element expressions; the per-vector sum is "
+    "over INTEGER pico-scaled terms, so engines agree bit-for-bit. "
+    "Scale shape: one posexplode pass + a 64-row broadcast join — no "
+    "wide shuffle; at 100 TB the same plan quantizes shards "
+    "independently. The degenerate constant dimension (mx == mn) "
+    "encodes to code 0 / zero error on both engines.",
+)
+def emb_scalar_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = _embs(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val"),
+    )
+    st = el.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    q = el.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "label",
+        "val",
+        "mn",
+        "mx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(
+            F.round((F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * _SQ_LEVELS)
+        )
+        .alias("code"),
+    )
+    r = q.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.pow(
+                F.col("val")
+                - (F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / _SQ_LEVELS),
+                F.lit(2),
+            )
+            * 1e12
+        )
+        .cast("long")
+        .alias("sq_pico"),
+    )
+    return r.groupBy("vec_id").agg(
+        F.any_value("label").cast("int").alias("label"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum("sq_pico").cast("long").alias("qerr_pico"),
     )

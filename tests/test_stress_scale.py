@@ -16,6 +16,12 @@ minhash pairs + connected components + keeper rollup in 10.5 s wall,
 6,119 pairs (~40x the base 154; +/-5% from borderline near-dup
 Jaccards shifting under perturbation), 10,960 cluster members, ZERO
 cross-replica pairs.
+
+Round-6 ANN measurement on local[8], sf0.01 embeddings x40 = 20,000
+vectors, 8 fixed queries: band-join candidates 1,226 at 1x ->
+49,352 at 40x = exactly 40x + the (REPLICAS-1)*N_QUERIES
+replica-self term; candidate fraction ~0.307 constant; well under
+the 120 s wall ceiling (~20 s total including the 1x baseline).
 """
 
 from __future__ import annotations
@@ -100,3 +106,83 @@ def test_dedup_spine_scales_linearly(spark):
     # all-pairs plan at 50k docs is ~1.2B comparisons), not jitter
     assert wall < 300, f"dedup spine took {wall:.0f}s at {REPLICAS}x"
     pairs.unpersist()
+
+
+def test_ann_band_join_scales_linearly(spark):
+    """ANN twin of the dedup stress run (VERDICT r5 task #5): the
+    emb_knn_lsh/emb_decontaminate candidate generator — a band-key
+    equi-join with the (fixed-size) query side broadcast — must
+    produce candidate volume LINEAR in corpus size: bucket occupancy
+    grows with n, the query set does not, so candidates/query scale
+    ~REPLICAS x and the candidate FRACTION (pairs / (queries*corpus))
+    stays ~constant. An all-pairs or hot-bucket-degenerate plan would
+    grow the fraction with n and blow the wall ceiling."""
+    from pinterest_data_pipeline400_spark.operators.dedup import _emb_band_keys
+    from pinterest_data_pipeline400_spark.plans.training_data import (
+        LSH_KNN_BANDS,
+        LSH_KNN_BITS,
+        N_QUERIES,
+        _embs,
+    )
+
+    base = _embs(spark, TEST_SF_DIR)
+    n_base = base.count()
+
+    def keyed(df):
+        return df.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *_emb_band_keys("embedding", bands=LSH_KNN_BANDS, bits=LSH_KNN_BITS)
+                )
+            ).alias("band_key"),
+        )
+
+    q = keyed(base.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("qid"), "band_key"
+    )
+
+    def n_candidates(corpus) -> int:
+        return (
+            keyed(corpus)
+            .join(F.broadcast(q), on="band_key")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+            .distinct()
+            .count()
+        )
+
+    cand_1x = n_candidates(base)
+
+    big = (
+        base.crossJoin(
+            F.broadcast(spark.range(REPLICAS).select(F.col("id").alias("rep")))
+        )
+        .select((F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t0 = time.perf_counter()
+    cand_40x = n_candidates(big)
+    wall = time.perf_counter() - t0
+
+    assert big.count() == n_base * REPLICAS
+    # candidate volume linear in corpus size (queries fixed): the
+    # replicated corpus multiplies every bucket's occupancy by exactly
+    # REPLICAS, so candidates = REPLICAS * base, plus the (REPLICAS-1)
+    # re-keyed copies of each query vector itself that the vec_id !=
+    # qid guard no longer removes (self-matches only drop for the
+    # original ids)
+    assert cand_40x == REPLICAS * cand_1x + (REPLICAS - 1) * N_QUERIES, (
+        cand_1x,
+        cand_40x,
+    )
+    # candidate fraction ~unchanged => never all-pairs (the exact-count
+    # assert above is the strict form; the residual here is exactly the
+    # replica-self term (REPLICAS-1)*N_QUERIES over the pair space)
+    frac_1x = cand_1x / (N_QUERIES * n_base)
+    frac_40x = cand_40x / (N_QUERIES * n_base * REPLICAS)
+    assert abs(frac_40x - frac_1x) <= (REPLICAS - 1) / (n_base * REPLICAS) + 1e-9, (
+        frac_1x,
+        frac_40x,
+    )
+    assert wall < 120, f"ANN band join took {wall:.0f}s at {REPLICAS}x"
