@@ -69,6 +69,18 @@ GRADE_WINDOW = [
     "docs_readability_scores",
     "docs_bigram_lm_logprob",
     "emb_scalar_quantize_error",
+    "docs_minhash_jaccard_est",
+    "docs_char_entropy",
+    "ev_window_topk_per_hour",
+    "ev_first_last_value",
+    "q_division_customers",
+    "orders_spend_percentile",
+    "ev_bitmap_daily_active",
+    "ev_ewma_value",
+    "orders_yoy_growth",
+    "emb_dim_stats",
+    "docs_ngram_novelty",
+    "docs_cdc_chunks",
     # re-certify first: entries whose implementation changed this round
     # (now read the shared dedup-spine disk cache)
     "docs_dup_clusters",

@@ -223,6 +223,114 @@ def minhash_near_dup_pairs(
     return verified.filter(F.col("jaccard") >= tau)
 
 
+def minhash_estimate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm"
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, jaccard, abs_err) over EVERY
+    band-collision candidate (no tau cut): the minhash ESTIMATE
+    (fraction of the NUM_HASHES signature slots that agree — the
+    textbook unbiased Jaccard estimator) next to the exact shingle-set
+    Jaccard, plus their absolute gap. This is the estimator's measured
+    accuracy as a first-class frame (the emb_knn_recall discipline):
+    production pipelines that skip exact verification at 100 TB rely
+    on exactly this estimate, so its error belongs in a query, not a
+    docstring. Same spine as :func:`minhash_near_dup_pairs`; the only
+    additions are the two signature re-joins (NUM_HASHES values per
+    doc — far smaller than the shingle arrays the verify join already
+    carries)."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    shingled = shingle_docs(docs, id_col, norm_col).persist()
+    sig_df = minhash_signatures_agg(
+        shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    ).persist()  # consumed by banding AND both estimate sides
+    sig = [F.col(f"h{i}") for i in range(NUM_HASHES)]
+    banded = sig_df.select("doc_id", F.explode(band_keys(sig)).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on="band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig_df.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)]
+    )
+    sigb = sig_df.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)]
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(NUM_HASHES)
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    est6 = F.round(matches / F.lit(float(NUM_HASHES)), 6)
+    j6 = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        cand.join(siga, on="doc_a")
+        .join(sigb, on="doc_b")
+        .join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est6.alias("est_jaccard"),
+            j6.alias("jaccard"),
+            F.round(F.abs(est6 - j6), 6).alias("abs_err"),
+        )
+    )
+
+
+def minhash_estimate_oracle_sql(parquet_path: str, norm_sql: str) -> str:
+    """DuckDB mirror of :func:`minhash_estimate_pairs` — generated from
+    the same NUM_HASHES/BANDS constants so the layouts can't drift."""
+    sigs = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS s{i}"
+        for i in range(NUM_HASHES)
+    )
+    keys = ", ".join(
+        "md5('{b}|' || {cols})".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH src AS (SELECT doc_id, {norm_sql} AS norm
+                 FROM read_parquet('{parquet_path}')),
+    toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
+    shingled AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(t) < {SHINGLE_WORDS} THEN [norm]
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+      FROM toks),
+    sigs AS (SELECT doc_id, sh,
+             {sigs}
+      FROM shingled),
+    bands AS (SELECT doc_id, unnest([{keys}]) AS band_key FROM sigs),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    scored AS (SELECT c.doc_a, c.doc_b,
+        round(({match_sum}) / {NUM_HASHES}.0, 6) AS est_jaccard,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM cand c
+      JOIN sigs a ON a.doc_id = c.doc_a
+      JOIN sigs b ON b.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, est_jaccard, jaccard,
+           round(abs(est_jaccard - jaccard), 6) AS abs_err
+    FROM scored"""
+
+
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard via an inverted shingle index (no sketching)
 # --------------------------------------------------------------------------

@@ -16,7 +16,7 @@ of a global ntile sort — no single-partition window anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import REGISTRY
@@ -565,4 +565,192 @@ def docs_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(flesch >= 50, "standard")
         .otherwise("difficult")
         .alias("band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6: character-distribution entropy (encoding/garbage detector)
+# --------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    "docs_char_entropy",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    ch AS (SELECT doc_id, substring(norm, i, 1) AS c
+           FROM (SELECT doc_id, norm, unnest(range(1, length(norm) + 1)) AS i
+                 FROM n WHERE length(norm) > 0)),
+    cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+           FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_distinct_chars
+            FROM cc GROUP BY doc_id),
+    terms AS (SELECT cc.doc_id,
+                     CAST(round(cc.k * log2(CAST(cc.k AS DOUBLE) / t.n_chars)
+                                * 1e9) AS BIGINT) AS nano
+              FROM cc JOIN tot t USING (doc_id))
+    SELECT t.doc_id, t.n_chars, t.n_distinct_chars,
+           round(-(CAST(s.nano_sum AS DOUBLE) / 1e9) / t.n_chars, 6)
+             AS entropy_bits
+    FROM tot t JOIN (SELECT doc_id, sum(nano) AS nano_sum
+                     FROM terms GROUP BY doc_id) s USING (doc_id)""",
+    doc="Character-distribution Shannon entropy per document (bits per "
+    "character) — the cheap encoding-garbage / mojibake / binary-blob "
+    "detector text pipelines run before any tokenizer: natural "
+    "language sits ~4-4.5 bits, base64 blobs and repeated-char spam "
+    "fall far outside. One character explode (JVM-side sequence + "
+    "substring, no UDF) into a (doc_id, char) count aggregate; each "
+    "k*log2(k/n) term is INTEGER-quantized (nano-bits) before the "
+    "per-doc sum, so engines agree bit-for-bit regardless of "
+    "partial-aggregation order (the docs_bigram_lm_logprob "
+    "discipline). Narrow + one high-cardinality groupBy — the 100 TB "
+    "shape; alphabet size bounds per-doc state at a few dozen rows.",
+)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = (
+        _docs(spark, sf_dir)
+        .select("doc_id", norm_text(F.col("text")).alias("norm"))
+        .filter(F.length("norm") > 0)
+    )
+    ch = n.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(norm)), i -> substring(norm, i, 1))")
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tot = cc.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    terms = cc.join(tot, on="doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("k") * F.log2(F.col("k").cast("double") / F.col("n_chars")) * 1e9
+        )
+        .cast("long")
+        .alias("nano"),
+    )
+    s = terms.groupBy("doc_id").agg(F.sum("nano").alias("nano_sum"))
+    return tot.join(s, on="doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        F.round(
+            -(F.col("nano_sum").cast("double") / 1e9) / F.col("n_chars"), 6
+        ).alias("entropy_bits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6: content-defined chunking (CDC) — rolling-hash chunk boundaries
+# --------------------------------------------------------------------------
+
+#: boundary condition: first hex byte of md5(trigram) % CDC_MOD == 0
+#: -> expected chunk length = CDC_MOD tokens
+CDC_MOD = 8
+
+#: cross-engine md5-hex-byte -> int (the _DOC_PCT pattern, new salt-free
+#: window is fine here: input is a trigram, not doc_id)
+_CDC_FLAG_SPARK = (
+    "CASE WHEN pos >= 2 AND CAST(conv(substr(md5(g3), 1, 2), 16, 10) AS INT)"
+    f" % {CDC_MOD} = 0 THEN 1 ELSE 0 END"
+)
+_CDC_FLAG_DUCK = (
+    "CASE WHEN pos >= 2 AND CAST(('0x' || substr(md5(t2 || ' ' || t1 || ' ' "
+    f"|| tok), 1, 2)) AS INT) % {CDC_MOD} = 0 THEN 1 ELSE 0 END"
+)
+
+
+@REGISTRY.register(
+    "docs_cdc_chunks",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+               WHERE length({_NORM_SQL}) > 0),
+    tk AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+           FROM (SELECT doc_id, string_split(norm, ' ') AS t FROM n)),
+    tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok FROM tk),
+    lagd AS (SELECT doc_id, pos, tok,
+                    lag(tok, 2) OVER w AS t2, lag(tok, 1) OVER w AS t1
+             FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    flg AS (SELECT doc_id, pos, tok, {_CDC_FLAG_DUCK} AS flag FROM lagd),
+    chk AS (SELECT doc_id, pos, tok,
+                   sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS chunk_id
+            FROM flg),
+    ch AS (SELECT doc_id, chunk_id,
+                  CAST(count(*) AS BIGINT) AS n_tokens,
+                  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+           FROM chk GROUP BY doc_id, chunk_id),
+    dfq AS (SELECT chunk_hash, count(DISTINCT doc_id) AS docfreq
+            FROM ch GROUP BY chunk_hash)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN d.docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(max(c.n_tokens) AS BIGINT) AS max_chunk_tokens
+    FROM ch c JOIN dfq d ON d.chunk_hash = c.chunk_hash
+    GROUP BY c.doc_id""",
+    doc="Content-defined chunking — the rolling-hash boundary scheme "
+    "(rsync/LBFS/CDC dedup) applied to tokens: a chunk boundary opens "
+    "wherever md5 of the 3-token window lands in 1/" f"{CDC_MOD}"
+    " of hash space, so boundaries survive insertions/deletions that "
+    "shift absolute positions — the property fixed-width docs_chunk "
+    "lacks and the reason blob stores dedup at chunk level. Per doc: "
+    "chunk count, max chunk length, and how many of its chunks also "
+    "appear verbatim in ANOTHER doc (the CDC cross-doc dedup signal). "
+    "Pipeline: one token explode, per-doc lag window + running-sum "
+    "(bounded rows per doc), ordered string_agg per chunk, then a "
+    "chunk-hash docfreq aggregate — the same inverted-index shape as "
+    "the shingle spine, no pair joins. At 100 TB the chunk store "
+    "(hash -> refcount) IS the dedup index; state per hash is one "
+    "count.",
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = (
+        _docs(spark, sf_dir)
+        .select("doc_id", norm_text(F.col("text")).alias("norm"))
+        .filter(F.length("norm") > 0)
+    )
+    tok = n.select("doc_id", F.posexplode(F.split("norm", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagd = tok.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "tok",
+        F.concat_ws(
+            " ", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok")
+        ).alias("g3"),
+    )
+    flg = lagd.select(
+        "doc_id", "pos", "tok", F.expr(_CDC_FLAG_SPARK).alias("flag")
+    )
+    chk = flg.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum("flag")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("chunk_id"),
+    )
+    ch = chk.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.md5(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok))"
+            )
+        ).alias("chunk_hash"),
+    )
+    dfq = ch.groupBy("chunk_hash").agg(F.countDistinct("doc_id").alias("docfreq"))
+    return (
+        ch.join(dfq, on="chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            F.max("n_tokens").cast("long").alias("max_chunk_tokens"),
+        )
     )

@@ -2417,3 +2417,261 @@ def ev_merge_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+TOPK_PER_HOUR = 3
+
+
+@REGISTRY.register(
+    "ev_window_topk_per_hour",
+    oracle=f"""
+    WITH hc AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, user_id,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY h
+                                       ORDER BY n_events DESC, user_id ASC)
+                      AS rank
+          FROM hc)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           user_id, n_events, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {TOPK_PER_HOUR}""",
+    doc="Top-K active users per hour window — leaderboards over "
+    "tumbling time buckets, the per-window twin of the per-group "
+    "top-1 the reference's q1/pq1 family runs. One (hour, user) hash "
+    "aggregate then a rank window PARTITIONED BY hour (thousands of "
+    "small partitions — never a global sort) that Catalyst executes "
+    "as WindowGroupLimit: per-partition state is the K-row heap, not "
+    "the window. Deterministic ties: count desc, user_id asc. Window "
+    "start emitted as a formatted string (python date objects hash "
+    "differently from datetime64 in the driver compare).",
+)
+def ev_window_topk_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hc = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("h").orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        hc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_PER_HOUR)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "user_id",
+            "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "ev_first_last_value",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+                      event_type
+               FROM events),
+    w AS (SELECT user_id, day,
+                 first_value(event_type) OVER win AS first_type,
+                 last_value(event_type) OVER win AS last_type,
+                 nth_value(event_type, 2) OVER win AS second_type,
+                 count(*) OVER win AS n_events
+          FROM e
+          WINDOW win AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING))
+    SELECT DISTINCT user_id, strftime(day, '%Y-%m-%d') AS day,
+           first_type, last_type, second_type,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM w""",
+    doc="first_value / last_value / nth_value window coverage: each "
+    "user-day's entry event, exit event, and second event — the "
+    "session-edge features funnel analyses start from. The full-frame "
+    "window (UNBOUNDED..UNBOUNDED over ts,event_id order) makes "
+    "last_value mean the actual last row, not the default "
+    "running-frame gotcha; DISTINCT collapses the per-row window "
+    "results to one row per (user, day). Partition key (user, day) is "
+    "high-cardinality with bounded rows per key — one shuffle, small "
+    "per-key sorts, never global. event_id tiebreak makes every "
+    "slot deterministic.",
+)
+def ev_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    win = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            "day",
+            F.first("event_type").over(win).alias("first_type"),
+            F.last("event_type").over(win).alias("last_type"),
+            F.nth_value("event_type", 2).over(win).alias("second_type"),
+            F.count(F.lit(1)).over(win).cast("long").alias("n_events"),
+        )
+        .distinct()
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "first_type",
+            "last_type",
+            "second_type",
+            "n_events",
+        )
+    )
+
+
+#: bitmap page width: 63 day-slots per page keeps every set bit inside a
+#: signed BIGINT's positive range (slot 62 is the highest shift; slot 63
+#: would be the sign bit, where Spark wraps and DuckDB errors).
+BITMAP_PAGE_DAYS = 63
+
+
+@REGISTRY.register(
+    "ev_bitmap_daily_active",
+    oracle=f"""
+    WITH e AS (SELECT user_id,
+                      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+               FROM events),
+    b AS (SELECT user_id,
+                 CAST(d // {BITMAP_PAGE_DAYS} AS BIGINT) AS epoch_page,
+                 CAST(d % {BITMAP_PAGE_DAYS} AS INT) AS slot
+          FROM e),
+    a AS (SELECT user_id, epoch_page,
+                 CAST(bit_or(CAST(1 AS BIGINT) << slot) AS BIGINT)
+                   AS active_bitmap,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM b GROUP BY user_id, epoch_page)
+    SELECT user_id, epoch_page, active_bitmap,
+           CAST(bit_count(active_bitmap) AS INT) AS n_active_days,
+           n_events
+    FROM a""",
+    doc="Activity BITMAPS — the roaring-bitmap-style DAU/retention "
+    "primitive: each user's active days packed into one BIGINT per "
+    f"{BITMAP_PAGE_DAYS}-day epoch page (bit_or of 1<<day_slot), with "
+    "bit_count giving active-day totals for free. This is how "
+    "billion-user engagement stores actually materialize presence "
+    "(set-bit pages, not one row per user-day): downstream "
+    "retention/overlap becomes bitwise AND/OR on packed longs instead "
+    "of joins on exploded rows — 63x fewer rows shuffled than the "
+    "(user, day) form ev_daily_gapfill aggregates. One hash aggregate, "
+    "map-side-combinable (bit_or is associative+commutative), bounded "
+    "state per (user, page). Page width 63 keeps every slot inside the "
+    "positive range of a signed long on both engines.",
+)
+def ev_bitmap_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))).alias(
+            "d"
+        ),
+    )
+    b = e.select(
+        "user_id",
+        F.expr(f"CAST(d DIV {BITMAP_PAGE_DAYS} AS BIGINT)").alias("epoch_page"),
+        F.expr(f"CAST(d % {BITMAP_PAGE_DAYS} AS INT)").alias("slot"),
+    )
+    a = b.groupBy("user_id", "epoch_page").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), slot))").alias("active_bitmap"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return a.select(
+        "user_id",
+        "epoch_page",
+        "active_bitmap",
+        F.bit_count("active_bitmap").cast("int").alias("n_active_days"),
+        "n_events",
+    )
+
+
+#: EWMA recency weights are binary half-lives: weight(k) = 2^-k for the
+#: k-th most recent event, quantized to integer micro-weights
+#: round(1e6 / 2^k). Both the shift and the single power-of-two double
+#: division are bit-exact on both engines (no pow(), whose libm
+#: implementations may differ in the last ulp); k caps at 62 so the
+#: shift stays in a signed BIGINT (weights are 0 past k=20 anyway).
+EWMA_K_CAP = 62
+
+
+@REGISTRY.register(
+    "ev_ewma_value",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS v_cents
+               FROM events),
+    r AS (SELECT user_id, v_cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) - 1 AS k
+          FROM e),
+    q AS (SELECT user_id, v_cents,
+                 CAST(round(1000000.0 /
+                      (CAST(1 AS BIGINT) << CAST(least(k, {EWMA_K_CAP}) AS INT)))
+                      AS BIGINT) AS wq
+          FROM r)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((CAST(sum(v_cents * wq) AS BIGINT) * 1000000
+                 + CAST(sum(wq) AS BIGINT) // 2)
+                // CAST(sum(wq) AS BIGINT) AS BIGINT) AS ewma_micro_cents
+    FROM q GROUP BY user_id""",
+    doc="Exponentially-weighted moving average of event value per user "
+    "(half-life = one event): the recency-weighted engagement feature "
+    "online scorers keep as running state, computed in batch as ONE "
+    "window + ONE aggregate. Determinism is the interesting part: "
+    "weights are binary half-lives 2^-k materialized as integer "
+    "micro-weights round(1e6 >> k) — a shift plus one power-of-two "
+    "double division, both bit-exact cross-engine, never libm pow() — "
+    "so the weighted sum is an INTEGER sum with order-free partials, "
+    "and the final average is a half-up INTEGER division to "
+    "micro-cents (a double quotient rounded to 6 dp would sit exactly "
+    "on the .5 edge whenever the weight total is the full 2e6 page — "
+    "half of all users — where the engines' round() disagree by 1 ulp). "
+    "Scale: the window partitions by user (high cardinality, bounded "
+    "rows per key), the aggregate map-side combines; per-user state is "
+    "two longs.",
+)
+def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "user_id", "v_cents", (F.row_number().over(w) - 1).alias("k")
+    )
+    q = r.select(
+        "user_id",
+        "v_cents",
+        F.expr(
+            f"CAST(round(1000000.0D / shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(least(k, {EWMA_K_CAP}) AS INT))) AS BIGINT)"
+        ).alias("wq"),
+    )
+    agg = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("v_cents") * F.col("wq")).cast("long").alias("t"),
+        F.sum("wq").cast("long").alias("w"),
+    )
+    # half-up integer division: values are non-negative by schema
+    # (events.value >= 0), so +w/2 before the floor is exact half-up
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.expr("CAST((t * 1000000 + w DIV 2) DIV w AS BIGINT)").alias(
+            "ewma_micro_cents"
+        ),
+    )

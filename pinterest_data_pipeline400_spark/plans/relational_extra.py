@@ -693,3 +693,160 @@ def orders_interorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 0)
     )
+
+
+DIVISION_YEAR = 1998
+
+
+@REGISTRY.register(
+    "q_division_customers",
+    oracle=f"""
+    WITH m AS (SELECT o_custkey,
+                      CAST(count(DISTINCT date_part('quarter', o_orderdate))
+                           AS BIGINT) AS n_quarters,
+                      CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders
+               WHERE date_part('year', o_orderdate) = {DIVISION_YEAR}
+               GROUP BY o_custkey
+               HAVING count(DISTINCT date_part('quarter', o_orderdate)) = 4)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m.n_orders) AS BIGINT) AS n_orders
+    FROM m JOIN customer c ON c.c_custkey = m.o_custkey
+    GROUP BY c.c_mktsegment""",
+    doc="Relational DIVISION — 'customers who ordered in EVERY quarter "
+    f"of {DIVISION_YEAR}' — the universal-quantifier query shape "
+    "(suppliers stocking all parts, users hitting all features), "
+    "expressed the scale-right way: not an N-way self-join chain but "
+    "ONE aggregate with a distinct-quarter count and HAVING = 4, then "
+    "a dim join and segment rollup. The year predicate pushes to the "
+    "scan; count(DISTINCT quarter) partial-aggregates as a 4-value "
+    "set per customer — bounded state per key at any corpus size. "
+    "(Quarter granularity keeps the divisor satisfiable at fixture "
+    "order density; the shape is identical for any divisor set.)",
+)
+def q_division_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == DIVISION_YEAR)
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct(F.quarter("o_orderdate")).cast("long").alias("n_quarters"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .filter(F.col("n_quarters") == 4)
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        m.join(F.broadcast(c), m["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "orders_spend_percentile",
+    oracle="""
+    WITH spend AS (SELECT o.o_custkey AS custkey,
+                          any_value(c.c_mktsegment) AS segment,
+                          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS spend_cents
+                   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                   GROUP BY o.o_custkey)
+    SELECT custkey, segment, spend_cents,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM spend
+    WINDOW w AS (PARTITION BY segment ORDER BY spend_cents, custkey)""",
+    doc="percent_rank / cume_dist coverage: each customer's lifetime "
+    "spend ranked within their market segment — the percentile "
+    "feature scoring/LTV models consume. Exact integer-cent spend "
+    "from one partial-combined aggregate; the rank window partitions "
+    "by segment with a (spend, custkey) tiebreak so both statistics "
+    "are tie-free deterministic. SCALE CAVEAT (the ev_value_deciles "
+    "trade, documented not hidden): percent_rank needs the full "
+    "per-segment sort, and with ~5 segments each partition is ~n/5 — "
+    "fine to tens of millions per segment, but at true 100 TB the "
+    "broadcast-threshold bucketing form (ev_value_deciles_bounded / "
+    "orders_rfm_segments) is the one to run; this entry exists for "
+    "exact-percentile semantics and operator coverage.",
+)
+def orders_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.any_value("c_mktsegment").alias("segment"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("spend_cents", "custkey")
+    return spend.select(
+        "custkey",
+        "segment",
+        "spend_cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@REGISTRY.register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH y AS (SELECT CAST(date_part('year', o_orderdate) AS INT) AS year,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev_cents,
+                      CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1),
+    g AS (SELECT year, rev_cents, n_orders,
+                 lag(rev_cents) OVER (ORDER BY year) AS prev_cents
+          FROM y)
+    SELECT year, rev_cents, n_orders,
+           CAST(rev_cents - prev_cents AS BIGINT) AS yoy_delta_cents,
+           round((CAST(rev_cents AS DOUBLE) - prev_cents) / prev_cents * 100,
+                 6) AS yoy_growth_pct
+    FROM g WHERE prev_cents IS NOT NULL""",
+    doc="Year-over-year revenue growth — the lag-on-an-aggregated-"
+    "series reporting shape (every exec dashboard's top line): one "
+    "partial-combined hash aggregate collapses the fact table to ~7 "
+    "year rows, THEN the lag window runs on that tiny frame. The "
+    "single-partition window is harmless by construction — its input "
+    "is post-aggregation, bounded by distinct years, not by corpus "
+    "size; the scale-relevant work (the fact scan and integer-cent "
+    "sums) all map-side combines. First year is dropped rather than "
+    "emitted with NULL deltas: a nullable BIGINT column arrives in "
+    "pandas as float64 and the driver's value-hash is "
+    "representation-sensitive.",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("year"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("year")
+    g = y.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    return g.filter(F.col("prev_cents").isNotNull()).select(
+        "year",
+        "rev_cents",
+        "n_orders",
+        (F.col("rev_cents") - F.col("prev_cents")).cast("long").alias("yoy_delta_cents"),
+        F.round(
+            (F.col("rev_cents").cast("double") - F.col("prev_cents"))
+            / F.col("prev_cents")
+            * 100,
+            6,
+        ).alias("yoy_growth_pct"),
+    )

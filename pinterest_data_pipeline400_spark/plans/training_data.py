@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..generator import ensure_fixtures, fixture_dir_for
 from ..operators.dedup import (
+    SHINGLE_WORDS,
     _emb_band_keys,
     dup_clusters,
     dup_clusters_oracle_sql,
@@ -43,6 +44,8 @@ from ..operators.dedup import (
     edit_distance_pairs,
     embedding_near_dup_pairs,
     exploded_shingles,
+    minhash_estimate_oracle_sql,
+    minhash_estimate_pairs,
     minhash_near_dup_pairs,
     minhash_oracle_sql,
     ngram_jaccard_oracle_sql,
@@ -1363,6 +1366,22 @@ def cached_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash near-dup pair list, disk-cached per fixture stamp
+    (consumed by docs_dup_simhash_pairs' scorer docs_dedup_pr; the
+    detector entry itself stays live — it IS the generator
+    measurement)."""
+
+    def build() -> DataFrame:
+        dup = spark.read.parquet(
+            os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet")
+        )
+        normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+        return simhash_near_dup_pairs(normed)
+
+    return _spine_cached(spark, sf_dir, "simhash_pairs", build)
+
+
 @REGISTRY.register(
     "docs_dup_clusters",
     oracle=dup_clusters_oracle_sql(
@@ -2061,9 +2080,10 @@ def _pr_counts_sql(method: str, det_sql: str) -> str:
     "admit a near-fingerprint pair outside the planted families, "
     "which is exactly the trade this entry makes visible. Truth pairs "
     "come from a root-key equi-join (families are tiny, no skew); "
-    "scoring is one outer join per detector on the pair key. The "
-    "minhash pair list reads from the shared spine cache; simhash "
-    "stays live (it has no second consumer).",
+    "scoring is one outer join per detector on the pair key. Both "
+    "detectors' pair lists read from the shared content-stamped spine "
+    "cache; the detector entries themselves stay live (they ARE the "
+    "generator measurements).",
 )
 def docs_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
@@ -2072,7 +2092,6 @@ def docs_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = roots.select(F.col("doc_id").alias("doc_b"), "root")
     truth = a.join(b, on="root").filter(F.col("doc_a") < F.col("doc_b")).drop("root")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
-    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
 
     def score(method: str, det: DataFrame) -> DataFrame:
         d = det.select("doc_a", "doc_b").join(
@@ -2096,7 +2115,7 @@ def docs_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return score("minhash", cached_minhash_pairs(spark, sf_dir)).unionByName(
-        score("simhash", simhash_near_dup_pairs(normed))
+        score("simhash", cached_simhash_pairs(spark, sf_dir))
     )
 
 
@@ -2576,4 +2595,145 @@ def emb_scalar_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("label").cast("int").alias("label"),
         F.count(F.lit(1)).cast("long").alias("n_dims"),
         F.sum("sq_pico").cast("long").alias("qerr_pico"),
+    )
+
+
+@REGISTRY.register(
+    "docs_minhash_jaccard_est",
+    oracle=minhash_estimate_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL),
+    doc="MinHash estimator ACCURACY as a first-class frame: for every "
+    "band-collision candidate pair, the signature-agreement estimate "
+    "(matching slots / 12 — the textbook unbiased Jaccard estimator) "
+    "side by side with the exact shingle-set Jaccard and their "
+    "absolute gap. The point: a 100 TB dedup pass that skips exact "
+    "verification trusts precisely this estimate, so its error is a "
+    "measured distribution here, not a Chernoff bound in a docstring "
+    "(12 hashes → typical |err| ~0.14; the emb_knn_recall discipline "
+    "applied to sketch accuracy). Same banded-equi-join spine as the "
+    "detector — the estimate adds only two NUM_HASHES-wide signature "
+    "re-joins, never a second corpus pass.",
+)
+def docs_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return minhash_estimate_pairs(normed)
+
+
+@REGISTRY.register(
+    "emb_dim_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      CAST(unnest(range(len(embedding))) AS INT) AS dim,
+                      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                        AS val
+               FROM embeddings),
+    m AS (SELECT dim, CAST(round(val * 1e6) AS BIGINT) AS micro FROM e),
+    a AS (SELECT dim,
+                 CAST(count(*) AS BIGINT) AS n_vectors,
+                 CAST(sum(micro) AS BIGINT) AS s,
+                 CAST(sum(micro * micro) AS BIGINT) AS s2,
+                 CAST(min(micro) AS BIGINT) AS mn,
+                 CAST(max(micro) AS BIGINT) AS mx
+          FROM m GROUP BY dim)
+    SELECT dim, n_vectors,
+           round(CAST(s AS DOUBLE) / n_vectors / 1e6, 6) AS mean_val,
+           round((CAST(s2 AS DOUBLE) / n_vectors
+                  - (CAST(s AS DOUBLE) / n_vectors)
+                    * (CAST(s AS DOUBLE) / n_vectors)) / 1e12, 6) AS var_val,
+           round(CAST(mn AS DOUBLE) / 1e6, 6) AS min_val,
+           round(CAST(mx AS DOUBLE) / 1e6, 6) AS max_val
+    FROM a""",
+    doc="Per-dimension corpus statistics over the embedding column — "
+    "the normalization pass (mean-centering, feature scaling, dead-"
+    "dimension detection) every vector index build runs first. "
+    "posexplode to (dim, value), coordinates quantized to 1e-6 "
+    "integers BEFORE the sums (the kmeans-centroid discipline: "
+    "integer partials are order-free across engines; variance derives "
+    "from the exact integer sum and sum-of-squares at the end, in the "
+    "textually identical expression on both engines). Aggregate state "
+    "is bounded by the dimension count (64 groups), map-side "
+    "combinable — the 100 TB shape. Squared micro sums stay under "
+    "int64 to ~1e6 vectors per dim; past that, scale the quantum "
+    "down one decade.",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val")
+    )
+    m = e.select("dim", F.round(F.col("val") * 1e6).cast("long").alias("micro"))
+    a = m.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("micro").cast("long").alias("s"),
+        F.sum(F.col("micro") * F.col("micro")).cast("long").alias("s2"),
+        F.min("micro").cast("long").alias("mn"),
+        F.max("micro").cast("long").alias("mx"),
+    )
+    n = F.col("n_vectors")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return a.select(
+        "dim",
+        "n_vectors",
+        F.round(s / n / 1e6, 6).alias("mean_val"),
+        F.round((s2 / n - (s / n) * (s / n)) / 1e12, 6).alias("var_val"),
+        F.round(F.col("mn").cast("double") / 1e6, 6).alias("min_val"),
+        F.round(F.col("mx").cast("double") / 1e6, 6).alias("max_val"),
+    )
+
+
+@REGISTRY.register(
+    "docs_ngram_novelty",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
+    shing AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(t) < {SHINGLE_WORDS} THEN [norm]
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             END) AS sh
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shing),
+    dfq AS (SELECT shingle, count(DISTINCT doc_id) AS docfreq
+            FROM ex GROUP BY shingle)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.docfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(sum(CASE WHEN d.docfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM ex e JOIN dfq d USING (shingle)
+    GROUP BY e.doc_id""",
+    doc="N-gram NOVELTY scoring — the fraction of each document's "
+    "distinct word 3-shingles that appear in no other document: the "
+    "curation signal that separates boilerplate-heavy pages (novelty "
+    "near 0 — everything they say is said elsewhere) from genuinely "
+    "new text, and the inverse of the shared-span signal "
+    "docs_remove_common_spans cuts on. Same inverted shingle index as "
+    "the dedup spine (explode -> docfreq aggregate -> join back), so "
+    "at 100 TB it shares that materialization; per-shingle state is "
+    "one count, per-doc rollup map-side combines. No all-pairs "
+    "anything — novelty is a property of the INDEX, not of pair "
+    "comparisons.",
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", norm_text(F.col("text")).alias("norm"))
+    sh = exploded_shingles(d)
+    dfq = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("docfreq"))
+    per = (
+        sh.join(dfq, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.round(F.col("n_unique").cast("double") / F.col("n_shingles"), 6).alias(
+            "novelty"
+        ),
     )

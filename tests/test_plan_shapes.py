@@ -415,3 +415,47 @@ def test_merge_upsert_single_full_outer_join(spark):
     assert "FullOuter" in plan
     assert plan.count("Scan parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_bitmap_aggregate_is_one_combinable_pass(spark):
+    """Activity bitmaps are ONE partial+final hash aggregate (bit_or
+    combines map-side) — no window, no join, no pair expansion."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_bitmap_daily_active(spark, TEST_SF_DIR))
+    assert "Window" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ewma_window_partitions_by_user(spark):
+    """The EWMA recency window must partition by user — never a global
+    single-partition sort."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_ewma_value(spark, TEST_SF_DIR))
+    assert "SinglePartition" not in plan
+
+
+def test_yoy_aggregates_fact_before_window(spark):
+    """orders_yoy_growth's lag window must sit ABOVE the year aggregate
+    (plan prints root-first: Window before its HashAggregate child) —
+    the single-partition window input is ~7 year rows, never the fact."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.orders_yoy_growth(spark, TEST_SF_DIR))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_r6_index_entries_never_pair_join(spark):
+    """CDC chunking, n-gram novelty, and dimension stats are inverted-
+    index / aggregate shapes: no cartesian or nested-loop pair joins
+    anywhere in their plans."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    for fn in (cu.docs_cdc_chunks, td.docs_ngram_novelty, td.emb_dim_stats):
+        plan = _plan(fn(spark, TEST_SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
