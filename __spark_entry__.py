@@ -81,6 +81,12 @@ GRADE_WINDOW = [
     "emb_dim_stats",
     "docs_ngram_novelty",
     "docs_cdc_chunks",
+    "docs_dup_containment",
+    "q_large_volume_customers",
+    "orders_pareto_share",
+    "docs_langid_ngram",
+    "docs_langid_confusion",
+    "q_promo_revenue_share",
     # re-certify first: entries whose implementation changed this round
     # (now read the shared dedup-spine disk cache)
     "docs_dup_clusters",

@@ -983,3 +983,95 @@ def edit_distance_oracle_sql(parquet_path: str, norm_sql: str) -> str:
              WHERE a.doc_id < b.doc_id)
     SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS INT) AS edit_distance
     FROM cand WHERE levenshtein(t_a, t_b) <= 1"""
+#: containment verify threshold: |A∩B| / min(|A|,|B|) — detects a short
+#: doc embedded in a long one, where Jaccard stays low
+DEFAULT_TAU_CONTAINMENT = 0.8
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    tau: float = DEFAULT_TAU_CONTAINMENT,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, containment, jaccard) for pairs whose shingle-set
+    CONTAINMENT |A∩B| / min(|A|,|B|) ≥ tau — the asymmetric near-dup
+    measure that catches a short document embedded verbatim inside a
+    long one (quotes, doc-in-doc, page-with-boilerplate-wrapper), which
+    Jaccard misses by construction: a 50-shingle doc inside a
+    5000-shingle doc has containment 1.0 but Jaccard 0.01, under any
+    symmetric threshold. Same inverted-index spine as
+    :func:`ngram_jaccard_pairs` (postings self-join, DF cap, the
+    intersection count falls out of the join itself); only the final
+    ratio differs, and Jaccard rides along for contrast."""
+    from pyspark.sql import Window
+
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    posting = exploded_shingles(docs, id_col, norm_col)
+    kept = (
+        posting.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+        .persist()
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("c") / F.least(F.col("n_a"), F.col("n_b")), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= tau)
+    )
+
+
+def containment_oracle_sql(
+    parquet_path: str,
+    norm_sql: str,
+    tau: float = DEFAULT_TAU_CONTAINMENT,
+    max_df: int = NGRAM_MAX_DF,
+) -> str:
+    """DuckDB mirror of :func:`containment_pairs`."""
+    return f"""
+    WITH src AS (SELECT doc_id, {norm_sql} AS norm
+                 FROM read_parquet('{parquet_path}')),
+    toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
+    shingled AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(t) < {SHINGLE_WORDS} THEN [norm]
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+      FROM toks),
+    posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    kept AS (SELECT doc_id, shingle FROM posting
+             QUALIFY count(*) OVER (PARTITION BY shingle) <= {max_df}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM kept a JOIN kept b USING (shingle)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = shared.doc_a
+    JOIN sizes sb ON sb.doc_id = shared.doc_b
+    WHERE round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) >= {tau}"""

@@ -850,3 +850,197 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth_pct"),
     )
+LARGE_VOLUME_QTY = 200  # sf0.01: 874 qualifying orders (top ~6% tail)
+
+
+@REGISTRY.register(
+    "q_large_volume_customers",
+    oracle=f"""
+    WITH big AS (SELECT l_orderkey,
+                        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                          AS sum_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING sum(CAST(round(l_quantity) AS BIGINT))
+                        > {LARGE_VOLUME_QTY})
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey""",
+    doc="TPC-H Q18 large-volume customers: orders whose total lineitem "
+    f"quantity exceeds {LARGE_VOLUME_QTY}, enriched with customer and "
+    "order facts — the HAVING-on-a-fact-aggregate-then-enrich shape "
+    "(find the heavy tail, then join context onto only the survivors). "
+    "Scale order matters and is encoded in the plan: the lineitem "
+    "aggregate (map-side-combinable integer quantity sums, ~4 rows per "
+    "orderkey) runs FIRST and the ~top-percent survivors drive the "
+    "joins — orders is joined on its key, customer broadcasts — so "
+    "neither dimension-side shuffle ever sees the full fact. The "
+    "classic wrong plan (join first, aggregate later) would shuffle "
+    "the whole fact table twice.",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > LARGE_VOLUME_QTY)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "orderdate",
+            "totalprice_cents",
+            "sum_qty",
+        )
+    )
+
+
+PARETO_NUM = 4  # prefix covers >= PARETO_NUM/PARETO_DEN of segment revenue
+PARETO_DEN = 5  # i.e. the classic 80%
+
+
+@REGISTRY.register(
+    "orders_pareto_share",
+    oracle=f"""
+    WITH spend AS (SELECT o.o_custkey AS custkey,
+                          any_value(c.c_mktsegment) AS segment,
+                          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                   GROUP BY o.o_custkey),
+    cum AS (SELECT segment, cents,
+                   CAST(sum(cents) OVER (PARTITION BY segment
+                                         ORDER BY cents DESC, custkey
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_cents,
+                   CAST(sum(cents) OVER (PARTITION BY segment) AS BIGINT)
+                     AS total_cents
+            FROM spend)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN (cum_cents - cents) * {PARETO_DEN}
+                              < total_cents * {PARETO_NUM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(CAST(sum(CASE WHEN (cum_cents - cents) * {PARETO_DEN}
+                                    < total_cents * {PARETO_NUM}
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS top80_frac,
+           CAST(any_value(total_cents) AS BIGINT) AS total_cents
+    FROM cum GROUP BY segment""",
+    doc="Pareto concentration — how few customers cover 80% of each "
+    "segment's revenue (the whale-curve / revenue-concentration report "
+    "behind every account-tiering decision). A customer is in the "
+    "minimal covering prefix iff the cumulative spend BEFORE them is "
+    "under 80% of the segment total; that inequality is evaluated in "
+    "pure INTEGER cross-multiplied form (cum*5 < total*4 — no "
+    "float threshold, no knife edge). One exact integer-cent "
+    "aggregate, then a per-segment running-sum window with a "
+    "(cents desc, custkey) tiebreak. SCALE CAVEAT (same as "
+    "orders_spend_percentile, documented not hidden): the running sum "
+    "needs the per-segment sort; fine to tens of millions per "
+    "segment, past that the broadcast-threshold quantile form "
+    "approximates the same report without the sort.",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.any_value("c_mktsegment").alias("segment"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    wrun = (
+        Window.partitionBy("segment")
+        .orderBy(F.col("cents").desc(), F.col("custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("segment")
+    cum = spend.select(
+        "segment",
+        "cents",
+        F.sum("cents").over(wrun).cast("long").alias("cum_cents"),
+        F.sum("cents").over(wall).cast("long").alias("total_cents"),
+    )
+    in_prefix = (
+        (F.col("cum_cents") - F.col("cents")) * PARETO_DEN
+        < F.col("total_cents") * PARETO_NUM
+    ).cast("int")
+    return cum.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(in_prefix).cast("long").alias("n_top80"),
+        F.round(F.sum(in_prefix).cast("double") / F.count(F.lit(1)), 6).alias(
+            "top80_frac"
+        ),
+        F.any_value("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+@REGISTRY.register(
+    "q_promo_revenue_share",
+    oracle=f"""
+    WITH j AS (SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m')
+                        AS ship_month,
+                      p.p_type,
+                      {_REVENUE_CENTS_SQL} AS rev_cents
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT ship_month,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_cents
+                             ELSE 0 END)
+                 / sum(rev_cents), 6) AS promo_share_pct
+    FROM j GROUP BY ship_month""",
+    doc="TPC-H Q14 promotion-effect: per ship month, the share of "
+    "discounted revenue coming from PROMO-type parts — the "
+    "conditional-sum-ratio report (campaign lift, feature share, "
+    "error rate) in its canonical relational form. part (SF*2k rows) "
+    "broadcasts onto the fact scan, so the only aggregation is one "
+    "map-side-combinable (month) rollup of two exact integer-cent "
+    "sums; the ratio is computed once per month group from those "
+    "integer sums, never per row. At 100 TB the join stays broadcast "
+    "(parts are bounded) and the aggregate carries ~84 groups.",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM").alias(
+            "ship_month"
+        ),
+        "p_type",
+        _revenue_cents().alias("rev_cents"),
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(0)
+    )
+    return j.groupBy("ship_month").agg(
+        promo.cast("long").alias("promo_cents"),
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.round(F.lit(100.0) * promo / F.sum("rev_cents"), 6).alias(
+            "promo_share_pct"
+        ),
+    )

@@ -36,6 +36,8 @@ from ..generator import ensure_fixtures, fixture_dir_for
 from ..operators.dedup import (
     SHINGLE_WORDS,
     _emb_band_keys,
+    containment_oracle_sql,
+    containment_pairs,
     dup_clusters,
     dup_clusters_oracle_sql,
     emb_band_keys_sql,
@@ -2737,3 +2739,21 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+@REGISTRY.register(
+    "docs_dup_containment",
+    oracle=containment_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL),
+    doc="Asymmetric CONTAINMENT dedup — |A∩B| / min(|A|,|B|) over the "
+    "inverted shingle index: the detector for a short document "
+    "embedded verbatim in a long one (quotes, boilerplate wrappers, "
+    "doc-in-doc), which every symmetric Jaccard threshold "
+    "structurally misses (50 shingles inside 5000 = containment 1.0, "
+    "Jaccard 0.01). Jaccard rides along in the output so the gap is "
+    "visible per pair. Candidates come from the postings self-join "
+    "with the same DF cap as docs_dup_ngram_pairs (shared boilerplate "
+    "shingles never explode the join); the intersection count falls "
+    "out of the join itself — no second corpus pass, no all-pairs.",
+)
+def docs_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return containment_pairs(normed)

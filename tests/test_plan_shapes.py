@@ -459,3 +459,58 @@ def test_r6_index_entries_never_pair_join(spark):
         plan = _plan(fn(spark, TEST_SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_q18_aggregates_lineitem_before_joins(spark):
+    """q_large_volume_customers must aggregate the fact FIRST and join
+    only the survivors: the joins sit above the lineitem aggregate in
+    the plan, customer broadcasts, one scan per table."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_large_volume_customers(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # root-first print order: a join above, the quantity aggregate below
+    assert plan.index("Join") < plan.index("HashAggregate")
+
+
+def test_pareto_windows_partition_by_segment(spark):
+    """orders_pareto_share's running sum partitions by segment — never a
+    global single-partition sort."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.orders_pareto_share(spark, TEST_SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_uses_postings_join_not_all_pairs(spark):
+    """docs_dup_containment candidates come from the inverted-index
+    postings self-join — no cartesian or nested-loop pair expansion."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.docs_dup_containment(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_langid_scoring_broadcasts_profiles(spark):
+    """docs_langid_ngram's per-doc scoring join against the 5x200
+    profile grid must broadcast (never shuffle the doc side against a
+    1000-row table); no pair expansion anywhere."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    plan = _plan(cu.docs_langid_ngram(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_share_broadcasts_part_single_rollup(spark):
+    """q_promo_revenue_share: part broadcasts onto the fact scan and the
+    only aggregation is the month rollup (partial + final)."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_promo_revenue_share(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final month rollup
