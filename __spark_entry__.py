@@ -87,6 +87,9 @@ GRADE_WINDOW = [
     "docs_langid_ngram",
     "docs_langid_confusion",
     "q_promo_revenue_share",
+    "dq_constraint_report",
+    "ev_attribution_first_touch",
+    "ev_stream_bitmap_hours",
     # re-certify first: entries whose implementation changed this round
     # (now read the shared dedup-spine disk cache)
     "docs_dup_clusters",

@@ -2675,3 +2675,135 @@ def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_micro_cents"
         ),
     )
+
+
+@REGISTRY.register(
+    "ev_attribution_first_touch",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+                      event_type
+               FROM events),
+    w AS (SELECT user_id, day, event_type,
+                 first_value(event_type) OVER
+                   (PARTITION BY user_id, day ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS first_touch
+          FROM e),
+    p AS (SELECT first_touch, CAST(count(*) AS BIGINT) AS n_purchases
+          FROM w WHERE event_type = 'purchase'
+          GROUP BY first_touch)
+    SELECT first_touch, n_purchases,
+           round(CAST(n_purchases AS DOUBLE)
+                 / CAST(sum(n_purchases) OVER () AS BIGINT), 6) AS share
+    FROM p""",
+    doc="First-touch ATTRIBUTION — every purchase credited to the "
+    "event type that OPENED its user-day (the entry channel): the "
+    "marketing-attribution rollup funnels feed budget decisions from. "
+    "One (user, day)-partitioned full-frame first_value window "
+    "(high-cardinality partitions, bounded rows per key — the "
+    "ev_first_last_value shape), then the purchases collapse to a "
+    "5-row channel rollup; the share denominator is a window total "
+    "over that rollup (bounded by the channel count — a separate "
+    "aggregate branch would re-scan the corpus, measured as 2 scans), "
+    "so the corpus is read exactly once. Swapping the window's ORDER "
+    "BY gives last-touch; a weight column over the same frame gives "
+    "linear/U-shaped attribution — the plan shape is the family.",
+)
+def ev_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    win = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = e.select(
+        "event_type", F.first("event_type").over(win).alias("first_touch")
+    )
+    p = (
+        w.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+    # window total over the channel rollup (bounded rows), not a second
+    # aggregate branch — that would re-scan the events parquet
+    wtot = Window.partitionBy()
+    return p.select(
+        "first_touch",
+        "n_purchases",
+        F.round(
+            F.col("n_purchases").cast("double")
+            / F.sum("n_purchases").over(wtot).cast("long"),
+            6,
+        ).alias("share"),
+    )
+
+
+@REGISTRY.register(
+    "ev_stream_bitmap_hours",
+    oracle=f"""
+    WITH f AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(date_part('hour', ts) AS INT) AS h
+               FROM events),
+    agg AS (SELECT day, user_id,
+                   CAST(bit_or(CAST(1 AS BIGINT) << h) AS BIGINT)
+                     AS hour_bitmap,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM f GROUP BY day, user_id
+            HAVING CAST(day AS TIMESTAMP) + INTERVAL '1 day'
+                   <= (SELECT max(ts) FROM events)
+                      - INTERVAL '{STREAM_WM_DELAY}')
+    SELECT strftime(day, '%Y-%m-%d') AS day, user_id, hour_bitmap,
+           CAST(bit_count(hour_bitmap) AS INT) AS n_active_hours,
+           n_events
+    FROM agg""",
+    doc="STREAMING activity bitmaps — each user-day's active hours "
+    "packed into one BIGINT by a watermarked streaming aggregate "
+    "(bit_or of 1<<hour inside the day window): the real-time twin of "
+    "ev_bitmap_daily_active, proving the bitwise rollup family works "
+    "under bounded streaming state, not just in batch. Per-key state "
+    "is ONE long + a count (vs a distinct-hour set) and merges "
+    "associatively across micro-batches; the watermark evicts closed "
+    "days. Append mode emits only day windows the final watermark "
+    "passed — the oracle's HAVING mirrors that emission rule exactly, "
+    "so the committed sink is value-checked, not just counted.",
+)
+def ev_stream_bitmap_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    in_dir, sink, ckpt = _stream_workdirs("ev_bitmap_hours", sf_dir)
+    shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        stream = _with_event_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir))
+        agg = (
+            stream.withWatermark("ts", STREAM_WM_DELAY)
+            .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+            .agg(
+                F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), hour(ts)))").alias(
+                    "hour_bitmap"
+                ),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "user_id",
+                "hour_bitmap",
+                F.bit_count("hour_bitmap").cast("int").alias("n_active_hours"),
+                "n_events",
+            )
+        )
+        query = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(query, "ev_stream_bitmap_hours")
+    return spark.read.parquet(sink)

@@ -156,3 +156,193 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("valid_to"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     ).drop("island")
+
+
+#: the accepted domain for o_orderstatus (the fixture's generator emits
+#: exactly these; anything else is a contract violation)
+_ORDER_STATUS_DOMAIN = ("P", "O", "F")
+
+
+@REGISTRY.register(
+    "dq_constraint_report",
+    oracle=f"""
+    WITH checks AS (
+      SELECT 'orders' AS table_name, 'unique_o_orderkey' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'totalprice_positive', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'status_in_domain', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('P', 'O', 'F')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'fk_custkey_in_customer',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem', 'fk_orderkey_in_orders',
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem', 'discount_in_range', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'quantity_positive', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer', 'unique_c_custkey', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'events', 'ts_not_null', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'events', 'value_non_negative', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events)
+    SELECT table_name, check_name, n_checked, n_violations,
+           CAST(n_violations = 0 AS INT) AS passed
+    FROM checks""",
+    doc="Data-quality CONSTRAINT GATE — the expectations report "
+    "(uniqueness, referential integrity, range, domain, null "
+    "contracts) every production pipeline runs before promoting a "
+    "batch, as one queryable frame: (table, check, rows checked, "
+    "violations, passed). Ten checks over four tables. Scale shape: "
+    "all of a table's row-local checks (range/domain/null) ride ONE "
+    "conditional aggregate on ONE scan — adding a check adds a "
+    "column, not a pass; the two FK checks are LEFT ANTI joins "
+    "(orders→customer broadcasts; lineitem→orders is the one "
+    "key-partitioned shuffle, exactly what a 100 TB integrity check "
+    "costs); uniqueness is exact count(DISTINCT) because a GATE "
+    "cannot be a sketch — the monitoring variant of this report "
+    "would flip to HLL via the existing DISTINCT_MODE switch. All "
+    "violation counts here are 0 by construction: a green gate on "
+    "contract-conforming data IS the assertion.",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    c = read_parquet_table(spark, sf_dir, "customer")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    orders_agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("o_orderkey").cast("long").alias("d"),
+        cnt(F.col("o_totalprice") <= 0).alias("v_price"),
+        cnt(~F.col("o_orderstatus").isin(*_ORDER_STATUS_DOMAIN)).alias("v_status"),
+    )
+    orders_checks = orders_agg.select(
+        F.lit("orders").alias("table_name"),
+        F.expr(
+            "stack(3, 'unique_o_orderkey', n - d,"
+            " 'totalprice_positive', v_price,"
+            " 'status_in_domain', v_status) AS (check_name, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    li_agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_disc"),
+        cnt(F.col("l_quantity") <= 0).alias("v_qty"),
+    )
+    li_checks = li_agg.select(
+        F.lit("lineitem").alias("table_name"),
+        F.expr(
+            "stack(2, 'discount_in_range', v_disc,"
+            " 'quantity_positive', v_qty) AS (check_name, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    cust_agg = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("c_custkey").cast("long").alias("d"),
+    )
+    cust_checks = cust_agg.select(
+        F.lit("customer").alias("table_name"),
+        F.expr(
+            "stack(1, 'unique_c_custkey', n - d) AS (check_name, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    ev_agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt(F.col("ts").isNull()).alias("v_ts"),
+        cnt(F.col("value") < 0).alias("v_val"),
+    )
+    ev_checks = ev_agg.select(
+        F.lit("events").alias("table_name"),
+        F.expr(
+            "stack(2, 'ts_not_null', v_ts,"
+            " 'value_non_negative', v_val) AS (check_name, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    fk_orders = (
+        o.select("o_custkey")
+        .join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(orders_agg.select(F.col("n").alias("n_checked")))
+        .select(
+            F.lit("orders").alias("table_name"),
+            F.lit("fk_custkey_in_customer").alias("check_name"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    fk_lineitem = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(li_agg.select(F.col("n").alias("n_checked")))
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            F.lit("fk_orderkey_in_orders").alias("check_name"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    all_checks = (
+        orders_checks.unionByName(li_checks)
+        .unionByName(cust_checks)
+        .unionByName(ev_checks)
+        .unionByName(fk_orders)
+        .unionByName(fk_lineitem)
+    )
+    return all_checks.select(
+        "table_name",
+        "check_name",
+        "n_checked",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )

@@ -514,3 +514,27 @@ def test_promo_share_broadcasts_part_single_rollup(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") == 2  # partial + final month rollup
+
+
+def test_dq_report_one_aggregate_per_table_scan(spark):
+    """dq_constraint_report: row-local checks ride one conditional
+    aggregate per table scan (orders appears twice — once for its own
+    checks + FK probe side, once as the FK dimension for lineitem);
+    FK checks compile to LEFT ANTI joins, nothing cartesian."""
+    from pinterest_data_pipeline400_spark.plans import profiling as pf
+
+    plan = _plan(pf.dq_constraint_report(spark, TEST_SF_DIR))
+    assert plan.count("LeftAnti") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_reads_corpus_once(spark):
+    """ev_attribution_first_touch reads the events parquet exactly once:
+    the share denominator is a window total over the bounded channel
+    rollup, not a second aggregate branch (which re-scans — measured
+    2 scans before the fix)."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_attribution_first_touch(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
