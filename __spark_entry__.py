@@ -43,9 +43,11 @@ SF0001 = "/root/testdata/sf0.001"
 # entries; GRADE_WINDOW front-loads the SEVEN round-5 entries that fell
 # past round 5's window (pytest-oracle-green, never driver-graded) —
 # grading them closes cumulative driver certification at 156/156 —
-# plus every new round-6 entry, then re-certifies spine entries with
-# the remaining slots (orders_rfm_segments' percentile branch changed
-# this round, so its graded run exercises the new code). Everything
+# plus all FORTY round-6 additions and the three dedup-spine entries
+# whose implementation changed this round (orders_rfm_segments'
+# percentile branch also changed; it is among the seven): 7+40+3 = 50
+# exactly, so a green CORRECTNESS_r06 certifies every new and changed
+# entry and cumulative certification closes at 196/196. Everything
 # else keeps its registration order after the window; nothing is
 # unregistered.
 GRADE_WINDOW = [
@@ -90,20 +92,19 @@ GRADE_WINDOW = [
     "dq_constraint_report",
     "ev_attribution_first_touch",
     "ev_stream_bitmap_hours",
+    "q_returned_top_customers",
+    "q_small_qty_revenue",
+    "q_disjunctive_brand_revenue",
+    "q_ship_latency_priority",
+    "q_waiting_suppliers",
+    "ev_autocorr_lag1",
+    "docs_rake_keywords",
+    "emb_triplet_hard_negatives",
     # re-certify first: entries whose implementation changed this round
     # (now read the shared dedup-spine disk cache)
     "docs_dup_clusters",
     "docs_cluster_keep_longest",
     "docs_dedup_pr",
-    # re-certification backfill: most load-bearing spine entries
-    "ev_kll_quantile_rollup",
-    "ev_theta_user_overlap",
-    "ev_stream_upsert_counts",
-    "ev_funnel_stages",
-    "ev_retention_cohorts",
-    "ev_transition_matrix",
-    "ev_hopping_counts",
-    "ev_session_window_native",
     "ev_value_mad_by_type",
     "ev_rolling_hourly_zscore",
     "ev_set_ops_users",

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .registry import REGISTRY
 from .training_data import (
+    STOPWORDS,
     VOCAB_TOP_K,
     _NORM_SQL,
     _docs,
@@ -823,9 +824,13 @@ def _langid_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))")
         ).alias("bg"),
     )
+    # persist the EXPLODE-side aggregate: both the vocabulary branch
+    # and the kept-bigram branch consume it, and without the cache each
+    # re-runs the full corpus bigram explode (measured: the two langid
+    # entries were the bench sweep's slowest at 7-9 s each)
     cnt = bg.groupBy("doc_id", "lang", "bg").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).persist()
     vocab = (
         cnt.groupBy("bg")
         .agg(F.sum("c").cast("long").alias("tot"))
@@ -938,4 +943,112 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs").cast("double") / F.col("n_given"), 6).alias(
             "frac_of_given"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction
+# --------------------------------------------------------------------------
+
+RAKE_TOP_K = 20
+#: stopword-alternation used to break candidate phrases (same list the
+#: language-ID heuristic uses — one engine-wide stopword vocabulary)
+_RAKE_STOPS = "|".join(STOPWORDS)
+
+
+@REGISTRY.register(
+    "docs_rake_keywords",
+    oracle=f"""
+    WITH raw AS (
+      SELECT regexp_replace(
+               regexp_replace(lower(text),
+                              '\\b(?:{_RAKE_STOPS})\\b', '|', 'g'),
+               '[^a-z0-9|\\s]+', '|', 'g') AS t
+      FROM documents),
+    ph AS (
+      SELECT trim(regexp_replace(u.p, '\\s+', ' ', 'g')) AS phrase
+      FROM raw, unnest(string_split(raw.t, '|')) AS u(p)),
+    pc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+           FROM ph WHERE phrase <> '' GROUP BY phrase),
+    dw AS (
+      SELECT phrase, n_occ,
+             CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+             unnest(string_split(phrase, ' ')) AS word
+      FROM pc),
+    ws AS (SELECT word, CAST(sum(n_occ) AS BIGINT) AS freq,
+                  CAST(sum(n_occ * plen) AS BIGINT) AS degree
+           FROM dw GROUP BY word),
+    ps AS (SELECT d.phrase,
+                  CAST(sum(CAST(round(w.degree * 1000000.0 / w.freq)
+                                AS BIGINT)) AS BIGINT) AS score_micro
+           FROM dw d JOIN ws w ON d.word = w.word
+           GROUP BY d.phrase)
+    SELECT p.phrase, c.n_occ, p.score_micro
+    FROM ps p JOIN pc c ON p.phrase = c.phrase
+    ORDER BY p.score_micro DESC, p.phrase
+    LIMIT {RAKE_TOP_K}""",
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases "
+    "are maximal runs between stopwords/punctuation; each word scores "
+    "degree/frequency over phrase co-occurrence and a phrase scores "
+    "the sum of its words — the classic unsupervised keyword ranker "
+    "for corpus triage. Scale shape: the corpus is scanned ONCE — "
+    "phrase counts aggregate first and every downstream frame "
+    "(distinct-phrase word explosion, word stats weighted by n_occ, "
+    "phrase rescoring) derives from that phrase-count aggregate, "
+    "never from the raw text again; the word-stats join keys on the "
+    "vocabulary (AQE picks broadcast vs shuffle from its runtime "
+    "size). Word scores are integer micro-units (round(degree*1e6/"
+    "freq) — one double division each, then exact bigint sums), so "
+    "phrase scores are partial-aggregation-order-free; top-20 is a "
+    "TakeOrderedAndProject with a phrase tiebreak.",
+)
+def docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.col("text")), f"\\b(?:{_RAKE_STOPS})\\b", "|"
+        ),
+        "[^a-z0-9|\\s]+",
+        "|",
+    )
+    ph = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(t, "\\|")).alias("p"))
+        .select(
+            F.trim(F.regexp_replace(F.col("p"), "\\s+", " ")).alias("phrase")
+        )
+        .filter(F.col("phrase") != "")
+    )
+    # three consumers (word explosion, rescoring join, occurrence join)
+    # hang off the phrase-count aggregate — persist it so the documents
+    # parquet is scanned once (cache fill); without it each consumer
+    # re-derives from its own corpus scan (measured 3 scans). The
+    # registry wrapper's clearCache() drops it after the entry.
+    pc = (
+        ph.groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .persist()
+    )
+    dw = pc.select(
+        "phrase",
+        "n_occ",
+        F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    ws = dw.groupBy("word").agg(
+        F.sum("n_occ").cast("long").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("plen")).cast("long").alias("degree"),
+    )
+    word_score = F.round(F.col("degree") * F.lit(1000000.0) / F.col("freq")).cast(
+        "long"
+    )
+    ps = (
+        dw.join(ws, "word")
+        .groupBy("phrase")
+        .agg(F.sum(word_score).cast("long").alias("score_micro"))
+    )
+    return (
+        ps.join(pc, "phrase")
+        .select("phrase", "n_occ", "score_micro")
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(RAKE_TOP_K)
     )

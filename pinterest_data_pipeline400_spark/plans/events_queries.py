@@ -2807,3 +2807,75 @@ def ev_stream_bitmap_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _drain(query, "ev_stream_bitmap_hours")
     return spark.read.parquet(sink)
+
+
+@REGISTRY.register(
+    "ev_autocorr_lag1",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    lg AS (
+      SELECT event_type, c AS y,
+             lag(c) OVER (PARTITION BY event_type ORDER BY h) AS x
+      FROM hc),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM lg WHERE x IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS autocorr_lag1
+    FROM s""",
+    doc="Lag-1 AUTOCORRELATION of hourly event volume per type — the "
+    "burstiness / self-similarity diagnostic capacity planning and "
+    "anomaly baselines read first. Hourly counts are one hash "
+    "aggregate; the (prev, cur) pairing is a lag window over each "
+    "type's OBSERVED hour sequence (gaps skip to the previous "
+    "observed bucket — the gap-filled variant composes with "
+    "ev_daily_gapfill); Pearson r then reduces to SIX integer sums "
+    "(n, Σx, Σy, Σx², Σy², Σxy) — exact bigints, order-independent "
+    "across partitions and engines — with ONE double division+sqrt at "
+    "the end, rounded to 6 dp. The bigint-overflow hazard of "
+    "n·Σx² at corpus scale is confined to the final 5-row frame: "
+    "factors are cast to DOUBLE before the product, never summed as "
+    "doubles.",
+)
+def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hc = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lg = hc.select(
+        "event_type",
+        F.col("c").alias("y"),
+        F.lag("c").over(
+            Window.partitionBy("event_type").orderBy("h")
+        ).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = lg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("autocorr_lag1"),
+    )

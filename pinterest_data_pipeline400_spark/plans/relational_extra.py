@@ -1044,3 +1044,304 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_share_pct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# round 6: the remaining classic TPC-H shapes the analog set left cold
+# (reference parity: the same relational verbs as db_creds-driven batch
+# queries in the reference's query notebook — SURVEY §2.4/§3)
+# --------------------------------------------------------------------------
+
+RET_START = "1998-01-01"  # Q10 quarter: 1998-Q1 (fixture dates 1995..2001)
+RET_END = "1998-04-01"
+RET_TOP_N = 20
+
+
+@REGISTRY.register(
+    "q_returned_top_customers",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o.o_custkey,
+             CAST(sum({_REVENUE_CENTS_SQL}) AS BIGINT) AS revenue_cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '{RET_START} 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '{RET_END} 00:00:00'
+      GROUP BY o.o_custkey)
+    SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_cents
+    FROM rev r
+    JOIN customer c ON c.c_custkey = r.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY r.revenue_cents DESC, c.c_custkey
+    LIMIT {RET_TOP_N}""",
+    doc="TPC-H Q10 returned-item report: the top-20 customers by "
+    "revenue lost to returns in one quarter. The fact-fact "
+    "lineitem⋈orders join carries the returnflag filter pushed to the "
+    "lineitem scan and the quarter predicate pushed to the orders "
+    "scan, so both shuffle sides are pre-shrunk; per-customer integer "
+    "cents aggregate once, then the customer and nation dims attach by "
+    "broadcast and the final top-20 is a TakeOrderedAndProject "
+    "(bounded driver result, never a global sort of all customers). "
+    "revenue DESC + custkey tiebreak makes the cut deterministic.",
+)
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{RET_START} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{RET_END} 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue_cents()).cast("long").alias("revenue_cents"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(RET_TOP_N)
+    )
+
+
+SMALL_QTY_BRAND = "Brand#23"
+
+
+@REGISTRY.register(
+    "q_small_qty_revenue",
+    oracle=f"""
+    WITH f AS (
+      SELECT l.l_partkey,
+             CAST(round(l.l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = '{SMALL_QTY_BRAND}'),
+    w AS (
+      SELECT pc, qc,
+             CAST(sum(qc) OVER (PARTITION BY l_partkey) AS BIGINT) AS sq,
+             CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n
+      FROM f)
+    SELECT CAST(sum(pc) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(pc) / 7.0) AS BIGINT) AS avg_yearly_cents
+    FROM w WHERE qc * n * 5 < sq""",
+    doc="TPC-H Q17 small-quantity-order revenue: lines of one brand "
+    "whose quantity is below 20% of that part's average quantity. The "
+    "correlated per-part average is NOT a re-scan self-join: the "
+    "brand-filtered fact (part dim broadcast) feeds one "
+    "partkey-partitioned window that attaches sum/count in place — "
+    "high-cardinality partitions, a handful of rows each, the "
+    "canonical window-instead-of-self-join rewrite. The 20% test is "
+    "integer-exact (qc*n*5 < sum_qc avoids the float average whose "
+    "last-ulp could flip the comparison between engines), and the "
+    "final answer is one 3-column global aggregate.",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == SMALL_QTY_BRAND)
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    w = Window.partitionBy("l_partkey")
+    fr = f.select(
+        "pc",
+        "qc",
+        F.sum("qc").over(w).cast("long").alias("sq"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+    )
+    sel = fr.filter(F.col("qc") * F.col("n") * 5 < F.col("sq"))
+    return sel.agg(
+        F.sum("pc").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.sum("pc") / 7.0).cast("long").alias("avg_yearly_cents"),
+    )
+
+
+#: Q19's OR-of-ANDs — three (brand, size-range, quantity-range) arms.
+DISJ_ARMS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+
+
+def _disj_sql() -> str:
+    return " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in DISJ_ARMS
+    )
+
+
+@REGISTRY.register(
+    "q_disjunctive_brand_revenue",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum({_REVENUE_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_disj_sql()}""",
+    doc="TPC-H Q19 disjunctive predicate revenue: an OR of three "
+    "(brand AND size-range AND quantity-range) conjunctions spanning "
+    "both join sides. The part dim broadcasts; Catalyst keeps the "
+    "whole disjunction as one post-join filter inside the codegen'd "
+    "stage AND derives the implied single-side envelopes (the "
+    "quantity hull 1..30 prunes lineitem at the scan, the brand/size "
+    "hull prunes part before broadcast) — the classic constraint- "
+    "propagation test a hand-scheduled engine has to special-case. "
+    "Result is one integer-cent row; zero-match SFs still hash "
+    "identically because count(*) anchors the row.",
+)
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arms = None
+    for b, s0, s1, q0, q1 in DISJ_ARMS:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        arms = arm if arms is None else (arms | arm)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(arms)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(_revenue_cents()).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+@REGISTRY.register(
+    "q_ship_latency_priority",
+    oracle=f"""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                THEN 'normal' ELSE 'slow' END AS ship_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1""",
+    doc="TPC-H Q12 shipping-priority report, restated on ship latency "
+    "(the fixture carries no shipmode): per latency bucket "
+    "(fast ≤30 d, normal ≤90 d, slow), how many lineitems belonged to "
+    "high- vs low-priority orders. The orders⋈lineitem key join "
+    "shuffles both sides once on orderkey; both CASE counts ride the "
+    "SAME conditional aggregate (one pass, map-side partial combine "
+    "into 3 groups), the Q12 pattern that turns a 'pivot' into two "
+    "columns of one GROUP BY. Day arithmetic is exact integer "
+    "date_diff on midnight timestamps — no float, no TZ dependence "
+    "(both engines pinned UTC).",
+)
+def q_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat_days"),
+        F.col("o_orderpriority").isin(*HIGH_PRIORITIES).alias("is_high"),
+    )
+    bucket = (
+        F.when(F.col("lat_days") <= 30, "fast")
+        .when(F.col("lat_days") <= 90, "normal")
+        .otherwise("slow")
+    )
+    return (
+        j.groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+WAIT_DAYS = 90  # "late" = shipped more than 90 days after the order date
+WAIT_TOP_N = 20
+
+
+@REGISTRY.register(
+    "q_waiting_suppliers",
+    oracle=f"""
+    WITH oa AS (
+      SELECT l.l_orderkey,
+             count(DISTINCT l.l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l.l_shipdate >
+                                      o.o_orderdate + INTERVAL {WAIT_DAYS} DAY
+                                 THEN l.l_suppkey END) AS n_late,
+             max(CASE WHEN l.l_shipdate >
+                           o.o_orderdate + INTERVAL {WAIT_DAYS} DAY
+                      THEN l.l_suppkey END) AS late_supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey),
+    wt AS (SELECT late_supp, CAST(count(*) AS BIGINT) AS numwait
+           FROM oa WHERE n_supp >= 2 AND n_late = 1
+           GROUP BY late_supp)
+    SELECT s.s_suppkey, s.s_name, wt.numwait
+    FROM wt JOIN supplier s ON s.s_suppkey = wt.late_supp
+    ORDER BY wt.numwait DESC, s.s_suppkey
+    LIMIT {WAIT_TOP_N}""",
+    doc="TPC-H Q21 suppliers-who-kept-orders-waiting: on finished "
+    "multi-supplier orders, the supplier who was the ONLY late one "
+    "(shipped >90 d after the order date), counted and top-20'd. The "
+    "spec's doubly-correlated EXISTS / NOT EXISTS collapses into ONE "
+    "per-order aggregate — count(DISTINCT supp), count(DISTINCT "
+    "late supp), and (because exactly-one is enforced by the filter) "
+    "max(late supp) recovers WHICH supplier — so the plan is one "
+    "orderkey-shuffled join + aggregate instead of three correlated "
+    "fact scans; the supplier dim broadcasts onto the small per-"
+    "supplier rollup and the top-20 is TakeOrderedAndProject with a "
+    "suppkey tiebreak.",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAIT_DAYS} DAYS"
+    )
+    oa = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    wt = (
+        oa.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        wt.join(F.broadcast(s), wt["late_supp"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(WAIT_TOP_N)
+    )

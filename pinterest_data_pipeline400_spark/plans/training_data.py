@@ -2757,3 +2757,110 @@ def docs_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
     normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
     return containment_pairs(normed)
+
+
+N_TRIPLET_ANCHORS = 32  # anchor set = vec_id < 32
+
+_TRIP_COS_SQL = (
+    "round(list_cosine_similarity("
+    "list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(a.aemb, x -> CAST(x AS DOUBLE))), 6)"
+)
+
+
+@REGISTRY.register(
+    "emb_triplet_hard_negatives",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS anchor_id, embedding AS aemb,
+                      label AS alabel
+               FROM embeddings WHERE vec_id < {N_TRIPLET_ANCHORS}),
+    pairs AS (
+      SELECT a.anchor_id, a.alabel, e.vec_id AS nid, e.label AS nlabel,
+             {_TRIP_COS_SQL} AS cosine
+      FROM embeddings e, a
+      WHERE e.vec_id <> a.anchor_id),
+    hp AS (
+      SELECT anchor_id, nid AS pos_id, cosine AS pos_cosine,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine ASC, nid ASC) AS rn
+      FROM pairs WHERE nlabel = alabel),
+    hn AS (
+      SELECT anchor_id, nid AS neg_id, cosine AS neg_cosine,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, nid ASC) AS rn
+      FROM pairs WHERE nlabel <> alabel)
+    SELECT p.anchor_id, p.pos_id, p.pos_cosine,
+           n.neg_id, n.neg_cosine,
+           round(p.pos_cosine - n.neg_cosine, 6) AS margin
+    FROM hp p JOIN hn n ON p.anchor_id = n.anchor_id
+    WHERE p.rn = 1 AND n.rn = 1""",
+    doc="TRIPLET MINING for contrastive training: per anchor, the "
+    "hardest positive (lowest-cosine same-label vector) and hardest "
+    "negative (highest-cosine different-label vector), plus the "
+    "margin the triplet loss would see — the selection step that "
+    "decides which pairs are worth a gradient. Exact form: the tiny "
+    "anchor set broadcasts and the corpus streams past ONCE "
+    "(BroadcastNestedLoopJoin — same contract as emb_knn_bruteforce); "
+    "both argmins/argmaxes are per-anchor row_number windows over the "
+    "bounded candidate frame with 6-dp rounding + vec_id tiebreaks. "
+    "At 100 TB the negative side routes through the sign-LSH "
+    "candidate generator (emb_knn_lsh's banding) instead of the full "
+    "stream — hard negatives are by definition near vectors, exactly "
+    "what LSH buckets preserve; margins on the frontier are "
+    "identical.",
+)
+def emb_triplet_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    anchors = embs.filter(F.col("vec_id") < N_TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("aemb"),
+        F.col("label").alias("alabel"),
+    )
+    pairs = (
+        embs.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "alabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.round(
+                cosine(_as_double(F.col("embedding")), _as_double(F.col("aemb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").asc(), F.col("nid").asc()
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    hp = (
+        pairs.filter(F.col("nlabel") == F.col("alabel"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("nid").alias("pos_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    hn = (
+        pairs.filter(F.col("nlabel") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("nid").alias("neg_id"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    return hp.join(hn, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_cosine",
+        "neg_id",
+        "neg_cosine",
+        F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias("margin"),
+    )

@@ -41,6 +41,9 @@ def _representatives():
         "orders_rolling_90d_spend": relational_extra.orders_rolling_90d_spend,
         # broadcast-threshold bucketing (1-row agg broadcast back)
         "ev_value_deciles_bounded": events_queries.ev_value_deciles_bounded,
+        # decorrelated multi-EXISTS: per-order count-distinct aggregate
+        # + exactly-one argmax recovery + bounded top-N (round-6 shape)
+        "q_waiting_suppliers": relational_extra.q_waiting_suppliers,
     }
 
 

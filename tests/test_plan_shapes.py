@@ -503,6 +503,9 @@ def test_langid_scoring_broadcasts_profiles(spark):
     plan = _plan(cu.docs_langid_ngram(spark, TEST_SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # the vocabulary and kept-bigram branches both read the persisted
+    # explode-side aggregate instead of re-running the corpus explode
+    assert "InMemoryTableScan" in plan
 
 
 def test_promo_share_broadcasts_part_single_rollup(spark):
@@ -537,4 +540,63 @@ def test_attribution_reads_corpus_once(spark):
 
     plan = _plan(eq.ev_attribution_first_touch(spark, TEST_SF_DIR))
     assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_single_fact_pass(spark):
+    """q_waiting_suppliers: Q21's doubly-correlated EXISTS/NOT-EXISTS
+    collapses to ONE orderkey join + per-order aggregate — each table
+    scanned once (lineitem, orders, supplier), supplier broadcast,
+    nothing cartesian, top-20 as TakeOrderedAndProject."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_waiting_suppliers(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 3
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_small_qty_window_not_self_join(spark):
+    """q_small_qty_revenue: the correlated per-part average is a
+    partkey window over the brand-filtered join, NOT a second scan
+    self-join — exactly two scans (lineitem + part), part broadcast."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_small_qty_revenue(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_disjunctive_filter_stays_one_stage(spark):
+    """q_disjunctive_brand_revenue: the OR-of-ANDs spans both join
+    sides but stays one broadcast join + filter + single-row aggregate
+    — and Catalyst pushes the derived quantity hull (1..30) into the
+    lineitem scan as a pushed filter."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_disjunctive_brand_revenue(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_consumers_read_cached_phrase_counts(spark):
+    """docs_rake_keywords: the word explosion, rescoring join, and
+    occurrence join all hang off the persisted phrase-count aggregate
+    (InMemoryTableScan), so the documents parquet is scanned once."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    plan = _plan(cu.docs_rake_keywords(spark, TEST_SF_DIR))
+    assert plan.count("InMemoryTableScan") == 3
+
+
+def test_triplet_mining_broadcasts_anchors(spark):
+    """emb_triplet_hard_negatives: the anchor set broadcasts and the
+    corpus streams past once per branch (BroadcastNestedLoopJoin, same
+    contract as emb_knn_bruteforce) — no shuffled cross join."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.emb_triplet_hard_negatives(spark, TEST_SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
