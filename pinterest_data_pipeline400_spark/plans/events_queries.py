@@ -2879,3 +2879,59 @@ def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.round(num / den, 6).alias("autocorr_lag1"),
     )
+
+
+@REGISTRY.register(
+    "ev_seasonality_hourweek",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_part('isodow', ts) AS BIGINT) AS dow_iso,
+             CAST(date_part('hour', ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT dow_iso, CAST(sum(n_events) AS BIGINT) AS n_dow
+          FROM c GROUP BY dow_iso)
+    SELECT c.dow_iso, c.hod, c.n_events,
+           round(CAST(c.n_events AS DOUBLE) / t.n_dow, 6) AS share_of_dow,
+           CAST(row_number() OVER (PARTITION BY c.dow_iso
+                                   ORDER BY c.n_events DESC, c.hod ASC)
+                AS BIGINT) AS rank_in_dow
+    FROM c JOIN t USING (dow_iso)""",
+    doc="HOUR-OF-WEEK SEASONALITY PROFILE: the 7x24 calendar grid of "
+    "event volume — each cell's count, its share of that weekday's "
+    "traffic, and its busy-rank within the weekday — the load-shape "
+    "frame capacity planning, anomaly baselines (pair with "
+    "ev_rolling_hourly_zscore), and traffic-aware schedulers all read "
+    "first. One hash aggregate collapses the corpus to at most 168 "
+    "cells, so the weekday totals, shares, and row_number ranks all "
+    "run on a bounded frame (a single tiny exchange, never a per-event "
+    "window). ISO weekday (Mon=1) is engine-portable — Spark's "
+    "weekday()+1 == DuckDB's isodow — and both engines run UTC-pinned "
+    "so the hour bucketing cannot straddle a TZ offset; rank ties "
+    "break on the hour for a deterministic grid.",
+)
+def ev_seasonality_hourweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _events(spark, sf_dir)
+        .groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    # weekday totals via a window over the <=168-row grid, NOT a join
+    # back to a second aggregate branch — keeps the plan to ONE corpus
+    # scan (a join of two branches of `c` would scan events twice)
+    wd = Window.partitionBy("dow_iso")
+    w = Window.partitionBy("dow_iso").orderBy(
+        F.col("n_events").desc(), F.col("hod").asc()
+    )
+    return c.select(
+        "dow_iso",
+        "hod",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(wd), 6
+        ).alias("share_of_dow"),
+        F.row_number().over(w).cast("long").alias("rank_in_dow"),
+    )

@@ -1345,3 +1345,97 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(WAIT_TOP_N)
     )
+
+
+BASKET_MIN_SUPPORT = 25  # a brand pair must co-occur in >= 25 orders
+BASKET_TOP_N = 20
+
+
+@REGISTRY.register(
+    "q_basket_lift_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    nb AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_brand
+           FROM b GROUP BY brand),
+    nt AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+    pr AS (
+      SELECT x.brand AS brand_a, y.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM b x JOIN b y ON x.ok = y.ok AND x.brand < y.brand
+      GROUP BY 1, 2)
+    SELECT pr.brand_a, pr.brand_b, pr.n_both,
+           CAST(round(CAST(pr.n_both AS DOUBLE) * nt.n_orders * 1000000.0
+                      / (na.n_brand * nc.n_brand)) AS BIGINT) AS lift_micro
+    FROM pr
+    JOIN nb na ON na.brand = pr.brand_a
+    JOIN nb nc ON nc.brand = pr.brand_b
+    CROSS JOIN nt
+    WHERE pr.n_both >= {BASKET_MIN_SUPPORT}
+    ORDER BY lift_micro DESC, brand_a ASC, brand_b ASC
+    LIMIT {BASKET_TOP_N}""",
+    doc="MARKET-BASKET association mining over order contents: the "
+    "top-20 brand pairs by LIFT (observed co-occurrence over the "
+    "independence expectation) among pairs passing a minimum support — "
+    "the a-priori association-rule shape restated as two joins and "
+    "three aggregates. The basket frame (order, brand) dedups once; "
+    "the pair generator is a SELF-JOIN CO-PARTITIONED ON ORDERKEY, so "
+    "its fan-out is bounded by each order's distinct-brand count "
+    "squared (baskets are small by construction — this is the "
+    "transaction-local explosion every basket miner pays), never a "
+    "cross join of the brand vocabulary. The per-brand margins (25 "
+    "rows) and the 1-row basket total broadcast onto the bounded pair "
+    "frame; lift is one double expression per surviving pair "
+    "(micro-scaled, deterministic — no cross-row double sums) and the "
+    "final cut is a TakeOrderedAndProject with lexicographic "
+    "tiebreaks. The support threshold prunes BEFORE the dim joins, the "
+    "same frequent-itemset pruning a-priori formalizes.",
+)
+def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = b.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_brand"))
+    nt = b.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    x = b.alias("x")
+    y = b.alias("y")
+    pr = (
+        x.join(
+            y,
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.brand") < F.col("y.brand")),
+        )
+        .groupBy(
+            F.col("x.brand").alias("brand_a"), F.col("y.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    na = nb.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("na"))
+    nc = nb.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("nc"))
+    return (
+        pr.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nc), "brand_b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                * F.lit(1000000.0)
+                / (F.col("na") * F.col("nc"))
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy(
+            F.col("lift_micro").desc(), F.col("brand_a").asc(), F.col("brand_b").asc()
+        )
+        .limit(BASKET_TOP_N)
+    )

