@@ -2935,3 +2935,158 @@ def ev_seasonality_hourweek(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_dow"),
         F.row_number().over(w).cast("long").alias("rank_in_dow"),
     )
+
+
+PSI_SPLIT_TS = "2024-01-16 00:00:00"  # fixture midpoint: days 1-15 vs 16-30
+PSI_DRIFT_NANO = 100_000_000  # the classic PSI > 0.1 "investigate" gate
+
+_PSI_THR_COLS_SQL = ", ".join(
+    f"round(quantile_cont(value, 0.{i}), 6) AS d{i}" for i in range(1, 10)
+)
+_PSI_BIN_SQL = "CAST(1 + " + " + ".join(
+    f"(round(e.value, 6) > t.d{i})::INT" for i in range(1, 10)
+) + " AS INT)"
+
+
+@REGISTRY.register(
+    "ev_psi_value_drift",
+    oracle=f"""
+    WITH thr AS (
+      SELECT event_type, {_PSI_THR_COLS_SQL}
+      FROM events WHERE ts < TIMESTAMP '{PSI_SPLIT_TS}'
+      GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             CASE WHEN e.ts < TIMESTAMP '{PSI_SPLIT_TS}'
+                  THEN 'ref' ELSE 'cur' END AS win,
+             {_PSI_BIN_SQL} AS bin
+      FROM events e JOIN thr t USING (event_type)),
+    c AS (SELECT event_type, win, bin, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2, 3),
+    grid AS (SELECT t.event_type, CAST(u.b AS INT) AS bin
+             FROM thr t, unnest(range(1, 11)) AS u(b)),
+    j AS (SELECT g.event_type, g.bin,
+                 coalesce(r.n, 0) AS nr, coalesce(cu.n, 0) AS nc
+          FROM grid g
+          LEFT JOIN c r ON r.event_type = g.event_type
+                       AND r.bin = g.bin AND r.win = 'ref'
+          LEFT JOIN c cu ON cu.event_type = g.event_type
+                        AND cu.bin = g.bin AND cu.win = 'cur'),
+    tot AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr,
+                   CAST(sum(nc) AS BIGINT) AS tc
+            FROM j GROUP BY event_type),
+    terms AS (
+      SELECT j.event_type, t.tr, t.tc,
+             CAST(round(((j.nr + 1.0) / (t.tr + 10.0)
+                         - (j.nc + 1.0) / (t.tc + 10.0))
+                        * ln(((j.nr + 1.0) / (t.tr + 10.0))
+                             / ((j.nc + 1.0) / (t.tc + 10.0)))
+                        * 1e9) AS BIGINT) AS term_nano
+      FROM j JOIN tot t USING (event_type))
+    SELECT event_type, tr AS n_ref, tc AS n_cur,
+           CAST(sum(term_nano) AS BIGINT) AS psi_nano,
+           (sum(term_nano) > {PSI_DRIFT_NANO}) AS drifted
+    FROM terms GROUP BY 1, 2, 3""",
+    doc="POPULATION STABILITY INDEX drift gate on the value "
+    "distribution per event type — first half of the month as the "
+    "reference window, second half as the live window, PSI over ten "
+    "reference-decile bins with the classic 0.1 'investigate' "
+    "threshold: the distribution-shift tripwire a training pipeline "
+    "runs before each data refresh (pair with dq_constraint_report "
+    "for schema-level gates). Laplace-smoothed bin shares make empty "
+    "bins finite, and each (p-q)*ln(p/q) term is computed from EXACT "
+    "integer bin counts then nano-quantized to an integer BEFORE the "
+    "10-term sum, so partial-aggregation order cannot drift between "
+    "engines. Scale shape: the reference deciles are one tiny exact-"
+    "or-sketch aggregate (same percentile switch as "
+    "ev_value_deciles_bounded) broadcast back; binning both windows "
+    "is ONE combined pass with constant comparisons (two corpus scans "
+    "total); everything after operates on the bounded "
+    "types x 10 grid.",
+)
+def ev_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..config import percentile_accuracy, percentile_exact
+
+    ev = _events(spark, sf_dir)
+    split = F.lit(PSI_SPLIT_TS).cast("timestamp")
+    if percentile_exact():  # oracle mode: matches quantile_cont exactly
+        q = "percentile(value, {p})"
+    else:  # 100 TB mode: bounded-memory mergeable sketch
+        q = f"percentile_approx(value, {{p}}, {percentile_accuracy()})"
+    # two consumers (row binning + grid synthesis) hang off this
+    # 5-row aggregate — persist it so the reference window is scanned
+    # once; the registry wrapper's clearCache() drops it after the call
+    thr = (
+        ev.filter(F.col("ts") < split)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.expr(q.format(p=i / 10)), 6).alias(f"d{i}")
+                for i in range(1, 10)
+            ]
+        )
+        .persist()
+    )
+    v6 = F.round(F.col("value"), 6)
+    bin_col = F.lit(1)
+    for i in range(1, 10):
+        bin_col = bin_col + (v6 > F.col(f"d{i}")).cast("int")
+    c = (
+        ev.join(F.broadcast(thr), on="event_type")
+        .groupBy(
+            "event_type",
+            F.when(F.col("ts") < split, F.lit("ref")).otherwise(F.lit("cur")).alias("win"),
+            bin_col.cast("int").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cj = c.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("win") == "ref", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("nr_raw"),
+        F.sum(F.when(F.col("win") == "cur", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("nc_raw"),
+    )
+    grid = thr.select(
+        "event_type", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bin")
+    )
+    j = grid.join(cj, on=["event_type", "bin"], how="left").select(
+        "event_type",
+        "bin",
+        F.coalesce("nr_raw", F.lit(0)).cast("long").alias("nr"),
+        F.coalesce("nc_raw", F.lit(0)).cast("long").alias("nc"),
+    )
+    # window totals over the bounded types x 10 grid instead of a
+    # second aggregate branch joined back (which would recompute the
+    # whole upstream chain — measured: 6 parquet scans instead of 2)
+    wtot = Window.partitionBy("event_type")
+    p = (F.col("nr") + F.lit(1.0)) / (F.col("tr") + F.lit(10.0))
+    qd = (F.col("nc") + F.lit(1.0)) / (F.col("tc") + F.lit(10.0))
+    terms = j.select(
+        "event_type",
+        "nr",
+        "nc",
+        F.sum("nr").over(wtot).cast("long").alias("tr"),
+        F.sum("nc").over(wtot).cast("long").alias("tc"),
+    ).select(
+        "event_type",
+        "tr",
+        "tc",
+        F.round((p - qd) * F.log(p / qd) * 1e9).cast("long").alias("term_nano"),
+    )
+    return (
+        terms.groupBy(
+            "event_type",
+            F.col("tr").alias("n_ref"),
+            F.col("tc").alias("n_cur"),
+        )
+        .agg(F.sum("term_nano").cast("long").alias("psi_nano"))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "psi_nano",
+            (F.col("psi_nano") > PSI_DRIFT_NANO).alias("drifted"),
+        )
+    )

@@ -3240,3 +3240,81 @@ def emb_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+SPAN_START_PPM = 50_000  # each token opens a mask span w.p. 5%
+SPAN_LEN = 3  # tokens masked per span (overlaps union)
+
+#: salted per-(doc, position) uniform in [0, 1e6) — the doc-id md5
+#: windows are all claimed by split/pack/resample/stratify (see
+#: _DOC_PCT_SPARK above), so span masking salts the hash input instead.
+_SPAN_HASH_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
+    "CAST(pos AS STRING), ':span')), 1, 8), 16, 10) AS BIGINT) % 1000000"
+)
+_SPAN_HASH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(pos AS VARCHAR) || ':span'), 1, 8)) AS BIGINT) % 1000000"
+)
+
+
+@REGISTRY.register(
+    "docs_span_corruption",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    tk AS (SELECT doc_id,
+                  unnest(range(len(string_split(norm, ' ')))) AS pos
+           FROM n),
+    s AS (SELECT doc_id, pos,
+                 CASE WHEN {_SPAN_HASH_DUCK} < {SPAN_START_PPM}
+                      THEN 1 ELSE 0 END AS is_start
+          FROM tk),
+    m AS (SELECT doc_id, is_start,
+                 max(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN {SPAN_LEN - 1} PRECEDING
+                                              AND CURRENT ROW) AS masked
+          FROM s)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(is_start) AS BIGINT) AS n_spans,
+           CAST(sum(masked) AS BIGINT) AS n_masked,
+           round(CAST(sum(masked) AS DOUBLE) / count(*), 6) AS mask_ratio
+    FROM m GROUP BY doc_id""",
+    doc="T5/UL2-style SPAN-CORRUPTION mask planning: each token "
+    "position opens a 3-token mask span with probability 5% (expected "
+    "coverage 1-(0.95)^3 = 14.3%, the span-corruption regime), and "
+    "the per-doc mask plan — span count, masked-token count, realized "
+    "mask ratio — ships as a frame the batch assembler consumes. The "
+    "decisive property for TRAINING data is that masks are "
+    "DETERMINISTIC: a salted md5 of (doc_id, position) replaces "
+    "rand() (the docs_split_assign discipline — every run, every "
+    "engine, every partitioning re-derives the identical mask, so "
+    "training is reproducible and the oracle can check it). Overlap "
+    "union is a bounded ROWS BETWEEN {SPAN_LEN - 1} PRECEDING window, "
+    "not a self-join. Scale shape: one token explode, per-doc windows "
+    "after a single doc_id shuffle, all arithmetic integer until the "
+    "final per-doc ratio.",
+)
+def docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(ws_tokens(norm_text(F.col("text")))).alias("pos", "tok"),
+    )
+    s = tk.select(
+        "doc_id",
+        "pos",
+        (F.expr(_SPAN_HASH_SPARK) < SPAN_START_PPM).cast("int").alias("is_start"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(SPAN_LEN - 1), Window.currentRow)
+    )
+    m = s.select("doc_id", "is_start", F.max("is_start").over(w).alias("masked"))
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("is_start").cast("long").alias("n_spans"),
+        F.sum("masked").cast("long").alias("n_masked"),
+        F.round(F.sum("masked").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mask_ratio"
+        ),
+    )

@@ -111,3 +111,28 @@ def test_results_invariant_under_runtime_confs(spark, entry, conf_name):
         )[0]
         hostile = fn(spark, TEST_SF_DIR).toPandas()
     assert_frames_match(baseline, hostile, f"{entry}[{conf_name}]")
+
+
+def test_psi_thresholds_honor_percentile_scale_switch(spark, monkeypatch):
+    """ev_psi_value_drift's reference deciles ride the same
+    exact<->sketch switch as ev_value_deciles_bounded: approx mode
+    swaps the plan to percentile_approx while the drift verdict stays
+    sane (window totals identical, PSI within the bin-wobble of the
+    exact run)."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    exact = {
+        r["event_type"]: r for r in eq.ev_psi_value_drift(spark, TEST_SF_DIR).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_PERCENTILE_MODE", "approx")
+    approx_df = eq.ev_psi_value_drift(spark, TEST_SF_DIR)
+    plan = approx_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan.replace("percentile_approx(", "")
+    for r in approx_df.collect():
+        e = exact[r["event_type"]]
+        assert (r["n_ref"], r["n_cur"]) == (e["n_ref"], e["n_cur"])
+        # sketchy thresholds wobble bin populations, not the verdict:
+        # identical halves of one distribution stay far under the gate
+        assert abs(r["psi_nano"] - e["psi_nano"]) < 100_000_000
+        assert r["drifted"] == e["drifted"]

@@ -657,3 +657,30 @@ def test_pq_adc_luts_broadcast(spark):
     plan = _plan(td.emb_knn_pq_adc(spark, TEST_SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_psi_two_scans_thresholds_broadcast(spark):
+    """ev_psi_value_drift: the reference deciles are one tiny
+    PERSISTED aggregate — both consumers (row binning, grid synthesis)
+    read the cache (2 InMemoryTableScans), so the corpus is physically
+    scanned twice (binning pass + one cache fill; the fill plan prints
+    inside each InMemoryTableScan, so the textual scan count
+    overstates physical scans), everything downstream on the bounded
+    types x 10 grid."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_psi_value_drift(spark, TEST_SF_DIR))
+    assert plan.count("InMemoryTableScan") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_corruption_no_self_join(spark):
+    """docs_span_corruption: the span-overlap union is a bounded
+    ROWS-BETWEEN window, never a position self-join — one corpus scan,
+    no join at all."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.docs_span_corruption(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
