@@ -186,3 +186,103 @@ def test_ann_band_join_scales_linearly(spark):
         frac_40x,
     )
     assert wall < 120, f"ANN band join took {wall:.0f}s at {REPLICAS}x"
+
+
+def test_pq_adc_scales_linearly(spark):
+    """PQ twin of the ANN stress run: asymmetric-distance search cost
+    must be LINEAR in corpus size with a fixed query set — the encoded
+    corpus carries exactly PQ_SUBS rows per vector, the per-query LUT
+    is constant-size, and the ADC accumulation produces exactly
+    |queries| x (n-1) scored pairs. A fan-out bug in the (sub, code)
+    join (e.g. joining on code alone) would multiply pair count and
+    blow the ceiling; wall is the 40x datapoint recorded in PERF.md."""
+    from pinterest_data_pipeline400_spark.plans.training_data import (
+        N_QUERIES,
+        PQ_CODEBOOK_N,
+        PQ_SUB_DIM,
+        PQ_SUBS,
+        _as_double,
+        _embs,
+    )
+
+    def adc_pair_count(corpus) -> tuple[int, int]:
+        em = corpus.select(
+            "vec_id",
+            F.transform(
+                _as_double(F.col("embedding")),
+                lambda x: F.round(x * 1000000).cast("long"),
+            ).alias("em"),
+        )
+        subs = em.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"),
+            "em",
+        ).select(
+            "vec_id",
+            "sub",
+            F.slice("em", F.col("sub") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("svec"),
+        )
+        cb = subs.filter(F.col("vec_id") < PQ_CODEBOOK_N).select(
+            F.col("vec_id").alias("code_id"), "sub", F.col("svec").alias("cvec")
+        )
+        d2 = F.aggregate(
+            F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        enc = (
+            subs.join(F.broadcast(cb), "sub")
+            .select("vec_id", "sub", F.col("code_id"), d2.alias("d2"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct(F.col("d2"), F.col("code_id"))).alias("m"))
+            .select("vec_id", "sub", F.col("m.code_id").alias("code"))
+        )
+        lut = (
+            subs.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("qid"), "sub", F.col("svec").alias("qvec"))
+            .join(F.broadcast(cb), "sub")
+            .select(
+                "qid",
+                "sub",
+                F.col("code_id").alias("code"),
+                F.aggregate(
+                    F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("d2q"),
+            )
+        )
+        adc = (
+            enc.join(F.broadcast(lut), on=["sub", "code"])
+            .filter(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("d2q").alias("adc"))
+        )
+        return adc.count(), enc.count()
+
+    base = _embs(spark, TEST_SF_DIR)
+    n_base = base.count()
+    pairs_1x, enc_1x = adc_pair_count(base)
+    assert enc_1x == PQ_SUBS * n_base
+    assert pairs_1x == N_QUERIES * (n_base - 1)
+
+    big = (
+        base.crossJoin(
+            F.broadcast(spark.range(REPLICAS).select(F.col("id").alias("rep")))
+        )
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"), "embedding"
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    n_big = n_base * REPLICAS
+    t0 = time.perf_counter()
+    pairs_40x, enc_40x = adc_pair_count(big)
+    wall = time.perf_counter() - t0
+
+    # exactly linear: PQ_SUBS codes per vector, |queries| x (n-1)
+    # scored pairs (the replicas' copies of the query vectors keep
+    # their offset ids, so only the original self-match drops)
+    assert enc_40x == PQ_SUBS * n_big
+    assert pairs_40x == N_QUERIES * (n_big - 1)
+    assert wall < 120, f"PQ ADC took {wall:.0f}s at {REPLICAS}x"
