@@ -1439,3 +1439,103 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(BASKET_TOP_N)
     )
+
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_3"
+
+
+@REGISTRY.register(
+    "q_nation_market_share",
+    oracle=f"""
+    WITH mkt AS (
+      SELECT o.o_orderkey, CAST(year(o.o_orderdate) AS BIGINT) AS o_year
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{MKT_REGION}'),
+    rev AS (
+      SELECT m.o_year,
+             CAST(sum(CASE WHEN sn.n_name = '{MKT_NATION}'
+                           THEN {_REVENUE_CENTS_SQL} ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+             CAST(sum({_REVENUE_CENTS_SQL}) AS BIGINT) AS total_cents
+      FROM lineitem l
+      JOIN mkt m ON m.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      GROUP BY m.o_year)
+    SELECT o_year, nation_cents, total_cents,
+           round(CAST(nation_cents AS DOUBLE) / total_cents, 6) AS mkt_share
+    FROM rev""",
+    doc="TPC-H Q8 national market share: within one region's market "
+    "(orders placed by that region's customers), the yearly revenue "
+    "share supplied by one nation. The canonical conditional-share "
+    "shape: BOTH the national numerator and the market denominator "
+    "ride ONE aggregate pass as a CASE'd sum and an unconditional sum "
+    "— never two scans diffed. Join geometry: the 25-row nation and "
+    "filtered region dims broadcast unconditionally; the market-"
+    "customer list and the supplier->nation map are LEFT TO AQE "
+    "(broadcast at fixture scale, shuffle at 10^9 customers/suppliers "
+    "where a forced broadcast would OOM the executors); the orderkey "
+    "join against lineitem is the single fact-fact shuffle either "
+    "way. Revenue sums are "
+    "integer cents; the share is one double division per output year "
+    "rounded to 6 dp.",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == MKT_REGION)
+        .select("r_regionkey")
+    )
+    mkt_cust = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+                "n_nationkey"
+            )
+        ),
+        c["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    mkt = o.join(mkt_cust, o["o_custkey"] == mkt_cust["c_custkey"]).select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        li.join(mkt, li["l_orderkey"] == mkt["o_orderkey"])
+        .join(supp_nation, li["l_suppkey"] == supp_nation["s_suppkey"])
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == MKT_NATION, _revenue_cents()).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("nation_cents"),
+            F.sum(_revenue_cents()).cast("long").alias("total_cents"),
+        )
+    )
+    return rev.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.round(F.col("nation_cents").cast("double") / F.col("total_cents"), 6).alias(
+            "mkt_share"
+        ),
+    )

@@ -684,3 +684,32 @@ def test_span_corruption_no_self_join(spark):
     plan = _plan(td.docs_span_corruption(spark, TEST_SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_q8_market_share_single_conditional_pass(spark):
+    """q_nation_market_share: numerator and denominator ride ONE
+    aggregate pass (a CASE'd sum beside the unconditional sum), never
+    two diffed scans — lineitem appears once; constant dims broadcast;
+    nothing cartesian."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_nation_market_share(spark, TEST_SF_DIR))
+    assert plan.count("lineitem.parquet") == 1  # one fact pass, not two
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_one_corpus_pass(spark):
+    """emb_knn_recall_matryoshka: all truncation variants score in ONE
+    corpus pass — the per-pair struct array explodes into the variant
+    column; the embeddings parquet is scanned once per search side
+    (pairs + the brute-force baseline + the query broadcasts), never
+    once per truncation dim."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.emb_knn_recall_matryoshka(spark, TEST_SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # scans: pairs corpus + pairs queries + bf corpus + bf queries = 4;
+    # one scan per truncation dim would push this to 8+
+    assert plan.count("Scan parquet") <= 4
