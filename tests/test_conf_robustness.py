@@ -44,6 +44,12 @@ def _representatives():
         # decorrelated multi-EXISTS: per-order count-distinct aggregate
         # + exactly-one argmax recovery + bounded top-N (round-6 shape)
         "q_waiting_suppliers": relational_extra.q_waiting_suppliers,
+        # micro-integer zip_with distance folds + struct-min argmin
+        # (the PQ/ANN integer-arithmetic discipline, round-6 late)
+        "emb_pq_error": training_data.emb_pq_error,
+        # orderkey-co-partitioned self-join + broadcast margins + one
+        # double lift expression per bounded pair (round-6 late)
+        "q_basket_lift_pairs": relational_extra.q_basket_lift_pairs,
     }
 
 
