@@ -3090,3 +3090,181 @@ def ev_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("psi_nano") > PSI_DRIFT_NANO).alias("drifted"),
         )
     )
+
+
+STICKY_EPOCH = "2024-01-01"  # fixture day-index origin
+STICKY_WINDOW_DAYS = 28  # trailing MAU window
+
+
+@REGISTRY.register(
+    "ev_stickiness_dau_mau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT
+             CAST(date_diff('day', DATE '{STICKY_EPOCH}',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS day_idx,
+             user_id
+      FROM events),
+    dd AS (SELECT DISTINCT day_idx AS d FROM ud),
+    j AS (SELECT dd.d, ud.user_id, ud.day_idx
+          FROM dd JOIN ud
+            ON ud.day_idx BETWEEN dd.d - {STICKY_WINDOW_DAYS - 1} AND dd.d)
+    SELECT strftime(DATE '{STICKY_EPOCH}' + d * INTERVAL 1 DAY, '%Y-%m-%d')
+             AS day,
+           CAST(count(DISTINCT CASE WHEN day_idx = d THEN user_id END)
+                AS BIGINT) AS dau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+           round(CAST(count(DISTINCT CASE WHEN day_idx = d THEN user_id END)
+                      AS DOUBLE) / count(DISTINCT user_id), 6) AS stickiness
+    FROM j GROUP BY d""",
+    doc="DAU/MAU STICKINESS: per day, active users that day over "
+    "distinct users in the trailing 28 days — the engagement ratio "
+    "every growth dashboard leads with, and the representative "
+    "SLIDING-WINDOW COUNT DISTINCT shape (distinct does not merge "
+    "across window panes, so it cannot ride an ordinary window "
+    "frame). Exact form registered here: the deduped user-day frame "
+    "range-joins the (tiny, broadcast) day spine, fanning each "
+    "user-day into at most 28 window memberships — linear in "
+    "user-days with a constant factor, never user x day cartesian; "
+    "day arithmetic runs on integer day indexes (no TZ/interval "
+    "coercion differences between engines) and days emit as strings. "
+    "At 100 TB the sketch path replaces the fan-out with mergeable "
+    "per-day HLLs unioned over the trailing window "
+    "(ev_hll_distinct_rollup demonstrates exactly that merge).",
+)
+def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        _events(spark, sf_dir)
+        .select(
+            F.datediff(F.to_date("ts"), F.lit(STICKY_EPOCH).cast("date"))
+            .cast("long")
+            .alias("day_idx"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dd = ud.select(F.col("day_idx").alias("d")).distinct()
+    j = ud.join(
+        F.broadcast(dd),
+        (F.col("day_idx") >= F.col("d") - (STICKY_WINDOW_DAYS - 1))
+        & (F.col("day_idx") <= F.col("d")),
+    )
+    return (
+        j.groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day_idx") == F.col("d"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+            F.countDistinct("user_id").cast("long").alias("mau"),
+        )
+        .select(
+            F.date_format(
+                F.date_add(F.lit(STICKY_EPOCH).cast("date"), F.col("d").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@REGISTRY.register(
+    "ev_changepoint_cusum",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day_idx, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx)
+                  AS BIGINT) AS prefix,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_idx)
+                  AS BIGINT) AS k,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+      FROM c),
+    dev AS (
+      SELECT event_type, day_idx, n_days,
+             n_days * prefix - k * total AS dev_scaled
+      FROM w),
+    best AS (
+      SELECT event_type, day_idx, n_days,
+             CAST(dev_scaled AS BIGINT) AS dev_scaled,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(dev_scaled) DESC, day_idx ASC)
+               AS rn
+      FROM dev)
+    SELECT event_type,
+           strftime(DATE '2024-01-01' + day_idx * INTERVAL 1 DAY, '%Y-%m-%d')
+             AS cp_day,
+           dev_scaled AS max_dev_scaled, n_days
+    FROM best WHERE rn = 1""",
+    doc="CUSUM CHANGEPOINT detection on daily volume per event type — "
+    "where the cumulative deviation from the series mean peaks is the "
+    "classic single-changepoint estimate (Page 1954), the diagnostic "
+    "run when PSI says a window drifted and someone asks WHEN. The "
+    "whole statistic is EXACT INTEGER algebra: the mean is never "
+    "materialized — the deviation is scaled through by n_days "
+    "(n*prefix_k - k*total), so no rational number and no float sum "
+    "ever forms, and the argmax breaks ties on the earlier day. Scale "
+    "shape: one hash aggregate to daily counts, then windows over the "
+    "bounded per-type day series (~365 rows/type/year); nothing "
+    "beyond the aggregate touches corpus-sized data.",
+)
+def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("day_idx")
+    wa = Window.partitionBy("event_type")
+    w = c.select(
+        "event_type",
+        "day_idx",
+        F.sum("n").over(wo).cast("long").alias("prefix"),
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("n").over(wa).cast("long").alias("total"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n_days"),
+    )
+    dev = w.select(
+        "event_type",
+        "day_idx",
+        "n_days",
+        (F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total"))
+        .cast("long")
+        .alias("dev_scaled"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("dev_scaled")).desc(), F.col("day_idx").asc()
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"), F.col("day_idx").cast("int")
+                ),
+                "yyyy-MM-dd",
+            ).alias("cp_day"),
+            F.col("dev_scaled").alias("max_dev_scaled"),
+            "n_days",
+        )
+    )

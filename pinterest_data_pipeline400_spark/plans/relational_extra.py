@@ -1539,3 +1539,103 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mkt_share"
         ),
     )
+
+
+@REGISTRY.register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS month_idx,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    oc AS (SELECT *, CAST(min(month_idx) OVER (PARTITION BY o_custkey)
+                          AS BIGINT) AS cohort_idx
+           FROM o),
+    g AS (
+      SELECT cohort_idx, month_idx - cohort_idx AS age_months,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nc
+      FROM oc GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_idx, age_months, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_idx
+                                       ORDER BY age_months) AS BIGINT)
+               AS cum_rev_cents,
+             CAST(max(CASE WHEN age_months = 0 THEN nc END)
+                  OVER (PARTITION BY cohort_idx) AS BIGINT) AS n_customers
+      FROM g)
+    SELECT printf('%04d-%02d', cohort_idx // 12, cohort_idx % 12 + 1)
+             AS cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           n_customers, rev_cents, cum_rev_cents,
+           CAST(round(CAST(cum_rev_cents AS DOUBLE) / n_customers)
+                AS BIGINT) AS ltv_cents_per_customer
+    FROM cum""",
+    doc="COHORT LTV CURVE: customers grouped by first-order month, "
+    "revenue accumulated by cohort age — the lifetime-value grid "
+    "(cohort x age, cumulative spend per customer) that pricing and "
+    "acquisition-spend decisions read, and the money twin of "
+    "ev_retention_cohorts' count grid. Months run as INTEGER month "
+    "indexes (year*12+month-1 — no interval/date-diff semantics to "
+    "disagree on) and revenue as integer cents; the cumulative sum is "
+    "a window over the bounded cohort x age grid (<=  months^2 rows), "
+    "and per-customer LTV is one rounded division per grid cell. "
+    "Scale shape: ONE orders scan — the first-order month attaches as "
+    "a custkey window (a join back to a min-aggregate branch would "
+    "rescan the fact; measured 3 scans vs 1), one more shuffle "
+    "aggregates the grid, and cohort sizes come from the grid's own "
+    "age-0 cells (every customer's first order IS age 0) via a window "
+    "over the bounded grid.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("month_idx"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    oc = o.select(
+        "o_custkey",
+        "month_idx",
+        "cents",
+        F.min("month_idx")
+        .over(Window.partitionBy("o_custkey"))
+        .cast("long")
+        .alias("cohort_idx"),
+    )
+    g = oc.groupBy(
+        "cohort_idx",
+        (F.col("month_idx") - F.col("cohort_idx")).alias("age_months"),
+    ).agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.countDistinct("o_custkey").cast("long").alias("nc"),
+    )
+    wc = Window.partitionBy("cohort_idx").orderBy("age_months")
+    wp = Window.partitionBy("cohort_idx")
+    cum = g.select(
+        "cohort_idx",
+        "age_months",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+        F.max(F.when(F.col("age_months") == 0, F.col("nc")))
+        .over(wp)
+        .cast("long")
+        .alias("n_customers"),
+    )
+    return cum.select(
+        F.format_string(
+            "%04d-%02d",
+            (F.col("cohort_idx") / 12).cast("long"),
+            (F.col("cohort_idx") % 12 + 1).cast("long"),
+        ).alias("cohort_month"),
+        F.col("age_months").cast("long").alias("age_months"),
+        "n_customers",
+        "rev_cents",
+        "cum_rev_cents",
+        F.round(F.col("cum_rev_cents").cast("double") / F.col("n_customers"))
+        .cast("long")
+        .alias("ltv_cents_per_customer"),
+    )

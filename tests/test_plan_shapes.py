@@ -713,3 +713,37 @@ def test_matryoshka_one_corpus_pass(spark):
     # scans: pairs corpus + pairs queries + bf corpus + bf queries = 4;
     # one scan per truncation dim would push this to 8+
     assert plan.count("Scan parquet") <= 4
+
+
+def test_stickiness_day_spine_broadcasts(spark):
+    """ev_stickiness_dau_mau: the day spine broadcasts and the deduped
+    user-day frame range-joins it (bounded 28x fan-out) — never a
+    shuffled or cartesian user x day product."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_stickiness_dau_mau(spark, TEST_SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # range join, tiny side broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_windows_on_bounded_series(spark):
+    """ev_changepoint_cusum: one hash aggregate collapses the corpus to
+    the per-type day series; every window and the argmax run on that
+    bounded frame — single corpus scan, no join."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_changepoint_cusum(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_cohort_ltv_single_fact_grid(spark):
+    """orders_cohort_ltv: the first-order month attaches as a custkey
+    WINDOW (not a join back to a min-aggregate branch, which would
+    rescan the fact) and cohort sizes come from the grid's own age-0
+    cells — orders is scanned exactly once and the plan is join-free."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.orders_cohort_ltv(spark, TEST_SF_DIR))
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
