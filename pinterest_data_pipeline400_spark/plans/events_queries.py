@@ -3268,3 +3268,69 @@ def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+AB_ARMS = 2  # 50/50 assignment
+#: salted per-user uniform — user-id hash windows are unclaimed, but
+#: salt anyway per the engine-wide sampler rule (doc-id windows are all
+#: taken by split/pack/resample/stratify).
+_AB_ARM_SQL_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(user_id AS STRING), ':abtest')), 1, 8), "
+    f"16, 10) AS BIGINT) % {AB_ARMS}"
+)
+_AB_ARM_SQL_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':abtest'), 1, 8)) "
+    f"AS BIGINT) % {AB_ARMS}"
+)
+SRM_CHI2_GATE_MICRO = 3_841_459  # chi2(1 dof) at p=0.05, in micro units
+
+
+@REGISTRY.register(
+    "ev_abtest_srm_check",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (SELECT {_AB_ARM_SQL_DUCK} AS arm FROM u),
+    c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY arm),
+    s AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b
+          FROM c)
+    SELECT n_a, n_b,
+           CAST(round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                      / (n_a + n_b) * 1e6) AS BIGINT) AS chi2_micro,
+           (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) * 1e6
+            > {SRM_CHI2_GATE_MICRO}) AS srm_detected
+    FROM s""",
+    doc="A/B SAMPLE-RATIO-MISMATCH check — the first gate every "
+    "experiment readout runs: users assign to two arms by a salted "
+    "deterministic hash (the docs_split_assign discipline — "
+    "reproducible on any engine/partitioning, stable as users arrive) "
+    "and the observed split tests against 50/50 with the chi-square "
+    "statistic; chi2(1) > 3.84 (p < 0.05) flags an assignment or "
+    "logging bug BEFORE anyone reads the metric deltas. For a 50/50 "
+    "design the 1-dof chi-square collapses to (n_a - n_b)^2 / "
+    "(n_a + n_b) — two exact integer counts, one double expression on "
+    "the final 1-row frame, micro-quantized for the hash. Scale "
+    "shape: one distinct-user aggregate and a 2-row rollup; the "
+    "assignment is a pure projection, so the gate costs one shuffle "
+    "at any corpus size.",
+)
+def ev_abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _events(spark, sf_dir).select("user_id").distinct()
+    c = u.select(F.expr(_AB_ARM_SQL_SPARK).alias("arm")).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = c.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("n_b"),
+    )
+    chi2 = (
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+        * 1e6
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(chi2).cast("long").alias("chi2_micro"),
+        (chi2 > SRM_CHI2_GATE_MICRO).alias("srm_detected"),
+    )

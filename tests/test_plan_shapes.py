@@ -747,3 +747,25 @@ def test_cohort_ltv_single_fact_grid(spark):
     plan = _plan(rx.orders_cohort_ltv(spark, TEST_SF_DIR))
     assert plan.count("orders.parquet") == 1
     assert "Join" not in plan
+
+
+def test_lsh_tuning_shares_signature_cache(spark):
+    """docs_lsh_tuning_curve: the 12-hash signature aggregate computes
+    ONCE (persisted) and all four banding configurations are key
+    projections + banded equi-joins over the cache — never all-pairs."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.docs_lsh_tuning_curve(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # the shared signature cache
+
+
+def test_srm_check_is_one_rollup(spark):
+    """ev_abtest_srm_check: assignment is a pure projection; the whole
+    gate is one distinct-user aggregate + a 2-row rollup — single
+    corpus scan, join-free."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_abtest_srm_check(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
