@@ -142,6 +142,12 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, PPM_SCHEMA)
 
 
+def _parse_wav_full(payload: bytes):
+    """Core RIFF/WAVE PCM16 decode returning the raw sample array too —
+    see :func:`parse_wav` for the container-grammar contract."""
+    return _parse_wav_impl(payload)
+
+
 def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
     """Real, dependency-free decode of a RIFF/WAVE 16-bit PCM payload.
 
@@ -158,6 +164,10 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
     non-PCM16 encodings, or truncated sample data — silent zero-fill
     would defeat the oracle check.
     """
+    return _parse_wav_impl(payload)[:4]
+
+
+def _parse_wav_impl(payload: bytes):
     import struct
 
     import numpy as np
@@ -199,6 +209,7 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
                 sample_rate,
                 size // (2 * channels),
                 int(samples.sum(dtype=np.int64)),
+                samples,
             )
         pos += 8 + size + (size % 2)  # odd chunk bodies pad to even
     raise ValueError("no data chunk in WAV payload")
@@ -423,3 +434,45 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         ).alias("media_type"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+
+
+WAV_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sumsq", T.LongType(), False),
+        T.StructField("peak_abs", T.LongType(), False),
+        T.StructField("rms_milli", T.LongType(), False),
+    ]
+)
+
+
+def decode_wav_energy(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio ENERGY features from the real PCM16 decode:
+    exact int64 sum of squares, peak |sample|, and milli-quantized RMS
+    — the loudness/clipping screen an audio-curation pass runs before
+    anything expensive (silence and clipped takes drop here). Same
+    mapInPandas contract as :func:`decode_wav_features`; all reported
+    stats are integers (one sqrt per row for RMS, then rounded), so
+    the frame is engine-comparable bit-for-bit."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    raise ValueError(f"media_id {mid}: NULL payload")
+                _c, _sr, _frames, _s, samples = _parse_wav_full(bytes(p))
+                s64 = samples.astype(np.int64)
+                n = int(s64.size)
+                sumsq = int((s64 * s64).sum())
+                peak = int(np.abs(s64).max()) if n else 0
+                rms_milli = int(round((sumsq / n) ** 0.5 * 1000)) if n else 0
+                rows.append((mid, n, sumsq, peak, rms_milli))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sumsq", "peak_abs", "rms_milli"],
+            )
+
+    return media.mapInPandas(run, WAV_ENERGY_SCHEMA)

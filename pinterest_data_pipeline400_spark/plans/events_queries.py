@@ -3334,3 +3334,110 @@ def ev_abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2).cast("long").alias("chi2_micro"),
         (chi2 > SRM_CHI2_GATE_MICRO).alias("srm_detected"),
     )
+
+
+UPLIFT_METRIC_TYPE = "purchase"
+WELCH_T_GATE = 1.96  # two-sided p<0.05 for large n
+
+
+@REGISTRY.register(
+    "ev_abtest_uplift",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    m AS (SELECT user_id, CAST(sum(round(value * 100)) AS BIGINT) AS cents
+          FROM events WHERE event_type = '{UPLIFT_METRIC_TYPE}'
+          GROUP BY user_id),
+    a AS (SELECT {_AB_ARM_SQL_DUCK} AS arm,
+                 coalesce(m.cents, 0) AS cents
+          FROM u LEFT JOIN m USING (user_id)),
+    s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sc,
+                 CAST(sum(cents * cents) AS BIGINT) AS scc
+          FROM a GROUP BY arm),
+    w AS (SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN arm = 0 THEN sc END) AS BIGINT) AS sa,
+            CAST(sum(CASE WHEN arm = 1 THEN sc END) AS BIGINT) AS sb,
+            CAST(sum(CASE WHEN arm = 0 THEN scc END) AS BIGINT) AS ssa,
+            CAST(sum(CASE WHEN arm = 1 THEN scc END) AS BIGINT) AS ssb
+          FROM s)
+    SELECT n_a, n_b,
+           round(CAST(sa AS DOUBLE) / n_a, 6) AS mean_a_cents,
+           round(CAST(sb AS DOUBLE) / n_b, 6) AS mean_b_cents,
+           round((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+                 / sqrt((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+                          / (n_a - 1) / n_a
+                        + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b)
+                          / (n_b - 1) / n_b), 6) AS welch_t,
+           (abs((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+                / sqrt((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+                         / (n_a - 1) / n_a
+                       + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b)
+                         / (n_b - 1) / n_b)) > {WELCH_T_GATE})
+             AS significant
+    FROM w""",
+    doc="A/B UPLIFT READOUT (the metric half; ev_abtest_srm_check is "
+    "the validity half): per-user purchase value under the same "
+    "salted-hash 50/50 assignment, compared across arms with a WELCH "
+    "t-statistic — unequal variances assumed, the standard "
+    "experiment-readout test. Every cross-row aggregate is an exact "
+    "integer (per-user cents totals, their sums, their sums of "
+    "squares — users without the metric event count as zero via the "
+    "left join, which is what keeps the denominator the ASSIGNED "
+    "population, not the converted one); means, variances, and the "
+    "t-statistic derive from those six integers in one identical "
+    "double expression per engine on the final 1-row frame. On this "
+    "fixture assignment is independent of spend, so t sits inside "
+    "±1.96 — the null behaving as a null is the correctness "
+    "evidence. Scale: one user shuffle (metric rollup) + a 2-row "
+    "arm rollup; int64 sums-of-squares hold to ~10^9 users at cent "
+    "grain — past that, re-grain to whole currency units or "
+    "decimal(38).",
+)
+def ev_abtest_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = ev.select("user_id").distinct()
+    m = (
+        ev.filter(F.col("event_type") == UPLIFT_METRIC_TYPE)
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    )
+    a = u.join(m, on="user_id", how="left").select(
+        F.expr(_AB_ARM_SQL_SPARK).alias("arm"),
+        F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+    )
+    s = a.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("scc"),
+    )
+    w = s.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("sc"))).cast("long").alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("sc"))).cast("long").alias("sb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("scc"))).cast("long").alias("ssa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("scc"))).cast("long").alias("ssb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("n_a")
+    mb = F.col("sb").cast("double") / F.col("n_b")
+    va_over_na = (
+        (F.col("ssa").cast("double") - F.col("sa").cast("double") * F.col("sa") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+    )
+    vb_over_nb = (
+        (F.col("ssb").cast("double") - F.col("sb").cast("double") * F.col("sb") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    t = (ma - mb) / F.sqrt(va_over_na + vb_over_nb)
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a_cents"),
+        F.round(mb, 6).alias("mean_b_cents"),
+        F.round(t, 6).alias("welch_t"),
+        (F.abs(t) > WELCH_T_GATE).alias("significant"),
+    )

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..generator import ensure_fixtures, fixture_dir_for
-from ..operators.multimodal import decode_wav_features
+from ..operators.multimodal import decode_wav_energy, decode_wav_features
 from .registry import REGISTRY
 
 _ORACLE_FX = ensure_fixtures("sf0.01")
@@ -64,3 +64,42 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = fixture_dir_for(sf_dir)
     media = spark.read.parquet(os.path.join(fx, "media_wav.parquet"))
     return decode_wav_features(media)
+
+
+@REGISTRY.register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH dims AS (
+      SELECT media_id,
+             media_id % 2 + 1 AS channels,
+             media_id % 50 + 20 AS frames
+      FROM read_parquet('{_ORACLE_FX}/media_wav.parquet')),
+    s AS (SELECT unnest(range(0, 138)) AS i),
+    smp AS (SELECT media_id,
+                   CAST((media_id*37 + i*11) % 4096 - 2048 AS BIGINT) AS v
+            FROM dims CROSS JOIN s
+            WHERE i < frames * channels)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS sumsq,
+           CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+           CAST(round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) * 1000)
+                AS BIGINT) AS rms_milli
+    FROM smp GROUP BY media_id""",
+    doc="Audio ENERGY screen over the real PCM16 decode — per clip the "
+    "exact integer sum of squares, peak |sample|, and milli-quantized "
+    "RMS: the silence / clipping triage an audio-curation pass runs "
+    "before transcription or embedding (silence → drop, peak at "
+    "int16 rails → clipped take). The Spark side walks the actual "
+    "RIFF container (operators/multimodal.py decode_wav_energy, the "
+    "one designed Arrow/mapInPandas boundary) while the oracle "
+    "recomputes energies from the generator's closed-form sample "
+    "construction WITHOUT touching the payload — a decoder that "
+    "drops, pads, or misaligns even one frame cannot match the "
+    "sum-of-squares. All stats integer (one sqrt per row, rounded to "
+    "milli units); embarrassingly parallel, no shuffle.",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = fixture_dir_for(sf_dir)
+    media = spark.read.parquet(os.path.join(fx, "media_wav.parquet"))
+    return decode_wav_energy(media)

@@ -769,3 +769,25 @@ def test_srm_check_is_one_rollup(spark):
     plan = _plan(eq.ev_abtest_srm_check(spark, TEST_SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_audio_energy_is_arrow_batched_no_shuffle(spark):
+    """multimodal_audio_energy: the real RIFF decode rides the designed
+    Arrow/mapInPandas boundary, embarrassingly parallel — no exchange
+    anywhere in the plan."""
+    from pinterest_data_pipeline400_spark.plans import media_queries as mq
+
+    plan = _plan(mq.multimodal_audio_energy(spark, TEST_SF_DIR))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_uplift_integer_rollup_shape(spark):
+    """ev_abtest_uplift: one user-key shuffle for the metric rollup,
+    then a 2-row arm rollup — the Welch algebra runs on a 1-row frame;
+    nothing cartesian, no Python in the plan."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_abtest_uplift(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
