@@ -49,16 +49,16 @@ SF0001 = "/root/testdata/sf0.001"
 # exactly, so a green CORRECTNESS_r06 certifies every new and changed
 # entry and cumulative certification closes at 196/196. Everything
 # else keeps its registration order after the window; nothing is
-# unregistered. SEVENTEEN late round-6 additions sit past this window
+# unregistered. EIGHTEEN late round-6 additions sit past this window
 # (pytest- and hostile-session-oracle-green at sf0.01):
 # ev_seasonality_hourweek, q_basket_lift_pairs, emb_pq_error,
 # emb_centroid_outliers, emb_knn_pq_adc, emb_knn_recall_pq,
 # ev_psi_value_drift, docs_span_corruption, q_nation_market_share,
 # emb_knn_recall_matryoshka, ev_stickiness_dau_mau,
 # ev_changepoint_cusum, orders_cohort_ltv, docs_lsh_tuning_curve,
-# ev_abtest_srm_check, multimodal_audio_energy, ev_abtest_uplift —
-# round 7 front-loads exactly these seventeen plus anything r06
-# flags plus round-7 additions.
+# ev_abtest_srm_check, multimodal_audio_energy, ev_abtest_uplift,
+# multimodal_image_stats — round 7 front-loads exactly these
+# eighteen plus anything r06 flags plus round-7 additions.
 GRADE_WINDOW = [
     # round-5 entries past round 5's 50-slot window (close 156/156)
     "emb_decontaminate",

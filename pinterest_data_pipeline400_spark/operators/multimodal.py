@@ -48,6 +48,12 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def parse_ppm(payload: bytes) -> tuple[int, int, int, int]:
+    """Public 4-tuple contract over :func:`_parse_ppm_full` — see there
+    for the netpbm grammar details."""
+    return _parse_ppm_full(payload)[:4]
+
+
+def _parse_ppm_full(payload: bytes):
     """Real, dependency-free decode of a binary P6 (raw) PPM image.
 
     Implements the netpbm header grammar: ``P6`` magic, then three
@@ -55,8 +61,9 @@ def parse_ppm(payload: bytes) -> tuple[int, int, int, int]:
     whitespace, with ``#``-to-end-of-line comments allowed anywhere
     between tokens, then EXACTLY ONE whitespace byte before the raw
     RGB samples (maxval < 256 → one byte per sample). Returns
-    ``(width, height, maxval, pixel_sum)`` where pixel_sum is the exact
-    integer sum of all ``3*width*height`` sample bytes.
+    ``(width, height, maxval, pixel_sum, samples)`` where pixel_sum is
+    the exact integer sum of all ``3*width*height`` sample bytes and
+    samples the raw uint8 array (interleaved RGB).
 
     Raises ``ValueError`` on a bad magic, malformed header, out-of-spec
     maxval, or truncated pixel data — a decode that silently zero-fills
@@ -99,8 +106,8 @@ def parse_ppm(payload: bytes) -> tuple[int, int, int, int]:
     data = payload[pos : pos + 3 * width * height]
     if len(data) != 3 * width * height:
         raise ValueError("truncated PPM pixel data")
-    pixel_sum = int(np.frombuffer(data, dtype=np.uint8).sum(dtype=np.int64))
-    return width, height, maxval, pixel_sum
+    samples = np.frombuffer(data, dtype=np.uint8)
+    return width, height, maxval, int(samples.sum(dtype=np.int64)), samples
 
 
 PPM_SCHEMA = T.StructType(
@@ -476,3 +483,62 @@ def decode_wav_energy(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, WAV_ENERGY_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+        T.StructField("sumsq", T.LongType(), False),
+        T.StructField("brightness_milli", T.LongType(), False),
+        T.StructField("contrast_milli", T.LongType(), False),
+    ]
+)
+
+
+def decode_ppm_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched image QUALITY stats from the real P6 decode:
+    per-channel exact integer sums (color-cast check), sum of squares,
+    milli-quantized brightness (mean sample) and contrast (population
+    std) — the black-frame / blown-out / dead-channel screen an image
+    curation pass runs before feature extraction. Same mapInPandas
+    contract as :func:`decode_ppm_features`; all reported stats are
+    integers (one sqrt per row for contrast, then rounded)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    raise ValueError(f"media_id {mid}: NULL payload")
+                _w, _h, _maxval, _s, samples = _parse_ppm_full(bytes(p))
+                s64 = samples.astype(np.int64)
+                n = int(s64.size)
+                total = int(s64.sum())
+                sumsq = int((s64 * s64).sum())
+                rgb = s64.reshape(-1, 3)
+                mean = total / n
+                var = sumsq / n - mean * mean  # population variance
+                rows.append(
+                    (
+                        mid,
+                        int(rgb[:, 0].sum()),
+                        int(rgb[:, 1].sum()),
+                        int(rgb[:, 2].sum()),
+                        sumsq,
+                        int(round(mean * 1000)),
+                        int(round(var**0.5 * 1000)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "r_sum", "g_sum", "b_sum",
+                    "sumsq", "brightness_milli", "contrast_milli",
+                ],
+            )
+
+    return media.mapInPandas(run, IMAGE_STATS_SCHEMA)

@@ -23,7 +23,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..generator import ensure_fixtures, fixture_dir_for
-from ..operators.multimodal import decode_wav_energy, decode_wav_features
+from ..operators.multimodal import (
+    decode_ppm_stats,
+    decode_wav_energy,
+    decode_wav_features,
+)
 from .registry import REGISTRY
 
 _ORACLE_FX = ensure_fixtures("sf0.01")
@@ -103,3 +107,50 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = fixture_dir_for(sf_dir)
     media = spark.read.parquet(os.path.join(fx, "media_wav.parquet"))
     return decode_wav_energy(media)
+
+
+@REGISTRY.register(
+    "multimodal_image_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT media_id,
+             media_id % 13 + 4 AS width,
+             media_id % 7 + 3 AS height
+      FROM read_parquet('{_ORACLE_FX}/media_ppm.parquet')),
+    s AS (SELECT unnest(range(0, 432)) AS i),
+    smp AS (SELECT media_id, i % 3 AS ch,
+                   CAST((media_id*31 + i*7) % 256 AS BIGINT) AS v,
+                   3 * width * height AS n
+            FROM dims CROSS JOIN s
+            WHERE i < 3 * width * height)
+    SELECT media_id,
+           CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS b_sum,
+           CAST(sum(v * v) AS BIGINT) AS sumsq,
+           CAST(round(CAST(sum(v) AS DOUBLE) / any_value(n) * 1000)
+                AS BIGINT) AS brightness_milli,
+           CAST(round(sqrt(CAST(sum(v * v) AS DOUBLE) / any_value(n)
+                           - (CAST(sum(v) AS DOUBLE) / any_value(n))
+                             * (CAST(sum(v) AS DOUBLE) / any_value(n)))
+                      * 1000) AS BIGINT) AS contrast_milli
+    FROM smp GROUP BY media_id""",
+    doc="Image QUALITY screen from the real P6 decode — per image the "
+    "exact per-channel integer sums (dead-channel / color-cast "
+    "check), sum of squares, milli-quantized brightness and contrast "
+    "(population std): the black-frame / blown-out triage an image "
+    "curation pass runs before any expensive feature extraction, the "
+    "visual twin of multimodal_audio_energy. Spark side parses the "
+    "actual netpbm container through the designed Arrow/mapInPandas "
+    "boundary (operators/multimodal.py decode_ppm_stats); the oracle "
+    "recomputes every stat from the generator's closed-form sample "
+    "construction WITHOUT touching the payload — a decoder that "
+    "misreads the header, drops a byte, or swaps channel order "
+    "cannot match the per-channel sums. Integer stats throughout "
+    "(one sqrt per row, milli-rounded); embarrassingly parallel, no "
+    "shuffle.",
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = fixture_dir_for(sf_dir)
+    media = spark.read.parquet(os.path.join(fx, "media_ppm.parquet"))
+    return decode_ppm_stats(media)

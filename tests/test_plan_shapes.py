@@ -791,3 +791,13 @@ def test_uplift_integer_rollup_shape(spark):
     plan = _plan(eq.ev_abtest_uplift(spark, TEST_SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_image_stats_is_arrow_batched_no_shuffle(spark):
+    """multimodal_image_stats: the real P6 decode rides the designed
+    Arrow/mapInPandas boundary, exchange-free like its audio twin."""
+    from pinterest_data_pipeline400_spark.plans import media_queries as mq
+
+    plan = _plan(mq.multimodal_image_stats(spark, TEST_SF_DIR))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
