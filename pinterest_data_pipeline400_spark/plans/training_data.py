@@ -3535,13 +3535,18 @@ def docs_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = spark.read.parquet(
         os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet")
     ).repartition(spark.sparkContext.defaultParallelism)
-    # one signature pipeline feeds all four banding projections
+    # one signature pipeline feeds all four banding projections; the
+    # shingle arrays MUST persist before the explode — otherwise
+    # InferFiltersFromGenerate's size(sh)>0 filter re-evaluates the
+    # interpreted shingling HOF per row (the minhash_near_dup_pairs
+    # trap; measured 18.6 s vs 1.4 s at sf0.1 on local[8])
+    shingled = shingle_docs(
+        dup.select("doc_id", norm_text(F.col("text")).alias("norm")),
+        "doc_id",
+        "norm",
+    ).persist()
     sig_df = minhash_signatures_agg(
-        shingle_docs(
-            dup.select("doc_id", norm_text(F.col("text")).alias("norm")),
-            "doc_id",
-            "norm",
-        ).select("doc_id", F.explode("sh").alias("shingle"))
+        shingled.select("doc_id", F.explode("sh").alias("shingle"))
     ).persist()
 
     roots = dup.select("doc_id", F.expr(_ROOT_SQL).alias("root"))
