@@ -47,7 +47,9 @@ SF0001 = "/root/testdata/sf0.001"
 # whose implementation changed this round (orders_rfm_segments'
 # percentile branch also changed; it is among the seven): 7+40+3 = 50
 # exactly, so a green CORRECTNESS_r06 certifies every new and changed
-# entry and cumulative certification closes at 196/196. Everything
+# entry and cumulative driver certification reaches 196 of the 214
+# registered entries (the 18 late additions below are the remainder).
+# Everything
 # else keeps its registration order after the window; nothing is
 # unregistered. EIGHTEEN late round-6 additions sit past this window
 # (pytest- and hostile-session-oracle-green at sf0.01):

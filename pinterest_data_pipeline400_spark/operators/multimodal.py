@@ -149,12 +149,6 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, PPM_SCHEMA)
 
 
-def _parse_wav_full(payload: bytes):
-    """Core RIFF/WAVE PCM16 decode returning the raw sample array too —
-    see :func:`parse_wav` for the container-grammar contract."""
-    return _parse_wav_impl(payload)
-
-
 def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
     """Real, dependency-free decode of a RIFF/WAVE 16-bit PCM payload.
 
@@ -171,10 +165,12 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, int]:
     non-PCM16 encodings, or truncated sample data — silent zero-fill
     would defeat the oracle check.
     """
-    return _parse_wav_impl(payload)[:4]
+    return _parse_wav_full(payload)[:4]
 
 
-def _parse_wav_impl(payload: bytes):
+def _parse_wav_full(payload: bytes):
+    """Core RIFF/WAVE PCM16 decode returning the raw sample array too —
+    see :func:`parse_wav` for the container-grammar contract."""
     import struct
 
     import numpy as np
@@ -520,8 +516,10 @@ def decode_ppm_stats(media: DataFrame) -> DataFrame:
                 total = int(s64.sum())
                 sumsq = int((s64 * s64).sum())
                 rgb = s64.reshape(-1, 3)
-                mean = total / n
-                var = sumsq / n - mean * mean  # population variance
+                # n == 0 is unreachable (the parser rejects zero dims)
+                # but guard anyway, matching decode_wav_energy
+                mean = total / n if n else 0.0
+                var = sumsq / n - mean * mean if n else 0.0
                 rows.append(
                     (
                         mid,

@@ -2829,10 +2829,10 @@ def ev_stream_bitmap_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x * y) AS BIGINT) AS sxy
       FROM lg WHERE x IS NOT NULL GROUP BY event_type)
     SELECT event_type, n AS n_pairs,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-             AS autocorr_lag1
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS autocorr_lag1
     FROM s""",
     doc="Lag-1 AUTOCORRELATION of hourly event volume per type — the "
     "burstiness / self-similarity diagnostic capacity planning and "
@@ -2869,10 +2869,14 @@ def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    # factors cast to DOUBLE before the product (as documented): the
+    # bigint products n*sxx etc. would overflow int64 at corpus scale
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return s.select(
         "event_type",

@@ -2816,6 +2816,10 @@ def emb_triplet_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("aemb"),
         F.col("label").alias("alabel"),
     )
+    # persisted: the hardest-positive and hardest-negative branches
+    # both consume this frame, and without the cache each would re-run
+    # the full exact-BNLJ corpus pass (the entry's dominant cost —
+    # measured double-scanned in the executed plan)
     pairs = (
         embs.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("anchor_id"))
@@ -2829,6 +2833,7 @@ def emb_triplet_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cosine"),
         )
+        .persist()
     )
     wp = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine").asc(), F.col("nid").asc()
@@ -2873,6 +2878,94 @@ def emb_triplet_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SUBS = 8  # 64-dim embedding -> 8 subspaces of 8 dims
 PQ_SUB_DIM = 8
 PQ_CODEBOOK_N = 16  # codewords per subspace: the vec_id < 16 sub-vectors
+
+
+
+def _pq_subspaces(embs: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(…extra, vec_id, sub, svec): micro-integer sub-vectors — the
+    single source for every PQ consumer (error gauge, ADC search, the
+    40x stress test). Coordinates quantize to exact micro ints BEFORE
+    any distance arithmetic (the engine-wide determinism rule)."""
+    em = embs.select(
+        *extra,
+        "vec_id",
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.round(x * 1000000).cast("long"),
+        ).alias("em"),
+    )
+    return em.select(
+        *extra,
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"),
+        "em",
+    ).select(
+        *extra,
+        "vec_id",
+        "sub",
+        F.slice("em", F.col("sub") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("svec"),
+    )
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    """(code_id, sub, cvec): the deterministic vec_id<N sample codebook."""
+    return subs.filter(F.col("vec_id") < PQ_CODEBOOK_N).select(
+        F.col("vec_id").alias("code_id"), "sub", F.col("svec").alias("cvec")
+    )
+
+
+def _pq_d2(a: str = "svec", b: str = "cvec") -> Column:
+    """Exact integer squared L2 between two micro-int sub-vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_distances(subs: DataFrame, cb: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(…extra, vec_id, sub, code_id, d2): broadcast-codebook join."""
+    return subs.join(F.broadcast(cb), "sub").select(
+        *extra, "vec_id", "sub", "code_id", _pq_d2().alias("d2")
+    )
+
+
+def _pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): nearest codeword per sub-vector; struct-min
+    = (min d2, then min code id on exact-integer ties)."""
+    return (
+        _pq_distances(subs, cb)
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code_id"))).alias("m"))
+        .select("vec_id", "sub", F.col("m.code_id").cast("long").alias("code"))
+    )
+
+
+def _pq_adc_scores(embs: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, adc_micro2): the full pre-top-k ADC
+    frame — encoded corpus joined to the broadcast per-query LUTs on
+    (sub, code), summed over subspaces. Shared by emb_knn_pq_adc and
+    the 40x stress test so the test exercises the REGISTERED plan."""
+    subs = _pq_subspaces(embs)
+    cb = _pq_codebook(subs)
+    enc = _pq_encode(subs, cb)
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "sub", F.col("svec").alias("qvec"))
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "qid",
+            "sub",
+            F.col("code_id").cast("long").alias("code"),
+            _pq_d2("qvec", "cvec").alias("d2q"),
+        )
+    )
+    return (
+        enc.join(F.broadcast(lut), on=["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2q").cast("long").alias("adc_micro2"))
+    )
 
 
 @REGISTRY.register(
@@ -2921,36 +3014,8 @@ PQ_CODEBOOK_N = 16  # codewords per subspace: the vec_id < 16 sub-vectors
     "zero wide shuffles on the vector side.",
 )
 def emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = _embs(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.transform(
-            _as_double(F.col("embedding")),
-            lambda x: F.round(x * 1000000).cast("long"),
-        ).alias("em"),
-    )
-    subs = em.select(
-        "vec_id",
-        "label",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"),
-        "em",
-    ).select(
-        "vec_id",
-        "label",
-        "sub",
-        F.slice("em", F.col("sub") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("svec"),
-    )
-    cb = subs.filter(F.col("vec_id") < PQ_CODEBOOK_N).select(
-        F.col("vec_id").alias("code_id"), "sub", F.col("svec").alias("cvec")
-    )
-    d2 = F.aggregate(
-        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    d = subs.join(F.broadcast(cb), "sub").select(
-        "vec_id", "label", "sub", d2.alias("d2")
-    )
+    subs = _pq_subspaces(_embs(spark, sf_dir), extra=("label",))
+    d = _pq_distances(subs, _pq_codebook(subs), extra=("label",))
     m = d.groupBy("vec_id", "label", "sub").agg(F.min("d2").alias("best"))
     pv = m.groupBy("vec_id", "label").agg(F.sum("best").cast("long").alias("err"))
     return pv.groupBy("label").agg(
@@ -3122,61 +3187,7 @@ _PQ_ADC_CTES = f"""
     "encoded row.",
 )
 def emb_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = _embs(spark, sf_dir).select(
-        "vec_id",
-        F.transform(
-            _as_double(F.col("embedding")),
-            lambda x: F.round(x * 1000000).cast("long"),
-        ).alias("em"),
-    )
-    subs = em.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"),
-        "em",
-    ).select(
-        "vec_id",
-        "sub",
-        F.slice("em", F.col("sub") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("svec"),
-    )
-    cb = subs.filter(F.col("vec_id") < PQ_CODEBOOK_N).select(
-        F.col("vec_id").alias("code_id"), "sub", F.col("svec").alias("cvec")
-    )
-    d2 = F.aggregate(
-        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    enc0 = subs.join(F.broadcast(cb), "sub").select(
-        "vec_id", "sub", F.col("code_id"), d2.alias("d2")
-    )
-    # nearest codeword: struct-min = (min d2, then min code id on ties)
-    # — exact-integer comparison, deterministic cross-engine
-    enc = (
-        enc0.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct(F.col("d2"), F.col("code_id"))).alias("m"))
-        .select("vec_id", "sub", F.col("m.code_id").cast("long").alias("code"))
-    )
-    lut = (
-        subs.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), "sub", F.col("svec").alias("qvec"))
-        .join(F.broadcast(cb), "sub")
-        .select(
-            "qid",
-            "sub",
-            F.col("code_id").cast("long").alias("code"),
-            F.aggregate(
-                F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d2q"),
-        )
-    )
-    adc = (
-        enc.join(F.broadcast(lut), on=["sub", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d2q").cast("long").alias("adc_micro2"))
-    )
+    adc = _pq_adc_scores(_embs(spark, sf_dir))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_micro2").asc(), F.col("neighbor_id").asc()
     )

@@ -193,76 +193,29 @@ def test_pq_adc_scales_linearly(spark):
     must be LINEAR in corpus size with a fixed query set — the encoded
     corpus carries exactly PQ_SUBS rows per vector, the per-query LUT
     is constant-size, and the ADC accumulation produces exactly
-    |queries| x (n-1) scored pairs. A fan-out bug in the (sub, code)
-    join (e.g. joining on code alone) would multiply pair count and
-    blow the ceiling; wall is the 40x datapoint recorded in PERF.md."""
+    |queries| x (n-1) scored pairs. Exercises the REGISTERED builders
+    (_pq_subspaces/_pq_encode/_pq_adc_scores — the same code
+    emb_knn_pq_adc runs), so a fan-out bug in the (sub, code) join
+    (e.g. joining on code alone) fails HERE, not just in a copy; wall
+    is the 40x datapoint recorded in PERF.md."""
     from pinterest_data_pipeline400_spark.plans.training_data import (
         N_QUERIES,
-        PQ_CODEBOOK_N,
-        PQ_SUB_DIM,
         PQ_SUBS,
-        _as_double,
         _embs,
+        _pq_adc_scores,
+        _pq_codebook,
+        _pq_encode,
+        _pq_subspaces,
     )
 
-    def adc_pair_count(corpus) -> tuple[int, int]:
-        em = corpus.select(
-            "vec_id",
-            F.transform(
-                _as_double(F.col("embedding")),
-                lambda x: F.round(x * 1000000).cast("long"),
-            ).alias("em"),
-        )
-        subs = em.select(
-            "vec_id",
-            F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub"),
-            "em",
-        ).select(
-            "vec_id",
-            "sub",
-            F.slice("em", F.col("sub") * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("svec"),
-        )
-        cb = subs.filter(F.col("vec_id") < PQ_CODEBOOK_N).select(
-            F.col("vec_id").alias("code_id"), "sub", F.col("svec").alias("cvec")
-        )
-        d2 = F.aggregate(
-            F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        enc = (
-            subs.join(F.broadcast(cb), "sub")
-            .select("vec_id", "sub", F.col("code_id"), d2.alias("d2"))
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct(F.col("d2"), F.col("code_id"))).alias("m"))
-            .select("vec_id", "sub", F.col("m.code_id").alias("code"))
-        )
-        lut = (
-            subs.filter(F.col("vec_id") < N_QUERIES)
-            .select(F.col("vec_id").alias("qid"), "sub", F.col("svec").alias("qvec"))
-            .join(F.broadcast(cb), "sub")
-            .select(
-                "qid",
-                "sub",
-                F.col("code_id").alias("code"),
-                F.aggregate(
-                    F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ).alias("d2q"),
-            )
-        )
-        adc = (
-            enc.join(F.broadcast(lut), on=["sub", "code"])
-            .filter(F.col("vec_id") != F.col("qid"))
-            .groupBy("qid", "vec_id")
-            .agg(F.sum("d2q").alias("adc"))
-        )
-        return adc.count(), enc.count()
+    def counts(corpus) -> tuple[int, int]:
+        subs = _pq_subspaces(corpus)
+        enc = _pq_encode(subs, _pq_codebook(subs))
+        return _pq_adc_scores(corpus).count(), enc.count()
 
     base = _embs(spark, TEST_SF_DIR)
     n_base = base.count()
-    pairs_1x, enc_1x = adc_pair_count(base)
+    pairs_1x, enc_1x = counts(base)
     assert enc_1x == PQ_SUBS * n_base
     assert pairs_1x == N_QUERIES * (n_base - 1)
 
@@ -277,7 +230,7 @@ def test_pq_adc_scales_linearly(spark):
     )
     n_big = n_base * REPLICAS
     t0 = time.perf_counter()
-    pairs_40x, enc_40x = adc_pair_count(big)
+    pairs_40x, enc_40x = counts(big)
     wall = time.perf_counter() - t0
 
     # exactly linear: PQ_SUBS codes per vector, |queries| x (n-1)
