@@ -1052,3 +1052,114 @@ def docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
         .limit(RAKE_TOP_K)
     )
+
+
+PMI_VOCAB_K = 50
+PMI_MIN_COOC = 5
+PMI_TOP_N = 20
+
+
+@REGISTRY.register(
+    "docs_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, u.w
+      FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents) n,
+           unnest(string_split(n.norm, ' ')) AS u(w)
+      WHERE u.w <> ''),
+    vc AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+           FROM tok GROUP BY w
+           ORDER BY df DESC, w ASC LIMIT {PMI_VOCAB_K}),
+    kept AS (SELECT t.doc_id, t.w FROM tok t JOIN vc USING (w)),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    pr AS (SELECT a.w AS w_a, b.w AS w_b, CAST(count(*) AS BIGINT) AS n_ab
+           FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+           GROUP BY 1, 2)
+    SELECT pr.w_a, pr.w_b, pr.n_ab,
+           CAST(round(ln(CAST(pr.n_ab AS DOUBLE) * nd.n_docs
+                         / va.df / vb.df) * 1e9) AS BIGINT) AS pmi_nano
+    FROM pr
+    JOIN vc va ON va.w = pr.w_a
+    JOIN vc vb ON vb.w = pr.w_b
+    CROSS JOIN nd
+    WHERE pr.n_ab >= {PMI_MIN_COOC}
+    ORDER BY pmi_nano DESC, w_a ASC, w_b ASC
+    LIMIT {PMI_TOP_N}""",
+    doc="PMI COLLOCATION mining (Church & Hanks 1990): for the top-50 "
+    "document-frequency vocabulary, the word pairs whose DOCUMENT "
+    "co-occurrence most exceeds the independence expectation — "
+    "pointwise mutual information ln(n_ab*N/(df_a*df_b)) with a "
+    "minimum-support cut, the classic phrase/topic-affinity signal "
+    "corpus triage reads next to RAKE's within-phrase scores "
+    "(docs_rake_keywords ranks runs BETWEEN stopwords; PMI finds "
+    "affinities ACROSS a whole document). Scale shape: the deduped "
+    "doc-word frame persists once for its two consumers (vocabulary "
+    "cut + pair generation — the docs_rake_keywords caching "
+    "discipline); the pair generator self-joins CO-PARTITIONED ON "
+    "doc_id with fan-out bounded by vocab-words-per-doc squared "
+    "(≤50², independent of corpus size), never a vocabulary cross "
+    "join; the 50-row vocab and 1-row doc count broadcast; PMI is "
+    "one nano-quantized double expression per surviving pair with "
+    "support-before-join pruning and lexicographic tiebreaks.",
+)
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import norm_text
+
+    # persisted: the vocabulary cut and the pair generator both consume
+    # the deduped doc-word frame; without the cache each re-runs the
+    # corpus tokenize+distinct (the rake/langid lesson). The registry
+    # wrapper's clearCache() drops it after the entry.
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .persist()
+    )
+    vc = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("w").asc())
+        .limit(PMI_VOCAB_K)
+    )
+    kept = tok.join(F.broadcast(vc.select("w")), on="w").select("doc_id", "w")
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_COOC)
+    )
+    va = vc.select(F.col("w").alias("w_a"), F.col("df").alias("df_a"))
+    vb = vc.select(F.col("w").alias("w_b"), F.col("df").alias("df_b"))
+    return (
+        pr.join(F.broadcast(va), "w_a")
+        .join(F.broadcast(vb), "w_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w_a",
+            "w_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / F.col("df_a")
+                    / F.col("df_b")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("pmi_nano"),
+        )
+        .orderBy(F.col("pmi_nano").desc(), F.col("w_a").asc(), F.col("w_b").asc())
+        .limit(PMI_TOP_N)
+    )

@@ -3445,3 +3445,79 @@ def ev_abtest_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("welch_t"),
         (F.abs(t) > WELCH_T_GATE).alias("significant"),
     )
+
+
+SEASONAL_ANOM_TOP_N = 20
+
+
+@REGISTRY.register(
+    "ev_seasonal_residual_anomaly",
+    oracle=f"""
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT h, n,
+             CAST(round(CAST(sum(n) OVER cell AS DOUBLE)
+                        / count(*) OVER cell * 1000000) AS BIGINT)
+               AS seasonal_mean_micro
+      FROM hc
+      WINDOW cell AS (PARTITION BY date_part('isodow', h),
+                                   date_part('hour', h))),
+    r AS (SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n,
+                 seasonal_mean_micro,
+                 n * 1000000 - seasonal_mean_micro AS residual_micro
+          FROM w)
+    SELECT hour, n, seasonal_mean_micro, residual_micro
+    FROM (SELECT *, row_number() OVER (ORDER BY abs(residual_micro) DESC,
+                                                hour ASC) AS rn
+          FROM r)
+    WHERE rn <= {SEASONAL_ANOM_TOP_N}""",
+    doc="SEASONAL-NAIVE anomaly detection: each hour's volume against "
+    "the mean of its OWN hour-of-week cell (the ev_seasonality_"
+    "hourweek grid as a baseline), top-20 hours by |residual| — the "
+    "detector that refuses to page on Friday evenings for being "
+    "busier than Tuesday mornings, which a global z-score "
+    "(ev_rolling_hourly_zscore's rolling twin) happily does. One hash "
+    "aggregate collapses the corpus to the ~720-hour series; the "
+    "seasonal baseline attaches as a WINDOW over the hour-of-week "
+    "cell on that bounded frame (no join back to a second aggregate "
+    "branch — the ev_psi_value_drift lesson), and the residual stays "
+    "an exact integer: observed*1e6 minus the micro-rounded cell "
+    "mean, so ranking and the |residual| tiebreaks cannot drift "
+    "cross-engine. The final global top-20 ranks ≤720 rows.",
+)
+def ev_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hc = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cell = Window.partitionBy(F.weekday("h") + 1, F.hour("h"))
+    w = hc.select(
+        "h",
+        "n",
+        F.round(
+            F.sum("n").over(cell).cast("double")
+            / F.count(F.lit(1)).over(cell)
+            * 1000000
+        )
+        .cast("long")
+        .alias("seasonal_mean_micro"),
+    )
+    r = w.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        "seasonal_mean_micro",
+        (F.col("n") * 1000000 - F.col("seasonal_mean_micro"))
+        .cast("long")
+        .alias("residual_micro"),
+    )
+    rank = Window.orderBy(
+        F.abs(F.col("residual_micro")).desc(), F.col("hour").asc()
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= SEASONAL_ANOM_TOP_N)
+        .drop("rn")
+    )

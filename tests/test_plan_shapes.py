@@ -801,3 +801,27 @@ def test_image_stats_is_arrow_batched_no_shuffle(spark):
     plan = _plan(mq.multimodal_image_stats(spark, TEST_SF_DIR))
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_seasonal_anomaly_single_scan(spark):
+    """ev_seasonal_residual_anomaly: the seasonal baseline attaches as
+    a window over the bounded hourly series — one corpus scan, no
+    join back to a second aggregate branch."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_seasonal_residual_anomaly(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_pmi_doc_word_frame_cached(spark):
+    """docs_pmi_collocations: the deduped doc-word frame persists once
+    for its two consumers (InMemoryTableScan), the pair self-join is a
+    doc_id equi-join (no cartesian), and the vocab/doc-count frames
+    broadcast."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    plan = _plan(cu.docs_pmi_collocations(spark, TEST_SF_DIR))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
