@@ -51,7 +51,7 @@ SF0001 = "/root/testdata/sf0.001"
 # registered entries (the 18 late additions below are the remainder).
 # Everything
 # else keeps its registration order after the window; nothing is
-# unregistered. TWENTY late round-6 additions sit past this window
+# unregistered. TWENTY-THREE late round-6 additions sit past this window
 # (pytest- and hostile-session-oracle-green at sf0.01):
 # ev_seasonality_hourweek, q_basket_lift_pairs, emb_pq_error,
 # emb_centroid_outliers, emb_knn_pq_adc, emb_knn_recall_pq,
@@ -60,8 +60,10 @@ SF0001 = "/root/testdata/sf0.001"
 # ev_changepoint_cusum, orders_cohort_ltv, docs_lsh_tuning_curve,
 # ev_abtest_srm_check, multimodal_audio_energy, ev_abtest_uplift,
 # multimodal_image_stats, ev_seasonal_residual_anomaly,
-# docs_pmi_collocations — round 7 front-loads exactly these twenty
-# plus anything r06 flags plus round-7 additions.
+# docs_pmi_collocations, q_shipping_priority,
+# q_local_supplier_revenue, q_forecast_revenue_change — round 7
+# front-loads exactly these twenty-three plus anything r06 flags
+# plus round-7 additions.
 GRADE_WINDOW = [
     # round-5 entries past round 5's 50-slot window (close 156/156)
     "emb_decontaminate",

@@ -1639,3 +1639,176 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ltv_cents_per_customer"),
     )
+
+
+Q3_CUTOFF = "1998-07-01"
+Q3_SEGMENT = "BUILDING"
+Q3_TOP_N = 10
+
+
+@REGISTRY.register(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(sum({_REVENUE_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l.l_orderkey ASC
+    LIMIT {Q3_TOP_N}""",
+    doc="TPC-H Q3 shipping priority: the top-10 UNSHIPPED orders (one "
+    "segment's orders placed before the cutoff with lineitems still "
+    "shipping after it) by outstanding revenue — the order-book "
+    "triage query. Both date predicates and the segment filter push "
+    "to their respective scans BEFORE the joins, so the orderkey "
+    "fact-fact shuffle carries only the straddling window; the "
+    "segment-filtered customer key set joins the orders side (AQE "
+    "picks broadcast vs shuffle from its runtime size — at 10^9 "
+    "customers a forced broadcast would OOM), revenue aggregates as "
+    "integer cents per order, and the top-10 is a "
+    "TakeOrderedAndProject with an orderkey tiebreak. Dates emit as "
+    "formatted strings (engine-portable hashing).",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(f"{Q3_CUTOFF} 00:00:00").cast("timestamp")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue_cents()).cast("long").alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(Q3_TOP_N)
+    )
+
+
+Q5_REGION = "EUROPE"
+
+
+@REGISTRY.register(
+    "q_local_supplier_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(sum({_REVENUE_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND s.s_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC, n.n_name ASC""",
+    doc="TPC-H Q5 local supplier volume: per nation in one region, "
+    "revenue on orders where the SUPPLIER SITS IN THE CUSTOMER'S OWN "
+    "NATION — the domestic-fulfillment report whose defining feature "
+    "is the non-key equality s_nationkey = c_nationkey SPANNING two "
+    "dimension arms of the join tree (the constraint a hand-built "
+    "engine has to thread through manually; Catalyst just conjoins it "
+    "onto the join output). Join geometry: region filter prunes "
+    "nation before anything (25→5 rows, broadcast), the orderkey "
+    "fact-fact shuffle happens once, customer/supplier attach per "
+    "AQE, and the locality filter runs inside the codegen'd stage. "
+    "Integer-cents aggregate over ≤|nations| groups with a name "
+    "tiebreak.",
+)
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q5_REGION)
+        .select("r_regionkey")
+    )
+    rn = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(rn), c["c_nationkey"] == rn["n_nationkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_cents()).cast("long").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name").asc())
+    )
+
+
+Q6_YEAR = 1997
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24
+
+
+@REGISTRY.register(
+    "q_forecast_revenue_change",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_increase_cents
+    FROM lineitem
+    WHERE year(l_shipdate) = {Q6_YEAR}
+      AND round(l_discount, 2) BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY_MAX}""",
+    doc="TPC-H Q6 forecast revenue change: the revenue that would have "
+    "been gained by eliminating small discounts on low-quantity lines "
+    "in one year — the simplest TPC-H query and the purest PUSHDOWN "
+    "test: a single lineitem scan with every predicate eligible for "
+    "the parquet reader (year bound as a shipdate range, discount "
+    "band, quantity cap — plan-asserted in PushedFilters) and one "
+    "2-column global aggregate, no join, no shuffle beyond the final "
+    "1-row combine. Per-line revenue quantizes to integer cents "
+    "BEFORE the sum; the discount band compares on round(d, 2) in "
+    "both engines so a stored 0.0699999 cannot straddle the fence "
+    "differently.",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.year("l_shipdate") == Q6_YEAR)
+            & F.round(F.col("l_discount"), 2).between(Q6_DISC_LO, Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY_MAX)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("revenue_increase_cents"),
+        )
+    )

@@ -825,3 +825,40 @@ def test_pmi_doc_word_frame_cached(spark):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q6_predicates_all_pushed(spark):
+    """q_forecast_revenue_change: the purest pushdown test — the
+    quantity cap lands in PushedFilters at the single lineitem scan,
+    and the plan is join- and wide-shuffle-free (one 1-row combine)."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_forecast_revenue_change(spark, TEST_SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "LessThan(l_quantity" in plan  # pushed to the reader
+
+
+def test_q3_pre_join_filters_and_topn(spark):
+    """q_shipping_priority: both date predicates and the segment cut
+    prune BEFORE the joins; the top-10 is TakeOrderedAndProject."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_shipping_priority(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_q5_locality_filter_no_extra_scan(spark):
+    """q_local_supplier_revenue: the cross-arm s_nationkey =
+    c_nationkey equality is a filter on the join output, not another
+    join or scan — each table scanned once, region-pruned nation
+    broadcast."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.q_local_supplier_revenue(spark, TEST_SF_DIR))
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        assert plan.count(f"{t}.parquet") == 1, t
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
