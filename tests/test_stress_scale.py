@@ -239,3 +239,65 @@ def test_pq_adc_scales_linearly(spark):
     assert enc_40x == PQ_SUBS * n_big
     assert pairs_40x == N_QUERIES * (n_big - 1)
     assert wall < 120, f"PQ ADC took {wall:.0f}s at {REPLICAS}x"
+
+
+def test_events_sessionization_scales_linearly(spark):
+    """Events-family twin of the dedup/ANN stress runs: sessionization
+    partitions per user, so a 40x corpus with DISJOINT replica user
+    ids must produce exactly 40x the sessions with the identical
+    per-session event distribution — and, because per-user partitions
+    stay the same size, wall time must stay linear (a plan that
+    globally sorted, or keyed state on anything coarser than user_id,
+    would blow the ceiling)."""
+    from pinterest_data_pipeline400_spark.plans.events_queries import (
+        _events,
+        ev_sessionization,
+    )
+
+    base = _events(spark, TEST_SF_DIR).select("user_id", "ts", "event_id")
+    base_sessions = ev_sessionization(spark, TEST_SF_DIR)
+    n_sess = base_sessions.count()
+    n_events = int(
+        base_sessions.agg(F.sum("n_events").cast("long")).collect()[0][0]
+    )
+
+    big = (
+        base.crossJoin(
+            F.broadcast(spark.range(REPLICAS).select(F.col("id").alias("rep")))
+        )
+        .select(
+            (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+            "ts",
+            (F.col("event_id") + F.col("rep") * 1_000_000_000).alias("event_id"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # inline the registered window chain over the replicated frame
+    # (ev_sessionization is path-bound to the fixture; the chain below
+    # is the same expressions with the same SESSION_GAP_SEC)
+    from pinterest_data_pipeline400_spark.plans.events_queries import SESSION_GAP_SEC
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    t0 = time.perf_counter()
+    sess = (
+        big.withColumn(
+            "is_new",
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap_sec > SESSION_GAP_SEC), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = sess.agg(
+        F.count(F.lit(1)).cast("long"), F.sum("n_events").cast("long")
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+
+    assert int(got[0]) == REPLICAS * n_sess
+    assert int(got[1]) == REPLICAS * n_events
+    assert wall < 120, f"sessionization took {wall:.0f}s at {REPLICAS}x"
