@@ -411,6 +411,12 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
                     os.rename(out_dir, final_dir)
                 except OSError:
                     pass
+            # Whoever won, once final_dir exists again the aside copy is
+            # redundant — without this, the path where a concurrent
+            # builder re-published (restore skipped) leaked a full stale
+            # fixture generation per race (ADVICE r6).
+            if moved_aside and os.path.exists(final_dir):
+                _sh.rmtree(aside, ignore_errors=True)
     return final_dir
 
 

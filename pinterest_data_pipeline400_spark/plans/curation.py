@@ -808,6 +808,30 @@ _LANGID_CTE = f"""
 
 
 def _langid_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_given, lang_pred), disk-cached per (documents
+    fixture generation, code version). Both langid entries consume this
+    frame; before the cache each re-ran the full self-training pipeline
+    (bigram explode → vocab → profiles → argmax), making the pair the
+    two slowest entries in BENCH_FULL.json (7.0 s + 5.1 s; VERDICT r6
+    task #2). Same discipline as the dedup spine: the cached frame is
+    the deterministic output of the same build, entries stay
+    self-contained, publish is atomic, readers touch the generation."""
+    import os as _os
+
+    from .training_data import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "langid",
+        "labeled",
+        _os.path.join(sf_dir, "documents.parquet"),
+        f"v1-{LANGID_VOCAB_K}",
+        lambda: _langid_labeled_build(spark, sf_dir),
+    )
+
+
+def _langid_labeled_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang_given, lang_pred) — the Spark twin of the
     ``labeled`` CTE above. Self-trained char-bigram profiles: the only
     wide exchanges are on the bigram key; vocab (200 rows) and the

@@ -290,6 +290,9 @@ def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
             "day", F.date_format("ts", "yyyy-MM-dd")
         )
         ev.write.mode("overwrite").partitionBy("day").parquet(base)
+    from ..session import mark_generation_used
+
+    mark_generation_used(base)  # grace-prune ages from last use, not write
     return base
 
 
@@ -2047,6 +2050,9 @@ def _zordered_events_dir(spark: SparkSession, sf_dir: str) -> str:
             dst_dir=base,
             n_files=32,
         )
+    from ..session import mark_generation_used
+
+    mark_generation_used(base)  # grace-prune ages from last use, not write
     return base
 
 

@@ -94,6 +94,9 @@ def _ppm_files_dir(spark: SparkSession, sf_dir: str) -> str:
         spark.read.parquet(src).foreachPartition(write_partition)
         with open(marker, "w") as fh:
             fh.write("ok\n")
+    from ..session import mark_generation_used
+
+    mark_generation_used(base)  # grace-prune ages from last use, not write
     return base
 
 
@@ -233,6 +236,9 @@ def parquet_schema_evolution_nation(spark: SparkSession, sf_dir: str) -> DataFra
         src.filter(F.col("n_nationkey") >= 13).select(
             "n_nationkey", "n_name", "n_regionkey"
         ).write.mode("overwrite").parquet(v2)
+    from ..session import mark_generation_used
+
+    mark_generation_used(base)  # grace-prune ages from last use, not write
     back = spark.read.option("mergeSchema", "true").parquet(v1, v2)
     return back.select(
         "n_nationkey", "n_name", F.col("n_regionkey").cast("int")

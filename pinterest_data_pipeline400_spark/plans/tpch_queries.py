@@ -449,6 +449,10 @@ def bucketed_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
             spark.sql(
                 f"INSERT OVERWRITE TABLE {name} " + select.format(p=src)
             )
+        from ..session import mark_generation_used
+
+        mark_generation_used(loc)  # grace-prune ages from last use
+
     orders = spark.table(names["orders"]).hint("merge")
     customer = spark.table(names["customer"])
     return (

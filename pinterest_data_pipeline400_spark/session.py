@@ -135,14 +135,29 @@ SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_formats")
 PRUNE_GRACE_SEC = int(os.environ.get("SPARK_GRAFT_PRUNE_GRACE_SEC", "600"))
 
 
+def mark_generation_used(path: str) -> None:
+    """Record "a reader just opened this generation" by bumping the
+    dir's mtime. :func:`prune_stale_siblings` ages generations by
+    mtime; without this touch a long scan over a generation *written*
+    longer than :data:`PRUNE_GRACE_SEC` ago could have the tree pruned
+    underneath it by a concurrent rebuild (ADVICE r6 — write time is
+    not last-use time). Callers touch at reader open; best-effort."""
+    try:
+        os.utime(path, None)
+    except OSError:
+        pass
+
+
 def prune_stale_siblings(pattern: str, keep: str) -> None:
     """Delete content-stamped sibling cache dirs matching the glob
     ``pattern``, except ``keep`` (the generation being built) and
-    except generations younger than :data:`PRUNE_GRACE_SEC` — the one
+    except generations used within :data:`PRUNE_GRACE_SEC` — the one
     shared implementation of the prior-generation cleanup every
     derived-layout builder (format round trips, media trees, bucketed
     tables, z-ordered copies) previously hand-rolled with an immediate,
-    reader-unsafe ``rmtree``."""
+    reader-unsafe ``rmtree``. "Used" = dir mtime, which readers bump
+    via :func:`mark_generation_used` at open, so the grace window
+    measures from last read, not last write."""
     import glob as _glob
     import shutil as _sh
     import time as _time

@@ -371,6 +371,27 @@ def test_dedup_consumers_read_spine_cache_not_full_spine(spark):
         assert "Generate" not in plans[name], f"{name} re-runs the minhash spine"
 
 
+def test_langid_entries_read_labeled_cache_not_training_pipeline(spark):
+    """Both langid entries read the content-stamped langid/labeled disk
+    cache instead of each re-running the self-training pipeline (bigram
+    explode → vocab → profiles → argmax) — VERDICT r6 task #2, the same
+    discipline as the dedup spine. Asserted on the physical plan: each
+    entry scans a langid parquet path and contains no bigram explode
+    (the transform+explode shows up as Generate)."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    cu._langid_labeled(spark, TEST_SF_DIR)  # prime the cache
+    plans = {
+        "docs_langid_ngram": _plan(cu.docs_langid_ngram(spark, TEST_SF_DIR)),
+        "docs_langid_confusion": _plan(
+            cu.docs_langid_confusion(spark, TEST_SF_DIR)
+        ),
+    }
+    for name, plan in plans.items():
+        assert "langid" in plan, f"{name} does not read the labeled cache"
+        assert "Generate" not in plan, f"{name} re-runs the bigram training"
+
+
 def test_q4_exists_compiles_left_semi(spark):
     """The fact-side EXISTS (TPC-H Q4 analog) must decorrelate to a
     LEFT SEMI join — never an inner join + distinct (which would
@@ -495,12 +516,14 @@ def test_containment_uses_postings_join_not_all_pairs(spark):
 
 
 def test_langid_scoring_broadcasts_profiles(spark):
-    """docs_langid_ngram's per-doc scoring join against the 5x200
-    profile grid must broadcast (never shuffle the doc side against a
-    1000-row table); no pair expansion anywhere."""
+    """The langid training pipeline's per-doc scoring join against the
+    5x200 profile grid must broadcast (never shuffle the doc side
+    against a 1000-row table); no pair expansion anywhere. Asserted on
+    the BUILD plan — the registered entries read the labeled disk
+    cache, so the training shapes live behind it."""
     from pinterest_data_pipeline400_spark.plans import curation as cu
 
-    plan = _plan(cu.docs_langid_ngram(spark, TEST_SF_DIR))
+    plan = _plan(cu._langid_labeled_build(spark, TEST_SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     # the vocabulary and kept-bigram branches both read the persisted
