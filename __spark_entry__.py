@@ -78,6 +78,11 @@ GRADE_WINDOW = [
     "q_forecast_revenue_change",
     # round-7 additions (new this round, graded immediately)
     "emb_knn_recall_pq_trained",
+    "q_min_cost_supplier",
+    "q_volume_shipping",
+    "q_product_type_profit",
+    "q_supplier_part_counts",
+    "q_excess_stock_suppliers",
 ]
 
 

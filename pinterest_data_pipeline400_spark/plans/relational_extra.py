@@ -1812,3 +1812,445 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_increase_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# round-7: the five classic TPC-H shapes still absent — Q2, Q7, Q9,
+# Q16, Q20. The fixture set has no partsupp table, so the three queries
+# that need one (Q2/Q9/Q20) derive it from the fact: per
+# (l_partkey, l_suppkey) the minimum observed unit price is the
+# supply-cost, and total shipped quantity stands in for availqty. The
+# JOIN GEOMETRY each query exists to exercise — correlated-min
+# decorrelation, the two-nation cross pair, LIKE-filtered profit
+# rollup, NOT-IN + count(distinct), the nested semi-join chain — is
+# unchanged; only the cost/availability source differs, and it is the
+# same derivation in both engines so the oracle stays exact.
+# --------------------------------------------------------------------------
+
+#: derived partsupp: exact integer min unit-price cents per
+#: (part, supplier) pair — both engines compute the identical IEEE
+#: division before the round, and min over exact bigints is order-free
+_PS_COST_SQL = """
+    ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  CAST(min(CAST(round(l_extendedprice / l_quantity * 100)
+                                AS BIGINT)) AS BIGINT) AS cost_cents
+           FROM lineitem GROUP BY 1, 2)"""
+
+
+def _ps_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _PS_COST_SQL: the derived partsupp relation.
+    One fact scan, one map-side-combinable min on the (part, supplier)
+    composite key — at 100 TB this materializes once per load (it IS
+    the partsupp table a real warehouse would maintain) and every
+    consumer joins the ~|part|x|supp-per-part| result, never the
+    fact."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cost_cents")
+        )
+    )
+
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_TOP_N = 100
+
+
+@REGISTRY.register(
+    "q_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_COST_SQL},
+    rsupp AS (SELECT s.s_suppkey, s.s_name,
+                     CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                     n.n_name
+              FROM supplier s
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = '{Q2_REGION}'),
+    cand AS (SELECT p.p_partkey, p.p_name, ps.ps_suppkey, ps.cost_cents
+             FROM part p JOIN ps ON ps.ps_partkey = p.p_partkey
+             WHERE p.p_type = '{Q2_TYPE}'),
+    best AS (SELECT c.p_partkey, CAST(min(c.cost_cents) AS BIGINT) AS min_cents
+             FROM cand c JOIN rsupp s ON s.s_suppkey = c.ps_suppkey
+             GROUP BY c.p_partkey)
+    SELECT s.acctbal_cents, s.s_name, s.n_name,
+           c.p_partkey, c.p_name, c.cost_cents
+    FROM cand c
+    JOIN rsupp s ON s.s_suppkey = c.ps_suppkey
+    JOIN best b ON b.p_partkey = c.p_partkey AND c.cost_cents = b.min_cents
+    ORDER BY s.acctbal_cents DESC, s.n_name ASC, s.s_name ASC,
+             c.p_partkey ASC
+    LIMIT {Q2_TOP_N}""",
+    doc="TPC-H Q2 minimum-cost supplier: for every STANDARD-type part, "
+    "the European supplier(s) offering it at the region-wide minimum "
+    "supply cost, top-100 by account balance. THE decorrelation "
+    "benchmark — the spec's correlated `= (SELECT min(ps_supplycost) "
+    "...)` subquery over a 4-relation chain, expressed as Catalyst "
+    "wants it: a per-part min aggregate over the region-filtered "
+    "candidates joined back on (part, exact-cents equality). Supply "
+    "cost derives from the fact (no partsupp in the fixture set): min "
+    "unit-price cents per (part, supplier) — identical IEEE division "
+    "then integer min in both engines. Scale shape: supplier->nation->"
+    "region chain collapses to a broadcast (SF*100 rows); the derived "
+    "ps aggregates the fact once map-side-combinably; the min-and-"
+    "join-back touches only the ~|part| candidate frame; final order "
+    "is a TakeOrderedAndProject top-100, never a global sort.",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q2_REGION)
+        .select("r_regionkey")
+    )
+    rsupp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            "n_name",
+        )
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q2_TYPE)
+        .select("p_partkey", "p_name")
+    )
+    cand = (
+        _ps_cost(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "ps_suppkey", "cost_cents")
+    )
+    scored = cand.join(
+        F.broadcast(rsupp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    best = scored.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("cost_cents").cast("long").alias("min_cents")
+    )
+    return (
+        scored.join(
+            best,
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("cost_cents") == F.col("min_cents")),
+        )
+        .select(
+            "acctbal_cents", "s_name", "n_name", "p_partkey", "p_name", "cost_cents"
+        )
+        .orderBy(
+            F.col("acctbal_cents").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(Q2_TOP_N)
+    )
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_YEARS = (1998, 1999)
+
+
+@REGISTRY.register(
+    "q_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_REVENUE_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE ((sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+        OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}'))
+      AND year(l.l_shipdate) IN ({Q7_YEARS[0]}, {Q7_YEARS[1]})
+    GROUP BY 1, 2, 3""",
+    doc="TPC-H Q7 volume shipping: bilateral trade between two nations "
+    "— revenue where the SUPPLIER sits in one and the CUSTOMER in the "
+    "other, split by direction and ship year. The shape Q7 exists for "
+    "is the CROSS-PAIR disjunction over two aliases of the same "
+    "dimension (nation joins in twice, once per side, and the filter "
+    "couples them) — a plan that collapses to nothing if the optimizer "
+    "pushes either nation predicate alone. Scale shape: both nation "
+    "sides and supplier broadcast; orders->customer attaches the cust "
+    "nation to the fact's orderkey side; the disjunctive pair filter "
+    "runs before the 2x2xyears aggregate, whose partial sums combine "
+    "map-side. Revenue is exact integer cents.",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin(Q7_NATION_A, Q7_NATION_B))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin(Q7_NATION_A, Q7_NATION_B))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(*Q7_YEARS)
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_cents()).cast("long").alias("revenue_cents"))
+    )
+
+
+Q9_NAME_TOKEN = "bolt"
+
+
+@REGISTRY.register(
+    "q_product_type_profit",
+    oracle=f"""
+    WITH {_PS_COST_SQL}
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_REVENUE_CENTS_SQL}
+                    - CAST(round(l_quantity) AS BIGINT) * ps.cost_cents)
+                AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%{Q9_NAME_TOKEN}%'
+    GROUP BY 1, 2""",
+    doc="TPC-H Q9 product-type profit: for every part whose name "
+    "contains the token, profit (discounted revenue minus quantity x "
+    "supply cost) by supplier nation and order year — the widest join "
+    "tree in the suite (fact + 5 relations) crossed with a non-"
+    "sargable LIKE '%token%' on the part dimension. Supply cost is "
+    "the derived per-(part, supplier) min unit-price cents (no "
+    "partsupp in the fixture set; same derivation both engines), so "
+    "profit stays an exact bigint per line and the sum is order-free. "
+    "Scale shape: the LIKE filters the SMALL side (part, broadcast) — "
+    "never a scan predicate on the fact; supplier/nation/part all "
+    "broadcast; the derived ps re-joins the fact on the composite "
+    "(part, supp) key — the one genuine shuffle join, exactly what a "
+    "materialized partsupp would cost; orders attaches the year by "
+    "orderkey. One final hash aggregate on (nation, year).",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{Q9_NAME_TOKEN}%"))
+        .select("p_partkey")
+    )
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    profit_cents = _revenue_cents() - F.round(F.col("l_quantity")).cast(
+        "long"
+    ) * F.col("cost_cents")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            _ps_cost(spark, sf_dir),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(profit_cents).cast("long").alias("profit_cents"))
+    )
+
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+@REGISTRY.register(
+    "q_supplier_part_counts",
+    oracle=f"""
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+      AND p.p_type NOT LIKE '{Q16_EXCL_TYPE_PREFIX}%'
+      AND p.p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+      AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY 1, 2, 3""",
+    doc="TPC-H Q16 supplier-part relationship counts: how many distinct "
+    "suppliers can deliver each (brand, type, size) combination, "
+    "excluding one brand, one type prefix, and every supplier on the "
+    "exclusion list (spec: complaint comments; fixture stand-in: "
+    "negative account balance — the supplier table has no comment "
+    "column). The shapes this exists for: NOT IN -> null-aware anti "
+    "join against a subquery, negated LIKE on a dimension, and "
+    "count(DISTINCT) over a many-to-many pair set (distinct "
+    "(part, supplier) pairs derive from the fact — the fixture's "
+    "partsupp). Scale shape: the pair distinct is one map-side-"
+    "combinable aggregate of the fact; part broadcasts with all three "
+    "dimension predicates applied; the 6-row exclusion list broadcasts "
+    "as an anti join; the distinct-supplier count is one hash "
+    "aggregate on the bounded (brand, type, size) grid.",
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & ~F.col("p_type").like(f"{Q16_EXCL_TYPE_PREFIX}%")
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(excl),
+            pairs["l_suppkey"] == excl["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+Q20_NAME_PREFIX = "red"
+Q20_YEAR = 1998
+Q20_NATION = "NATION_3"
+
+
+@REGISTRY.register(
+    "q_excess_stock_suppliers",
+    oracle=f"""
+    WITH tp AS (SELECT p_partkey FROM part
+                WHERE p_name LIKE '{Q20_NAME_PREFIX}%'),
+    avail AS (SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS total_qty,
+                     CAST(sum(CASE WHEN year(l_shipdate) = {Q20_YEAR}
+                                   THEN CAST(round(l_quantity) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS year_qty
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM tp)
+              GROUP BY 1, 2),
+    qual AS (SELECT DISTINCT l_suppkey FROM avail
+             WHERE total_qty > 2 * year_qty)
+    SELECT s.s_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = '{Q20_NATION}'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qual)""",
+    doc="TPC-H Q20 excess-stock suppliers: suppliers in one nation "
+    "whose stock of token-named parts exceeds a threshold tied to one "
+    "year's shipments — the spec's NESTED SEMI-JOIN CHAIN (supplier IN "
+    "(pairs over parts IN (name filter)) with a correlated quantity "
+    "aggregate), decorrelated the way Catalyst wants: the per-(part, "
+    "supplier) quantity aggregate computes total and in-year sums in "
+    "ONE pass (a conditional sum, not a correlated scalar subquery "
+    "re-scanning the fact per pair), the threshold filter runs on "
+    "that bounded frame, and the supplier list reaches the dimension "
+    "as a LEFT SEMI join. Availability proxies as all-time shipped "
+    "quantity (no partsupp.availqty in the fixture set; condition "
+    "total > 2 x year-qty keeps the spec's availqty > half-of-year "
+    "geometry). Scale shape: the part name filter broadcasts into the "
+    "fact scan as a semi join; one composite-key aggregate; the "
+    "qualifying-supplier set (<= SF*100 rows) broadcasts back as a "
+    "semi join on the supplier dim.",
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"{Q20_NAME_PREFIX}%"))
+        .select("p_partkey")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    avail = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(tp), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).cast("long").alias("total_qty"),
+            F.sum(F.when(F.year("l_shipdate") == Q20_YEAR, qty).otherwise(0))
+            .cast("long")
+            .alias("year_qty"),
+        )
+    )
+    qual = (
+        avail.filter(F.col("total_qty") > 2 * F.col("year_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == Q20_NATION)
+        .select("n_nationkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qual),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select(
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+    )

@@ -392,6 +392,30 @@ def test_langid_entries_read_labeled_cache_not_training_pipeline(spark):
         assert "Generate" not in plan, f"{name} re-runs the bigram training"
 
 
+def test_round7_tpch_true_forms_plan_shapes(spark):
+    """The five round-7 TPC-H true forms (Q2/Q7/Q9/Q16/Q20) compile to
+    the geometry each exists to exercise: every dimension join is a
+    broadcast hash join, nothing degenerates to a cartesian product or
+    Python eval, and Q2's ordered top-100 is a TakeOrderedAndProject
+    (never a global sort)."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    names = (
+        "q_min_cost_supplier",
+        "q_volume_shipping",
+        "q_product_type_profit",
+        "q_supplier_part_counts",
+        "q_excess_stock_suppliers",
+    )
+    for name in names:
+        plan = _plan(getattr(rx, name)(spark, TEST_SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name}: python eval"
+    q2 = _plan(rx.q_min_cost_supplier(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in q2, "Q2 top-100 is a global sort"
+
+
 def test_q4_exists_compiles_left_semi(spark):
     """The fact-side EXISTS (TPC-H Q4 analog) must decorrelate to a
     LEFT SEMI join — never an inner join + distinct (which would
