@@ -166,6 +166,29 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — survey sweep, record + go on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     headline_complete = all(isinstance(timings.get(n), float) for n in HEADLINE)
+    # Load-context marker (VERDICT r6 task #5): r6's committed headline
+    # swung 2.48-4.0 s with identical plans depending on hours-of-JVM
+    # machine warmth. Recording the machine's load state INTO the
+    # committed artifact lets round-over-round deltas be read against
+    # context instead of prose ("was the box busy?"). The JVM itself is
+    # always fresh here (bench builds its own session); the variance
+    # source is machine-level (concurrent JVMs, page cache, CPU load).
+    try:
+        with open("/proc/uptime") as fh:
+            uptime_sec = round(float(fh.read().split()[0]))
+    except OSError:
+        uptime_sec = None
+    try:
+        la1, la5, la15 = (round(x, 2) for x in os.getloadavg())
+    except OSError:
+        la1 = la5 = la15 = None
+    context = {
+        "uptime_sec": uptime_sec,
+        "loadavg_1m": la1,
+        "loadavg_5m": la5,
+        "loadavg_15m": la15,
+        "cpus": os.cpu_count(),
+    }
     # A partial headline sum would silently compare apples to oranges
     # round-over-round (ADVICE r3); publish null instead when any
     # headline query failed to time.
@@ -173,6 +196,35 @@ def main() -> None:
         round(sum(timings[n] for n in HEADLINE), 4) if headline_complete else None
     )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-entry regression gate (VERDICT r6 task #6): diff this run
+    # against the previously-committed BENCH_FULL.json BEFORE
+    # overwriting it. An entry regresses if it is >1.5x slower AND
+    # >0.3 s absolute (both bounds — sub-second entries swing 1.3-1.7x
+    # from GC noise alone; the docs_lsh_tuning_curve 17 s catch that
+    # motivated this gate was found manually in r6). The gate is
+    # advisory output, not a failure: known regressions get triaged in
+    # PERF.md.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
+    regressions: dict[str, list[float]] = {}
+    try:
+        with open(full_path) as fh:
+            prev_out = json.load(fh)
+        # cross-SF timings are not comparable — gate only within one SF
+        prev = prev_out.get("queries", {}) if prev_out.get("sf") == sf_val else {}
+        for name, dt in timings.items():
+            p = prev.get(name)
+            if (
+                isinstance(p, (int, float))
+                and isinstance(dt, float)
+                and dt > 1.5 * p
+                and dt - p > 0.3
+            ):
+                regressions[name] = [p, dt]
+    except (OSError, ValueError):
+        pass  # first run / unreadable previous artifact: no baseline
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -180,6 +232,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "headline_complete": headline_complete,
+        "context": context,
+        "regressions": regressions,
     }
     if errors:
         out["errors"] = errors
@@ -188,10 +242,6 @@ def main() -> None:
     # alphabet's per-entry timings (VERDICT r5 nit). Write the COMPLETE
     # map to a file too, so per-entry round-over-round deltas never
     # depend on prose. Path overridable for ad-hoc runs.
-    full_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-    )
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
@@ -199,6 +249,15 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout still carries everything
     print(json.dumps(out))
+    if regressions:
+        # gate output (one line per offender, before the final summary
+        # so the compact line stays LAST for the driver's tail window)
+        for name, (p, dt) in sorted(regressions.items()):
+            print(
+                f"REGRESSION {name}: {p:.2f}s -> {dt:.2f}s "
+                f"({dt / p:.2f}x)",
+                file=sys.stderr,
+            )
     # The driver's artifact keeps only the LAST ~2000 chars of stdout;
     # the full line above overflows that, so BENCH_r03 recorded
     # "parsed: null" (VERDICT r3 task #2). Emit a compact summary line
@@ -211,6 +270,9 @@ def main() -> None:
         "headline_complete": headline_complete,
         "n_entries": len(timings),
         "n_errors": len(errors),
+        "n_regressions": len(regressions),
+        "loadavg_1m": la1,
+        "uptime_sec": uptime_sec,
     }))
     spark.stop()
 
