@@ -261,6 +261,58 @@ def _run_two_phase_stateful(
 
 
 @REGISTRY.register(
+    "stream_e2e_pq1",
+    oracle=f"""WITH {_ctes(ORACLE_FX, pin_impute="1000")},
+    joined AS (SELECT p.category, g.country
+               FROM pin p JOIN geo g USING (ind) JOIN usr u USING (ind)
+               WHERE u.user_name IS NOT NULL),
+    counted AS (SELECT country, category, count(category) AS category_count
+                FROM joined GROUP BY country, category),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY country
+                 ORDER BY category_count DESC, category ASC) AS rn
+               FROM counted)
+    SELECT country, category, category_count FROM ranked WHERE rn = 1""",
+    doc="The reference's WHOLE architecture as one oracle-checked round "
+    "trip (kinesis.py:34-297 + mount.py:227-248): all three envelope "
+    "streams are drained through decode → clean → checkpointed append "
+    "sinks, then the canonical pq1 (top category per country) runs over "
+    "the three SUNK tables — the batch query consuming the streaming "
+    "ETL's output exactly as the reference's Databricks jobs query its "
+    "Delta tables. The oracle rebuilds the same answer from the raw "
+    "fixture with the stream-side cleaning semantics (constant-1000 "
+    "imputation, user null-key drop), so the hash covers source → "
+    "stream ETL → sink → analytics in one value. Stream-path ≡ "
+    "batch-path is asserted separately in tests/test_streaming.py, "
+    "including a restart-mid-stream variant over the same checkpoint.",
+)
+def stream_e2e_pq1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import top_per_group
+
+    sunk = {
+        topic: _run_entry(
+            spark, sf_dir, f"e2e_pq1_{topic}", topic,
+            lambda raw, t=topic: clean_stream(
+                decode_stream(raw, RAW_SCHEMAS[t]), t
+            ),
+        )
+        for topic in ("pin", "geo", "user")
+    }
+    counted = (
+        sunk["pin"]
+        .join(sunk["geo"], on="ind", how="inner")
+        .join(sunk["user"], on="ind", how="inner")
+        .groupBy("country", "category")
+        .agg(F.count("category").alias("category_count"))
+    )
+    return top_per_group(
+        counted,
+        ["country"],
+        [F.col("category_count").desc(), F.col("category").asc()],
+    ).select("country", "category", "category_count")
+
+
+@REGISTRY.register(
     "stream_dedup_watermarked",
     oracle=f"""WITH {_ctes(ORACLE_FX)}
     SELECT ind, country, latitude AS coord_lat, longitude AS coord_lon,

@@ -247,3 +247,60 @@ def test_stateful_counts_string_key_col(spark, tmp_path):
     assert q.awaitTermination(60)
     out = {r.country: r.n_events_so_far for r in spark.read.parquet(sink).collect()}
     assert out == {"US": 3, "DE": 2, "FR": 1}
+
+
+def test_e2e_pq1_survives_pin_restart(spark, fx_dir, tmp_path):
+    """The end-to-end architecture round trip (stream_e2e_pq1) with a
+    crash in the middle: the pin stream drains HALF its files, the
+    query 'dies', the rest arrives, and a new query resumes from the
+    SAME checkpoint into the SAME sink. pq1 over the restarted pin
+    sink (joined with one-pass geo/user sinks) must equal pq1 over a
+    one-pass pin sink — exactly-once composes through the analytics
+    layer, not just per-sink row counts."""
+    from pinterest_data_pipeline400_spark.operators.analytics import top_per_group
+
+    def pq1_over(pin_df, geo_df, user_df):
+        counted = (
+            pin_df.join(geo_df, on="ind", how="inner")
+            .join(user_df, on="ind", how="inner")
+            .groupBy("country", "category")
+            .agg(F.count("category").alias("category_count"))
+        )
+        return _norm(
+            top_per_group(
+                counted,
+                ["country"],
+                [F.col("category_count").desc(), F.col("category").asc()],
+            )
+            .select("country", "category", "category_count")
+            .toPandas()
+        )
+
+    geo = _drain(
+        spark, os.path.join(fx_dir, "stream", "geo"),
+        str(tmp_path / "geo_sink"), str(tmp_path / "geo_ckpt"), table="geo",
+    )
+    user = _drain(
+        spark, os.path.join(fx_dir, "stream", "user"),
+        str(tmp_path / "user_sink"), str(tmp_path / "user_ckpt"), table="user",
+    )
+
+    src = os.path.join(fx_dir, "stream", "pin")
+    files = sorted(os.listdir(src))
+    assert len(files) >= 2
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    sink, ckpt = str(tmp_path / "pin_sink"), str(tmp_path / "pin_ckpt")
+    for f in files[: len(files) // 2]:
+        shutil.copy(os.path.join(src, f), staged)
+    _drain(spark, staged, sink, ckpt)
+    for f in files[len(files) // 2 :]:
+        shutil.copy(os.path.join(src, f), staged)
+    pin_restarted = _drain(spark, staged, sink, ckpt)
+
+    pin_one_pass = _drain(
+        spark, src, str(tmp_path / "pin_sink2"), str(tmp_path / "pin_ckpt2")
+    )
+    got = pq1_over(pin_restarted, geo, user)
+    want = pq1_over(pin_one_pass, geo, user)
+    assert got.equals(want), (len(got), len(want))
