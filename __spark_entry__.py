@@ -83,6 +83,13 @@ GRADE_WINDOW = [
     "q_product_type_profit",
     "q_supplier_part_counts",
     "q_excess_stock_suppliers",
+    "stream_e2e_pq1",
+    "docs_bm25_topk",
+    "docs_weighted_sample",
+    "docs_filter_funnel",
+    "ev_hits_bipartite",
+    "hybrid_search_rrf",
+    "emb_knn_ivf_pq",
 ]
 
 

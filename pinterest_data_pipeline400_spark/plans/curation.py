@@ -1187,3 +1187,161 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_nano").desc(), F.col("w_a").asc(), F.col("w_b").asc())
         .limit(PMI_TOP_N)
     )
+
+
+# --------------------------------------------------------------------------
+# staged quality-filter funnel (C4/Gopher-style pipeline accounting)
+# --------------------------------------------------------------------------
+
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 90
+#: stopword fraction >= 1/25 (0.04), as an exact integer comparison
+FUNNEL_STOP_DEN = 25
+#: no single token may exceed 1/8 (0.125) of the doc
+FUNNEL_REP_DEN = 8
+#: mean word length in [3, 8] chars, as exact integer comparisons
+FUNNEL_MWL_MIN = 3
+FUNNEL_MWL_MAX = 8
+
+_FUNNEL_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@REGISTRY.register(
+    "docs_filter_funnel",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    per_doc AS (SELECT doc_id, norm,
+                       len(string_split(norm, ' ')) AS dl,
+                       length(norm) AS n_chars
+                FROM base),
+    stop_cnt AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_stop
+                 FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+                       FROM base) b
+                 WHERE b.token IN ({_FUNNEL_STOP_SQL})
+                 GROUP BY b.doc_id),
+    top_tf AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tf
+               FROM (SELECT doc_id, token, count(*) AS c
+                     FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+                           FROM base) t
+                     GROUP BY doc_id, token)
+               GROUP BY doc_id),
+    flags AS (SELECT p.doc_id,
+                     (p.dl BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS})
+                       AS p1,
+                     ({FUNNEL_MWL_MIN} * p.dl <= p.n_chars - p.dl + 1
+                      AND p.n_chars - p.dl + 1 <= {FUNNEL_MWL_MAX} * p.dl)
+                       AS p2,
+                     ({FUNNEL_STOP_DEN} * coalesce(s.n_stop, 0) >= p.dl) AS p3,
+                     ({FUNNEL_REP_DEN} * t.max_tf <= p.dl) AS p4
+              FROM per_doc p
+              LEFT JOIN stop_cnt s USING (doc_id)
+              JOIN top_tf t USING (doc_id)),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n3,
+                   CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n4
+            FROM flags)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'length_20_90' AS rule,
+             n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM agg
+      UNION ALL
+      SELECT 2, 'mean_word_len_3_8', n1, n1 - n2, n2 FROM agg
+      UNION ALL
+      SELECT 3, 'stopword_ratio_ge_4pct', n2, n2 - n3, n3 FROM agg
+      UNION ALL
+      SELECT 4, 'top_token_ratio_le_12p5pct', n3, n3 - n4, n4 FROM agg)
+    ORDER BY stage""",
+    doc="STAGED quality-filter funnel with per-rule accounting — the "
+    "C4/Gopher-style cleaning cascade as it is actually operated: four "
+    "rules applied in order (token-count window, mean word length, "
+    "minimum stopword density, maximum single-token dominance), and "
+    "for each stage the rows entering, dropped, and surviving — the "
+    "report a curation run ships BEFORE anyone trains on the output "
+    "(a rule that silently drops 40% of a source is a bug you want in "
+    "a funnel row, not a surprise in the loss curve). Every rule is an "
+    "EXACT INTEGER comparison (25*stops >= tokens encodes the 4% "
+    "density floor; 8*max_tf <= tokens the 12.5% repetition cap; mean "
+    "word length bounds multiply through by the token count) — no "
+    "float ratio anywhere, so engines cannot disagree at the "
+    "threshold. Scale shape: one corpus pass computes the narrow "
+    "per-doc columns, one explode feeds BOTH per-doc aggregates "
+    "(stopword count, max term frequency) as map-side-combinable "
+    "groupBys, flags reduce to a single 5-counter aggregate row, and "
+    "the 4-row funnel is unpivoted from it — output size is the rule "
+    "count, independent of corpus size.",
+)
+def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    base = docs.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    per_doc = base.select(
+        "doc_id",
+        "norm",
+        F.size(ws_tokens(F.col("norm"))).cast("long").alias("dl"),
+        F.length("norm").cast("long").alias("n_chars"),
+    )
+    tok = base.select("doc_id", F.explode(ws_tokens(F.col("norm"))).alias("token"))
+    # one exploded frame feeds both per-doc aggregates; persist so the
+    # corpus is tokenized once (registry clearCache drops it after)
+    tok = tok.persist()
+    stop_cnt = (
+        tok.filter(F.col("token").isin(STOPWORDS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stop"))
+    )
+    top_tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("max_tf"))
+    )
+    mwl_chars = F.col("n_chars") - F.col("dl") + F.lit(1)
+    flags = (
+        per_doc.join(stop_cnt, on="doc_id", how="left")
+        .join(top_tf, on="doc_id")
+        .select(
+            F.col("dl").between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS).alias("p1"),
+            (
+                (F.lit(FUNNEL_MWL_MIN) * F.col("dl") <= mwl_chars)
+                & (mwl_chars <= F.lit(FUNNEL_MWL_MAX) * F.col("dl"))
+            ).alias("p2"),
+            (
+                F.lit(FUNNEL_STOP_DEN) * F.coalesce(F.col("n_stop"), F.lit(0))
+                >= F.col("dl")
+            ).alias("p3"),
+            (F.lit(FUNNEL_REP_DEN) * F.col("max_tf") <= F.col("dl")).alias("p4"),
+        )
+    )
+    as_cnt = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        as_cnt(F.col("p1")).alias("n1"),
+        as_cnt(F.col("p1") & F.col("p2")).alias("n2"),
+        as_cnt(F.col("p1") & F.col("p2") & F.col("p3")).alias("n3"),
+        as_cnt(F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4")).alias("n4"),
+    )
+    stages = [
+        (1, "length_20_90", "n0", "n1"),
+        (2, "mean_word_len_3_8", "n1", "n2"),
+        (3, "stopword_ratio_ge_4pct", "n2", "n3"),
+        (4, "top_token_ratio_le_12p5pct", "n3", "n4"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("stage"),
+                F.lit(rule).alias("rule"),
+                F.col(nin).alias("n_in"),
+                (F.col(nin) - F.col(nout)).alias("n_dropped"),
+                F.col(nout).alias("n_out"),
+            )
+            for s, rule, nin, nout in stages
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("stage")
+    )

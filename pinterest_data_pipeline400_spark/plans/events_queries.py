@@ -3527,3 +3527,120 @@ def ev_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SEASONAL_ANOM_TOP_N)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# link analysis: HITS power iteration on the user <-> event_type graph
+# --------------------------------------------------------------------------
+
+HITS_ROUNDS = 2
+#: micro (1e6) score scaling: authority sums stay under int64 even at
+#: trillions of edge weights (sum(w) * 1e6 <= ~1e18 for 1e12 events);
+#: nano would overflow exactly where the 100 TB run needs headroom.
+HITS_SCALE = 1_000_000
+
+
+def _hits_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB mirror of the HITS loop, generated from one loop
+    so the two engines cannot drift structurally (the _lloyd_oracle_sql
+    idiom). Scores are L1-normalized to micro-integers each half-step:
+    raw = exact bigint sum of w * score; share = round(raw/S * 1e6)."""
+    parts = [
+        """edges AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS w
+             FROM events GROUP BY user_id, event_type)""",
+        # auth_0 = 1 (unscaled) for every type: hub_raw_1 = plain activity
+        """hub_raw_1 AS (SELECT user_id, CAST(sum(w) AS BIGINT) AS raw
+                FROM edges GROUP BY user_id)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    hub_{t} AS (SELECT user_id,
+                       CAST(round(CAST(raw AS DOUBLE)
+                            / (SELECT CAST(sum(raw) AS DOUBLE) FROM hub_raw_{t})
+                            * {HITS_SCALE}) AS BIGINT) AS hub
+                FROM hub_raw_{t}),
+    auth_raw_{t} AS (SELECT e.event_type, CAST(sum(e.w * h.hub) AS BIGINT) AS raw
+                     FROM edges e JOIN hub_{t} h USING (user_id)
+                     GROUP BY e.event_type),
+    auth_{t} AS (SELECT event_type,
+                        CAST(round(CAST(raw AS DOUBLE)
+                             / (SELECT CAST(sum(raw) AS DOUBLE) FROM auth_raw_{t})
+                             * {HITS_SCALE}) AS BIGINT) AS auth
+                 FROM auth_raw_{t})""")
+        if t < rounds:
+            parts.append(f"""
+    hub_raw_{t + 1} AS (SELECT e.user_id, CAST(sum(e.w * a.auth) AS BIGINT) AS raw
+                        FROM edges e JOIN auth_{t} a USING (event_type)
+                        GROUP BY e.user_id)""")
+    return ",\n    ".join(parts)
+
+
+@REGISTRY.register(
+    "ev_hits_bipartite",
+    oracle=f"""
+    WITH {_hits_oracle_sql(HITS_ROUNDS)}
+    SELECT a1.event_type,
+           a1.auth AS auth_micro_r1,
+           a2.auth AS auth_micro_r2
+    FROM auth_1 a1 JOIN auth_2 a2 USING (event_type)
+    ORDER BY event_type""",
+    doc=f"LINK ANALYSIS: HITS (Kleinberg 1999) power iteration on the "
+    "bipartite user <-> event_type interaction graph, edge weight = "
+    f"interaction count — {HITS_ROUNDS} full hub/authority rounds as "
+    "DataFrame rounds (the same iterative-algorithm discipline as "
+    "emb_kmeans_lloyd and connected components: no collect, no "
+    "driver-side loop state beyond the frame handles). Both rounds' "
+    "authority vectors are emitted so the output shows the iteration "
+    "MOVING (r1 authority is activity share; r2 re-weights by hub "
+    "quality). Determinism for a normalized power iteration: raw "
+    "scores are EXACT bigint sums of integer-weight x integer-score "
+    "products, and each L1 normalization is one correctly-rounded "
+    "double division scaled to micro integers — both engines produce "
+    "bit-identical score vectors every round (micro, not nano, so the "
+    "raw products stay inside int64 even at 1e12 edges). Scale shape: "
+    "the edge list aggregates once (the only corpus-sized shuffle) and "
+    "persists; each half-step joins edges against a BROADCAST score "
+    "table (|event types| rows) or aggregates to one, with "
+    "hub-normalization sums as 1-row aggregates; per-round cost is one "
+    "edge-sized shuffle on user_id — the canonical distributed power "
+    "iteration.",
+)
+def ev_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    edges = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist()
+    )
+
+    def l1_micro(df: DataFrame, raw: str, out: str, key: str) -> DataFrame:
+        s = df.agg(F.sum(raw).cast("double").alias("_s"))
+        return df.crossJoin(F.broadcast(s)).select(
+            key,
+            F.round(F.col(raw).cast("double") / F.col("_s") * HITS_SCALE)
+            .cast("long")
+            .alias(out),
+        )
+
+    auths = []
+    hub_raw = edges.groupBy("user_id").agg(F.sum("w").cast("long").alias("raw"))
+    for _ in range(HITS_ROUNDS):
+        hub = l1_micro(hub_raw, "raw", "hub", "user_id")
+        auth_raw = (
+            edges.join(hub, on="user_id")
+            .groupBy("event_type")
+            .agg(F.sum(F.col("w") * F.col("hub")).cast("long").alias("raw"))
+        )
+        auth = l1_micro(auth_raw, "raw", "auth", "event_type")
+        auths.append(auth)
+        hub_raw = (
+            edges.join(F.broadcast(auth), on="event_type")
+            .groupBy("user_id")
+            .agg(F.sum(F.col("w") * F.col("auth")).cast("long").alias("raw"))
+        )
+    return (
+        auths[0]
+        .withColumnRenamed("auth", "auth_micro_r1")
+        .join(auths[1].withColumnRenamed("auth", "auth_micro_r2"), on="event_type")
+        .orderBy("event_type")
+    )

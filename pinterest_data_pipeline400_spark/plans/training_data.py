@@ -3234,8 +3234,10 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: shared SQL fragment: micro-int exploded embeddings + PQ codebook +
-#: the (vector, subspace) -> codeword encoding and per-query ADC LUT.
-_PQ_ADC_CTES = f"""
+#: the (vector, subspace) -> codeword encoding and per-query ADC LUT
+#: (everything up to, but not including, the ADC accumulation — the
+#: plain-ADC and IVF+ADC oracles append their own accumulation CTE).
+_PQ_ENC_LUT_CTES = f"""
     el AS (
       SELECT vec_id,
              unnest(range(len(embedding))) AS dim,
@@ -3259,7 +3261,9 @@ _PQ_ADC_CTES = f"""
                    CAST(sum((q.xm - c.ym) * (q.xm - c.ym)) AS BIGINT) AS d2q
             FROM el q JOIN cb c ON c.dim = q.dim
             WHERE q.vec_id < {N_QUERIES}
-            GROUP BY 1, 2, 3),
+            GROUP BY 1, 2, 3)"""
+
+_PQ_ADC_CTES = f"""{_PQ_ENC_LUT_CTES},
     adc AS (SELECT l.qid AS query_id, e.vec_id AS neighbor_id,
                    CAST(sum(l.d2q) AS BIGINT) AS adc_micro2
             FROM enc e JOIN lut l ON l.sub = e.sub AND l.code_id = e.code
@@ -3871,3 +3875,432 @@ def docs_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = scored if out is None else out.unionByName(scored)
     assert NUM_HASHES == 12  # config grid above assumes the 12-hash signature
     return out
+
+
+# --------------------------------------------------------------------------
+# lexical search: BM25 ranking
+# --------------------------------------------------------------------------
+
+#: Fixed keyword query for the BM25 entry — terms present across the
+#: corpus vocabulary so every SF produces a meaningful ranking.
+BM25_QUERY_TERMS = ["spark", "hash", "merge", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+@REGISTRY.register(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id, len(string_split({_NORM_SQL}, ' ')) AS dl
+                FROM documents),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(CAST(sum(dl) AS DOUBLE) / count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    tok AS (SELECT d.doc_id, l.dl,
+                   unnest(string_split({_NORM_SQL}, ' ')) AS token
+            FROM documents d JOIN dl l USING (doc_id)),
+    tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE token IN ({_BM25_TERMS_SQL})
+           GROUP BY doc_id, dl, token),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+    contrib AS (SELECT t.doc_id,
+                       CAST(round(
+                         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * (t.tf * {BM25_K1 + 1.0})
+                         / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                            + {BM25_B} * t.dl / s.avgdl))
+                         * 1e9) AS BIGINT) AS nano
+                FROM tf t JOIN dfreq f USING (token) CROSS JOIN stats s),
+    scored AS (SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_terms_matched,
+                      CAST(sum(nano) AS BIGINT) AS score_nano
+               FROM contrib GROUP BY doc_id),
+    top AS (SELECT * FROM scored
+            ORDER BY score_nano DESC, doc_id ASC LIMIT {BM25_TOP_K})
+    SELECT doc_id, n_terms_matched,
+           round(CAST(score_nano AS DOUBLE) / 1e9, 6) AS bm25_score,
+           CAST(row_number() OVER (ORDER BY score_nano DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM top""",
+    doc=f"BM25 keyword search (Robertson-Sparck Jones; k1={BM25_K1}, "
+    f"b={BM25_B}): top-{BM25_TOP_K} documents for a fixed "
+    f"{len(BM25_QUERY_TERMS)}-term query — the lexical-retrieval "
+    "counterpart of the ANN family (and one half of hybrid_search_rrf). "
+    "Scale shape: document lengths are a narrow no-shuffle projection; "
+    "the token explode FILTERS to the query terms immediately (the "
+    "selective predicate runs before any aggregation, so the wide "
+    "(doc, term) groupBy only sees matching postings — at 100 TB this "
+    "is the inverted-index-posting-list scan, not a corpus-wide "
+    "aggregate); per-term document frequencies and the 1-row corpus "
+    "stats BROADCAST back onto the postings. Determinism: each "
+    "per-(doc, term) BM25 contribution is nano-quantized to an integer "
+    "BEFORE the per-doc sum (float sum order never matters), the "
+    "ranking compares the exact integer score with a doc_id tiebreak, "
+    "and the final top-K is orderBy+limit (TakeOrderedAndProject, "
+    "never a global sort).",
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    with_dl = docs.select(
+        "doc_id",
+        F.size(ws_tokens(norm_text(F.col("text")))).cast("long").alias("dl"),
+        norm_text(F.col("text")).alias("norm"),
+    )
+    stats = with_dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        with_dl.select("doc_id", "dl", F.explode(F.split("norm", " ")).alias("token"))
+        .filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), on="token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum("nano").cast("long").alias("score_nano"),
+    )
+    order = [F.col("score_nano").desc(), F.col("doc_id").asc()]
+    top = scored.orderBy(*order).limit(BM25_TOP_K)
+    return top.select(
+        "doc_id",
+        "n_terms_matched",
+        F.round(F.col("score_nano").cast("double") / F.lit(1e9), 6).alias("bm25_score"),
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+#: Deterministic uniform in (0, 1] from a SALTED md5 of the doc id (all
+#: four plain-md5 hex windows are claimed by split/pack/resample/
+#: stratified — see the sampler discipline note at docs_split_assign).
+_WSAMPLE_U_SPARK = (
+    "(CAST(conv(substr(md5(concat('wsample:', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT) + 1) / 4294967296.0"
+)
+_WSAMPLE_U_DUCK = (
+    "(CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) + 1) / 4294967296.0"
+)
+
+
+@REGISTRY.register(
+    "docs_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                          CAST(round(ln({_WSAMPLE_U_DUCK}) / n_chars * 1e9)
+                               AS BIGINT) AS key_nano
+                   FROM documents),
+    top AS (SELECT * FROM keyed
+            ORDER BY key_nano DESC, doc_id ASC LIMIT {WSAMPLE_K})
+    SELECT doc_id, weight, key_nano,
+           CAST(row_number() OVER (ORDER BY key_nano DESC, doc_id ASC)
+                AS BIGINT) AS sample_rank
+    FROM top""",
+    doc=f"WEIGHTED sampling without replacement (Efraimidis-Spirakis "
+    f"A-ES, Inf.Proc.Lett. 2006): each doc gets key u^(1/w) — ranked "
+    f"here by the equivalent ln(u)/w — and the top-{WSAMPLE_K} keys ARE "
+    "a weighted sample without replacement (weight = n_chars: "
+    "char-budget-proportional selection, the shape used to sample "
+    "training subsets proportional to token counts). This is THE "
+    "distributed one-pass weighted sampler: no sequential reservoir, "
+    "no rejection loop — a narrow per-row key projection then ONE "
+    "bounded top-K (TakeOrderedAndProject; map-side partial top-K per "
+    "partition, K rows per partition to the driver-side merge — never "
+    "a global sort). Determinism: u comes from a salted md5 of the doc "
+    "id (reproducible on any engine/partitioning, unlike rand()), and "
+    "the ranking key is nano-quantized to an exact integer with a "
+    "doc_id tiebreak.",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(F.expr(f"ln({_WSAMPLE_U_SPARK}) / n_chars") * F.lit(1e9))
+        .cast("long")
+        .alias("key_nano"),
+    )
+    order = [F.col("key_nano").desc(), F.col("doc_id").asc()]
+    top = keyed.orderBy(*order).limit(WSAMPLE_K)
+    return top.select(
+        "doc_id",
+        "weight",
+        "key_nano",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("sample_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# hybrid search: reciprocal-rank fusion of lexical + vector rankings
+# --------------------------------------------------------------------------
+
+RRF_K = 60        # the standard RRF damping constant
+RRF_POOL = 10     # per-ranker candidate pool depth
+RRF_TOP_K = 5     # fused results returned per query
+
+
+@REGISTRY.register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH idx AS (SELECT d.doc_id, {_NORM_SQL} AS norm
+                 FROM documents d
+                 WHERE d.doc_id IN (SELECT vec_id FROM embeddings)),
+    qtok AS (SELECT doc_id AS qid,
+                    list_distinct(string_split(norm, ' ')) AS qtoks
+             FROM idx WHERE doc_id < {N_QUERIES}),
+    lex AS (SELECT q.qid AS query_id, c.doc_id AS cand_id,
+                   CAST(len(list_intersect(
+                     list_distinct(string_split(c.norm, ' ')), q.qtoks))
+                     AS BIGINT) AS overlap
+            FROM idx c, qtok q WHERE c.doc_id <> q.qid),
+    lexr AS (SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id
+                        ORDER BY overlap DESC, cand_id ASC) AS r
+             FROM lex),
+    q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    vec AS (SELECT q.qid AS query_id, e.vec_id AS cand_id, {_COS_SQL} AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> q.qid),
+    vecr AS (SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, cand_id ASC) AS r
+             FROM vec),
+    fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                     coalesce(l.cand_id, v.cand_id) AS cand_id,
+                     CAST(coalesce(CAST(round(1e9 / ({RRF_K} + l.r)) AS BIGINT), 0)
+                        + coalesce(CAST(round(1e9 / ({RRF_K} + v.r)) AS BIGINT), 0)
+                        AS BIGINT) AS rrf_nano
+              FROM (SELECT * FROM lexr WHERE r <= {RRF_POOL}) l
+              FULL OUTER JOIN (SELECT * FROM vecr WHERE r <= {RRF_POOL}) v
+                ON v.query_id = l.query_id AND v.cand_id = l.cand_id)
+    SELECT query_id, cand_id, rrf_nano, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf_nano DESC, cand_id ASC) AS rn
+          FROM fused)
+    WHERE rn <= {RRF_TOP_K}""",
+    doc=f"HYBRID SEARCH via reciprocal-rank fusion (Cormack et al. "
+    f"2009, the fusion every lexical+vector stack ships): per query, "
+    f"a LEXICAL ranking (distinct-token overlap against the query "
+    f"document's token set) and a VECTOR ranking (exact cosine) each "
+    f"nominate their top-{RRF_POOL}, and candidates score "
+    f"sum(1/({RRF_K}+rank)) across the rankers that found them — "
+    f"top-{RRF_TOP_K} fused per query. The corpus is the EMBEDDED "
+    "document subset (documents semi-joined to the vector index — at "
+    "sf0.1 docs outnumber vectors, exactly the partially-indexed state "
+    "a production corpus is in mid-backfill). Scale shape: both "
+    "rankers broadcast the tiny query side and stream candidates once "
+    "(the deliberate BNLJ baseline, same as emb_knn_bruteforce — the "
+    "banded/celled variants are the drop-in scale path for each leg); "
+    "the fusion itself joins two (queries x pool)-bounded frames — "
+    "negligible at any scale. Determinism: overlap counts and RRF "
+    "contributions are exact integers (round(1e9/(k+rank)) per leg), "
+    "ranks carry id tiebreaks, cosine rounds to 6 dp before ranking.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    idx = (
+        _docs(spark, sf_dir, spread=True)
+        .join(
+            embs.select(F.col("vec_id").alias("doc_id")),
+            on="doc_id",
+            how="left_semi",
+        )
+        .select("doc_id", norm_text(F.col("text")).alias("norm"))
+    )
+    qtok = idx.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct(ws_tokens(F.col("norm"))).alias("qtoks"),
+    )
+    lex = (
+        idx.crossJoin(F.broadcast(qtok))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("doc_id").alias("cand_id"),
+            F.size(
+                F.array_intersect(F.array_distinct(ws_tokens(F.col("norm"))), F.col("qtoks"))
+            )
+            .cast("long")
+            .alias("overlap"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("cand_id").asc()
+    )
+    lexr = lex.select("query_id", "cand_id", F.row_number().over(wl).alias("r")).filter(
+        F.col("r") <= RRF_POOL
+    )
+    q = embs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    vec = (
+        embs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                cosine(_as_double(F.col("embedding")), _as_double(F.col("qemb"))), 6
+            ).alias("cosine"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    vecr = vec.select("query_id", "cand_id", F.row_number().over(wv).alias("r")).filter(
+        F.col("r") <= RRF_POOL
+    )
+    rrf_leg = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1e9) / (F.lit(RRF_K) + r)).cast("long"), F.lit(0).cast("long")
+    )
+    fused = (
+        lexr.withColumnRenamed("r", "rl")
+        .join(
+            vecr.withColumnRenamed("r", "rv"),
+            on=["query_id", "cand_id"],
+            how="full_outer",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (rrf_leg(F.col("rl")) + rrf_leg(F.col("rv"))).alias("rrf_nano"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= RRF_TOP_K)
+        .select("query_id", "cand_id", "rrf_nano", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# composed IVF + PQ: cell-restricted asymmetric-distance search
+# --------------------------------------------------------------------------
+
+@REGISTRY.register(
+    "emb_knn_ivf_pq",
+    oracle=f"""
+    WITH {_PQ_ENC_LUT_CTES},
+    encc AS (SELECT e.vec_id, e.sub, e.code, m.label AS cell
+             FROM enc e JOIN embeddings m ON m.vec_id = e.vec_id),
+    lutc AS (SELECT l.qid, l.sub, l.code_id, l.d2q, m.label AS qcell
+             FROM lut l JOIN embeddings m ON m.vec_id = l.qid),
+    adc AS (SELECT l.qid AS query_id, e.vec_id AS neighbor_id,
+                   CAST(sum(l.d2q) AS BIGINT) AS adc_micro2
+            FROM encc e JOIN lutc l ON l.sub = e.sub AND l.code_id = e.code
+                                   AND l.qcell = e.cell
+            WHERE e.vec_id <> l.qid
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro2, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_micro2 ASC,
+                                                neighbor_id ASC) AS rn
+          FROM adc)
+    WHERE rn <= {K_NEIGHBORS}""",
+    doc="IVF-PQ — the two halves COMPOSED, which is the index "
+    "billion-vector deployments actually run (Jegou et al. 2011; "
+    "FAISS IVFADC): the coarse quantizer (cell = `label`, exactly "
+    "emb_knn_ivf's inverted-file geometry; emb_knn_ivf_kmeans shows "
+    "the trained-cell variant) restricts candidates to the query's "
+    "cell, and within the cell every distance is PQ asymmetric — 8 "
+    "LUT adds against the broadcast per-query table instead of a "
+    "64-dim float op. The cell restriction lives IN the join "
+    "condition (a 3-key equi-join on sub, code, cell), so the "
+    "candidate set never materializes un-restricted. Scale shape: "
+    "candidates shrink by the cell fan-out AND each surviving "
+    "candidate costs 8 integer adds — the multiplicative win that "
+    "makes exhaustive-per-cell scanning affordable at 1e9+ vectors; "
+    "codebook and LUTs broadcast, encoding is the same one-pass "
+    "map-side-combinable min as emb_knn_pq_adc. Determinism: "
+    "micro-integer coordinates end-to-end (exact bigint d2, code "
+    "assignment, ADC sums), id tiebreaks on every ranking.",
+)
+def emb_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    subs = _pq_subspaces(embs)
+    cb = _pq_codebook(subs)
+    cells = embs.select("vec_id", F.col("label").alias("cell"))
+    encc = _pq_encode(subs, cb).join(cells, on="vec_id")
+    lutc = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "sub", F.col("svec").alias("qvec"))
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "qid",
+            F.col("sub").alias("lsub"),
+            F.col("code_id").cast("long").alias("lcode"),
+            _pq_d2("qvec", "cvec").alias("d2q"),
+        )
+        .join(
+            F.broadcast(cells.select(F.col("vec_id").alias("qid"),
+                                     F.col("cell").alias("qcell"))),
+            on="qid",
+        )
+    )
+    adc = (
+        encc.join(
+            F.broadcast(lutc),
+            on=[
+                F.col("sub") == F.col("lsub"),
+                F.col("code") == F.col("lcode"),
+                F.col("cell") == F.col("qcell"),
+            ],
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2q").cast("long").alias("adc_micro2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_NEIGHBORS)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_micro2",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

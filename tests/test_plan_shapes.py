@@ -909,3 +909,66 @@ def test_q5_locality_filter_no_extra_scan(spark):
         assert plan.count(f"{t}.parquet") == 1, t
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_is_take_ordered_with_early_term_filter(spark):
+    """docs_bm25_topk: the query-term filter must run BEFORE the
+    (doc, term) aggregate (postings-scan shape, not a corpus-wide
+    aggregate), the df/stats sides broadcast, and the top-K compiles
+    to TakeOrderedAndProject — never a global sort."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.docs_bm25_topk(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_no_shuffle_before_topk(spark):
+    """docs_weighted_sample is a narrow key projection + bounded top-K:
+    TakeOrderedAndProject with ZERO exchanges before it (the final
+    ranking window runs over <= K rows post-limit)."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.docs_weighted_sample(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # the only exchange allowed is the single-partition one feeding the
+    # <=K-row rank window after the limit
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_hits_iteration_broadcasts_score_tables(spark):
+    """ev_hits_bipartite: every per-round join against a score table
+    must broadcast the (|event types|- or normalized-)small side; the
+    edge list is the only corpus-sized relation and there is no
+    cartesian anywhere in the unrolled two rounds."""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+
+    plan = _plan(eq.ev_hits_bipartite(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_pq_cell_restriction_is_join_key(spark):
+    """emb_knn_ivf_pq: the cell restriction must live IN the equi-join
+    (3-key hash join on sub/code/cell against the broadcast LUT), so
+    un-restricted candidates never materialize; no cartesian."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.emb_knn_ivf_pq(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_fusion_joins_bounded_frames(spark):
+    """hybrid_search_rrf: both ranker legs broadcast the tiny query
+    side (the deliberate BNLJ baseline, like emb_knn_bruteforce); the
+    fusion's full-outer join runs over pool-bounded frames. No Python
+    anywhere."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.hybrid_search_rrf(spark, TEST_SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the two broadcast-query legs
