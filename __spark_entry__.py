@@ -90,6 +90,11 @@ GRADE_WINDOW = [
     "ev_hits_bipartite",
     "hybrid_search_rrf",
     "emb_knn_ivf_pq",
+    "emb_knn_recall_ivf_pq",
+    "docs_dsir_resample",
+    "ev_kanonymity_audit",
+    "orders_survival_km",
+    "docs_tokenizer_fertility",
 ]
 
 

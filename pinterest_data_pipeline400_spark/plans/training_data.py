@@ -4304,3 +4304,232 @@ def emb_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rank"),
         )
     )
+
+
+@REGISTRY.register(
+    "emb_knn_recall_ivf_pq",
+    # composes the two search oracles verbatim so any semantic change
+    # to either flows into the evaluation (same rule as emb_knn_recall)
+    oracle=f"""
+    WITH bf AS ({REGISTRY.oracles()["emb_knn_bruteforce"]}),
+    ivfpq AS ({REGISTRY.oracles()["emb_knn_ivf_pq"]})
+    SELECT b.query_id,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(p.neighbor_id) AS DOUBLE) / {K_NEIGHBORS}, 6)
+             AS recall_at_k
+    FROM bf b LEFT JOIN ivfpq p
+      ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id""",
+    doc="Recall@k of the COMPOSED IVF-PQ search against exact brute "
+    "force — the gauge that completes the measured-accuracy story for "
+    "the production index shape: it prices the cell restriction "
+    "(emb_knn_recall's axis) AND the compressed-domain ranking "
+    "(emb_knn_recall_pq's axis) TOGETHER, which is the number an "
+    "IVFADC deployment actually observes. Expect it at or below both "
+    "single-axis recalls (misses compound); the nprobe and "
+    "codebook-training levers (emb_knn_ivf_multiprobe, "
+    "emb_knn_recall_pq_trained) are the documented ways back up. "
+    "Bounded k-row relations joined per query.",
+)
+def emb_knn_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = emb_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ip = emb_knn_ivf_pq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ip, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(K_NEIGHBORS), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+DSIR_K = 50  # docs resampled into the target-like training subset
+
+#: salted uniform for the Gumbel-max resample (plain-md5 windows are
+#: all claimed; see the sampler discipline note at docs_split_assign)
+_DSIR_U_SPARK = (
+    "(CAST(conv(substr(md5(concat('dsir:', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT) + 1) / 4294967296.0"
+)
+_DSIR_U_DUCK = (
+    "(CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) + 1) / 4294967296.0"
+)
+
+
+@REGISTRY.register(
+    "docs_dsir_resample",
+    oracle=f"""
+    WITH tok AS (SELECT d.doc_id, d.lang,
+                        unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents d),
+    tf AS (SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id, lang, token),
+    raw_lm AS (SELECT token, CAST(sum(n) AS BIGINT) AS cr FROM tf GROUP BY token),
+    tgt_lm AS (SELECT token, CAST(sum(n) AS BIGINT) AS ct
+               FROM tf WHERE lang = 'en' GROUP BY token),
+    tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM raw_lm),
+    ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM tgt_lm),
+    ratio AS (SELECT r.token,
+                     CAST(round((ln((coalesce(g.ct, 0) + 1.0) / (ttot.tt + tot.v))
+                               - ln((r.cr + 1.0) / (tot.tr + tot.v))) * 1e9)
+                          AS BIGINT) AS nano
+              FROM raw_lm r LEFT JOIN tgt_lm g USING (token)
+              CROSS JOIN tot CROSS JOIN ttot),
+    logw AS (SELECT f.doc_id, f.lang,
+                    CAST(sum(f.n * x.nano) AS BIGINT) AS logratio_nano
+             FROM tf f JOIN ratio x USING (token)
+             GROUP BY f.doc_id, f.lang),
+    keyed AS (SELECT doc_id, lang, logratio_nano,
+                     logratio_nano
+                       + CAST(round(-ln(-ln({_DSIR_U_DUCK})) * 1e9) AS BIGINT)
+                       AS key_nano
+              FROM logw),
+    top AS (SELECT * FROM keyed
+            ORDER BY key_nano DESC, doc_id ASC LIMIT {DSIR_K})
+    SELECT doc_id, lang, logratio_nano, key_nano,
+           CAST(row_number() OVER (ORDER BY key_nano DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM top""",
+    doc=f"DSIR — Data Selection via Importance Resampling (Xie et al. "
+    "2023), the modern pretraining-data selection recipe: score every "
+    "raw document by the log likelihood ratio between a TARGET-domain "
+    "unigram LM (here the lang='en' slice stands in for the "
+    "high-quality target) and the RAW-corpus LM (both add-1 smoothed "
+    f"over the raw vocabulary), then RESAMPLE {DSIR_K} docs "
+    "proportionally to the importance weights via the Gumbel-max "
+    "top-k trick — the deterministic equivalent of sampling without "
+    "replacement with probability proportional to exp(log w). Scale "
+    "shape: ONE tokenize+count pass feeds both LMs (the target LM is "
+    "a filtered re-aggregation of the (doc, token) frame, never a "
+    "second corpus scan); the per-token log ratio table broadcasts "
+    "back onto the postings; per-doc scores are exact bigint sums of "
+    "nano-quantized per-TYPE ratios times integer counts; the "
+    "resample is a bounded top-K (TakeOrderedAndProject). "
+    "Determinism: Gumbel noise comes from a salted md5 uniform — "
+    "reproducible on any engine and partitioning — and every ranking "
+    "key is an exact integer with a doc_id tiebreak.",
+)
+def docs_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+    )
+    # one tokenization feeds raw LM, target LM, and the scoring join
+    tf = (
+        tok.groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    raw_lm = tf.groupBy("token").agg(F.sum("n").cast("long").alias("cr"))
+    tgt_lm = (
+        tf.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("ct"))
+    )
+    tot = raw_lm.agg(
+        F.sum("cr").cast("long").alias("tr"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    ttot = tgt_lm.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    ratio = (
+        raw_lm.join(tgt_lm, on="token", how="left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "token",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.col("v"))
+                    )
+                    - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.col("v")))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    logw = (
+        tf.join(F.broadcast(ratio), on="token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("n") * F.col("nano")).cast("long").alias("logratio_nano"))
+    )
+    gumbel = F.round(-F.log(-F.log(F.expr(_DSIR_U_SPARK))) * F.lit(1e9)).cast("long")
+    keyed = logw.select(
+        "doc_id",
+        "lang",
+        "logratio_nano",
+        (F.col("logratio_nano") + gumbel).alias("key_nano"),
+    )
+    order = [F.col("key_nano").desc(), F.col("doc_id").asc()]
+    top = keyed.orderBy(*order).limit(DSIR_K)
+    return top.select(
+        "doc_id",
+        "lang",
+        "logratio_nano",
+        "key_nano",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+    )
+
+
+@REGISTRY.register(
+    "docs_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             {_WS_COUNT_SQL} AS n_ws_tokens,
+             len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws_tokens) AS BIGINT) AS sum_words,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_tokens,
+           round(CAST(sum(n_bpe_tokens) AS DOUBLE) / sum(n_ws_tokens), 6)
+             AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe_tokens), 6)
+             AS chars_per_token
+    FROM per_doc GROUP BY lang""",
+    doc="TOKENIZER FERTILITY by language — tokens emitted per "
+    "whitespace word under the BPE-ish tokenizer, plus compression "
+    "(chars per token): the standard tokenizer-equity report for a "
+    "multilingual training mix (fertility far above the English "
+    "baseline means that language pays more sequence length for the "
+    "same content — the number driving vocab-size and per-language "
+    "budget decisions, and the denominator behind docs_temperature_mix "
+    "style rebalancing). Exact integer count sums per (doc -> lang) "
+    "with ratios derived at the end; one narrow corpus pass, "
+    "map-side-combinable aggregate to |langs| rows.",
+)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ws_tokens").cast("long").alias("sum_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("sum_tokens"),
+        F.round(
+            F.sum("n_bpe_tokens").cast("double") / F.sum("n_ws_tokens"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+    )

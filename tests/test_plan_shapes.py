@@ -972,3 +972,29 @@ def test_hybrid_rrf_fusion_joins_bounded_frames(spark):
     plan = _plan(td.hybrid_search_rrf(spark, TEST_SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the two broadcast-query legs
+
+
+def test_dsir_one_tokenize_no_python(spark):
+    """docs_dsir_resample: per-token ratio table broadcasts back onto
+    the postings (BroadcastHashJoin), the resample is
+    TakeOrderedAndProject, and nothing drops to Python."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+
+    plan = _plan(td.docs_dsir_resample(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_km_customer_window_then_bounded_curve(spark):
+    """orders_survival_km: the first-two-orders window partitions by
+    o_custkey (high cardinality, never single-partition); the ordered
+    cumulative windows afterwards run on the bounded duration grid —
+    the documented single-partition exception class."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    plan = _plan(rx.orders_survival_km(spark, TEST_SF_DIR))
+    assert "hashpartitioning(o_custkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
