@@ -95,6 +95,8 @@ GRADE_WINDOW = [
     "ev_kanonymity_audit",
     "orders_survival_km",
     "docs_tokenizer_fertility",
+    "emb_knn_hamming",
+    "emb_knn_recall_hamming",
 ]
 
 

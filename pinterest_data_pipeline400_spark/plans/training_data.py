@@ -3944,7 +3944,22 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     "never a global sort).",
 )
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir, spread=True)
+    scored = bm25_scored(_docs(spark, sf_dir, spread=True))
+    order = [F.col("score_nano").desc(), F.col("doc_id").asc()]
+    top = scored.orderBy(*order).limit(BM25_TOP_K)
+    return top.select(
+        "doc_id",
+        "n_terms_matched",
+        F.round(F.col("score_nano").cast("double") / F.lit(1e9), 6).alias("bm25_score"),
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+    )
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_terms_matched, score_nano) for every doc matching at
+    least one BM25_QUERY_TERMS term — the pre-top-K frame, shared by the
+    docs_bm25_topk entry and the 40x stress test so the stress run
+    exercises the REGISTERED plan (the dedup-spine harness rule)."""
     with_dl = docs.select(
         "doc_id",
         F.size(ws_tokens(norm_text(F.col("text")))).cast("long").alias("dl"),
@@ -3988,17 +4003,9 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nano"),
         )
     )
-    scored = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
         F.sum("nano").cast("long").alias("score_nano"),
-    )
-    order = [F.col("score_nano").desc(), F.col("doc_id").asc()]
-    top = scored.orderBy(*order).limit(BM25_TOP_K)
-    return top.select(
-        "doc_id",
-        "n_terms_matched",
-        F.round(F.col("score_nano").cast("double") / F.lit(1e9), 6).alias("bm25_score"),
-        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
     )
 
 
@@ -4532,4 +4539,140 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens"), 6
         ).alias("chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# binary quantization + Hamming-distance search
+# --------------------------------------------------------------------------
+
+@REGISTRY.register(
+    "emb_knn_hamming",
+    oracle=f"""
+    WITH el AS (SELECT vec_id,
+                       unnest(range(len(embedding))) AS pos,
+                       unnest(list_transform(embedding,
+                              x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS b
+                FROM embeddings),
+    sig AS (SELECT vec_id,
+                   CAST(bit_or(CASE WHEN pos < 32 AND b = 1
+                               THEN CAST(1 AS BIGINT) << pos ELSE 0 END)
+                        AS BIGINT) AS w0,
+                   CAST(bit_or(CASE WHEN pos >= 32 AND b = 1
+                               THEN CAST(1 AS BIGINT) << (pos - 32) ELSE 0 END)
+                        AS BIGINT) AS w1
+            FROM el GROUP BY vec_id),
+    q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM sig
+          WHERE vec_id < {N_QUERIES}),
+    pairs AS (SELECT q.qid AS query_id, s.vec_id AS neighbor_id,
+                     CAST(bit_count(xor(s.w0, q.q0))
+                        + bit_count(xor(s.w1, q.q1)) AS BIGINT) AS hamming
+              FROM sig s, q WHERE s.vec_id <> q.qid),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming ASC, neighbor_id ASC) AS rn
+               FROM pairs)
+    SELECT query_id, neighbor_id, hamming, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {K_NEIGHBORS}""",
+    doc="BINARY QUANTIZATION search: every 64-dim vector compresses to "
+    "its 64 SIGN BITS (two 32-bit words — 256x smaller than the float "
+    "vector), and search is exact Hamming distance over the codes — "
+    "two XORs and two popcounts per candidate, the cheapest "
+    "whole-corpus scan that exists and the standard first-stage "
+    "rerank filter in front of exact scoring (sign-LSH banding, "
+    "emb_knn_lsh, is the CANDIDATE-GENERATION use of the same bits; "
+    "this is the full-ranking use). Completes the quantization "
+    "family: scalar (emb_scalar_quantize_error), product "
+    "(emb_knn_pq_adc), binary. Scale shape: signatures are one "
+    "map-side-combinable bit_or aggregate per vector (at 100 TB they "
+    "persist as two bigint columns next to the corpus — 16 bytes per "
+    "vector); the query side broadcasts and candidates stream once "
+    "(the deliberate BNLJ baseline). Determinism: sign bits, XOR, and "
+    "popcount are exact integers end to end — the only ANN family "
+    "with NO float arithmetic at all; id tiebreaks on equal "
+    "distances.",
+)
+def emb_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: F.when(x > 0, 1).otherwise(0))
+        ).alias("pos", "b"),
+    )
+    sig = el.groupBy("vec_id").agg(
+        F.bit_or(
+            F.expr(
+                "CASE WHEN pos < 32 AND b = 1"
+                " THEN shiftleft(CAST(1 AS BIGINT), pos)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("w0"),
+        F.bit_or(
+            F.expr(
+                "CASE WHEN pos >= 32 AND b = 1"
+                " THEN shiftleft(CAST(1 AS BIGINT), pos - 32)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("w1"),
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    pairs = (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+                + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_NEIGHBORS)
+        .select(
+            "query_id", "neighbor_id", "hamming", F.col("rn").cast("long").alias("rank")
+        )
+    )
+
+
+@REGISTRY.register(
+    "emb_knn_recall_hamming",
+    oracle=f"""
+    WITH bf AS ({REGISTRY.oracles()["emb_knn_bruteforce"]}),
+    hm AS ({REGISTRY.oracles()["emb_knn_hamming"]})
+    SELECT b.query_id,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(p.neighbor_id) AS DOUBLE) / {K_NEIGHBORS}, 6)
+             AS recall_at_k
+    FROM bf b LEFT JOIN hm p
+      ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id""",
+    doc="Recall@k of the binary-sign Hamming search vs exact cosine "
+    "brute force — what 256x compression costs when the codes do the "
+    "FULL ranking (production uses Hamming as a shortlist filter and "
+    "reranks the shortlist exactly; this gauge is the floor of that "
+    "trade). Same composed-oracle rule as the other recall gauges.",
+)
+def emb_knn_recall_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = emb_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hm = emb_knn_hamming(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(hm, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(K_NEIGHBORS), 6
+            ).alias("recall_at_k"),
+        )
     )

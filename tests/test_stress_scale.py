@@ -301,3 +301,44 @@ def test_events_sessionization_scales_linearly(spark):
     assert int(got[0]) == REPLICAS * n_sess
     assert int(got[1]) == REPLICAS * n_events
     assert wall < 120, f"sessionization took {wall:.0f}s at {REPLICAS}x"
+
+
+def test_bm25_postings_scale_linearly(spark):
+    """Lexical-search family: the BM25 scored frame at 40x the corpus.
+    Replicas carry IDENTICAL text under fresh doc_ids, so (a) the
+    matched-postings row count must be exactly 40x the base (the
+    query-term filter prunes before aggregation — an unfiltered
+    corpus-wide aggregate would also pass this count but blow the wall
+    ceiling), and (b) all 40 replicas of a base doc must land the SAME
+    integer score (tf/dl identical; df and N both scale 40x so every
+    score input is replica-invariant) — a partitioning- or
+    fold-order-sensitive score would split them."""
+    from pinterest_data_pipeline400_spark.plans.training_data import bm25_scored
+
+    base = spark.read.parquet(os.path.join(TEST_SF_DIR, "documents.parquet"))
+    n_matched = bm25_scored(base.select("doc_id", "text")).count()
+
+    big = (
+        base.crossJoin(
+            F.broadcast(spark.range(REPLICAS).select(F.col("id").alias("rep")))
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t0 = time.perf_counter()
+    scored = bm25_scored(big).persist()
+    n_big = scored.count()
+    split_scores = (
+        scored.groupBy((F.col("doc_id") % 10_000_000).alias("base_id"))
+        .agg(F.countDistinct("score_nano").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    wall = time.perf_counter() - t0
+
+    assert n_big == REPLICAS * n_matched, (n_big, n_matched)
+    assert split_scores == 0, f"{split_scores} base docs got divergent scores"
+    assert wall < 120, f"bm25 scoring took {wall:.0f}s at {REPLICAS}x"
+    scored.unpersist()
