@@ -45,12 +45,16 @@ SF0001 = "/root/testdata/sf0.001"
 # 50-slot window (pytest- and hostile-session-oracle-green at sf0.01,
 # never driver-graded) — grading them closes cumulative driver
 # certification at 219/219 of the round-6 registry — followed by every
-# round-7 addition (appended as built; up to 27 fit in this round's
-# window). Everything else keeps its registration order after the
-# window; nothing is unregistered. The stale r4/r5 tail (including the
-# duplicate docs_cluster_keep_longest / docs_dedup_pr entries flagged
-# by ADVICE r6) is pruned: every name it held is already
-# driver-certified, so registration order alone now places them.
+# round-7 addition (appended as built: TWENTY-ONE new entries, so the
+# window holds 23 + 21 = 44 of the 50 graded slots; the remaining 6
+# slots fall through to registration order, all already-certified
+# names, and round 7 leaves NOTHING owed to round 8's window beyond
+# whatever CORRECTNESS_r07 flags). Everything else keeps its
+# registration order after the window; nothing is unregistered. The
+# stale r4/r5 tail (including the duplicate docs_cluster_keep_longest /
+# docs_dedup_pr entries flagged by ADVICE r6) was pruned in round 7:
+# every name it held is already driver-certified, so registration
+# order alone now places them.
 GRADE_WINDOW = [
     # late round-6 additions (close cumulative certification at 219/219)
     "ev_seasonality_hourweek",
@@ -97,6 +101,7 @@ GRADE_WINDOW = [
     "docs_tokenizer_fertility",
     "emb_knn_hamming",
     "emb_knn_recall_hamming",
+    "ev_abtest_cuped",
 ]
 
 

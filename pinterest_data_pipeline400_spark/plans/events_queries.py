@@ -3704,3 +3704,212 @@ def ev_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return g.filter(F.col("n") < KANON_K).orderBy("event_type", "dow_iso", "hod")
+
+
+CUPED_CUTOFF = "2024-01-16 00:00:00"  # pre-period | experiment split
+
+
+@REGISTRY.register(
+    "ev_abtest_cuped",
+    oracle=f"""
+    WITH pu AS (SELECT user_id,
+                       CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}'
+                                     AND event_type = '{UPLIFT_METRIC_TYPE}'
+                                THEN round(value * 100) ELSE 0 END) AS BIGINT)
+                         AS x,
+                       CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                                     AND event_type = '{UPLIFT_METRIC_TYPE}'
+                                THEN round(value * 100) ELSE 0 END) AS BIGINT)
+                         AS y
+                FROM events GROUP BY user_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pu),
+    arm AS (SELECT {_AB_ARM_SQL_DUCK} AS arm,
+                   CAST(count(*) AS BIGINT) AS n_arm,
+                   CAST(sum(x) AS BIGINT) AS sx_arm,
+                   CAST(sum(y) AS BIGINT) AS sy_arm
+            FROM pu GROUP BY 1)
+    SELECT a.arm, a.n_arm,
+           round(CAST(a.sy_arm AS DOUBLE) / a.n_arm, 6) AS mean_y_cents,
+           round(CAST(a.sy_arm AS DOUBLE) / a.n_arm
+                 - ((CAST(g.sxy AS DOUBLE) - CAST(g.sx AS DOUBLE) * g.sy / g.n)
+                    / (CAST(g.sxx AS DOUBLE) - CAST(g.sx AS DOUBLE) * g.sx / g.n))
+                   * (CAST(a.sx_arm AS DOUBLE) / a.n_arm
+                      - CAST(g.sx AS DOUBLE) / g.n), 6) AS mean_y_cuped,
+           round(((CAST(g.sxy AS DOUBLE) - CAST(g.sx AS DOUBLE) * g.sy / g.n)
+                  * (CAST(g.sxy AS DOUBLE) - CAST(g.sx AS DOUBLE) * g.sy / g.n))
+                 / ((CAST(g.sxx AS DOUBLE) - CAST(g.sx AS DOUBLE) * g.sx / g.n)
+                    * (CAST(g.syy AS DOUBLE) - CAST(g.sy AS DOUBLE) * g.sy / g.n)),
+                 6) AS var_reduction
+    FROM arm a CROSS JOIN g
+    ORDER BY a.arm""",
+    doc="CUPED variance reduction (Deng et al. 2013 — the "
+    "industry-standard experiment-sensitivity technique, completing "
+    "the A/B family: SRM validity gate, Welch uplift readout, and now "
+    "the covariate adjustment): per user, pre-period metric X and "
+    "experiment-period metric Y under the same salted-hash 50/50 "
+    "assignment; theta = cov(X,Y)/var(X) from the GLOBAL pooled "
+    "moments, each arm's adjusted mean Y - theta*(Xbar_arm - Xbar), "
+    "and the achieved variance reduction (= corr(X,Y)^2 — exactly the "
+    "fraction of metric variance the pre-period explains; measured "
+    "honestly on this fixture it is small — per-user spend is nearly "
+    "independent across the two half-months in the synthetic data — "
+    "which is itself the correct CUPED readout: the gauge reports "
+    "what the covariate actually buys, and the adjustment still "
+    "moves each arm mean by theta times its pre-period imbalance). "
+    "Scale shape: ONE events pass "
+    "builds both per-user period sums (conditional aggregation, no "
+    "second scan), one user-keyed shuffle; the six global moments and "
+    "the per-arm sums are tiny rollups of that frame, and every "
+    "moment is an exact bigint (cent-grain X*X/X*Y/Y*Y products hold "
+    "to ~10^9-cent users in int64) — theta and the adjusted means "
+    "derive in one identical double expression per engine.",
+)
+def ev_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100)
+    is_metric = F.col("event_type") == UPLIFT_METRIC_TYPE
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_metric & (F.col("ts") < cutoff), cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(is_metric & (F.col("ts") >= cutoff), cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .persist()  # consumed by the global-moment AND per-arm rollups
+    )
+    g = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    arm = pu.groupBy(F.expr(_AB_ARM_SQL_SPARK).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arm"),
+        F.sum("x").cast("long").alias("sx_arm"),
+        F.sum("y").cast("long").alias("sy_arm"),
+    )
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    theta = cov / varx
+    mean_y = F.col("sy_arm").cast("double") / F.col("n_arm")
+    mean_x = F.col("sx_arm").cast("double") / F.col("n_arm")
+    xbar = F.col("sx").cast("double") / F.col("n")
+    return (
+        arm.crossJoin(F.broadcast(g))
+        .select(
+            "arm",
+            "n_arm",
+            F.round(mean_y, 6).alias("mean_y_cents"),
+            F.round(mean_y - theta * (mean_x - xbar), 6).alias("mean_y_cuped"),
+            F.round((cov * cov) / (varx * vary), 6).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# abuse screen: bot / automation detection heuristics per user
+# --------------------------------------------------------------------------
+
+BOT_MIN_EVENTS = 20          # rules need a minimum behavioral sample
+BOT_RATE_PER_MIN = 1         # sustained >= 1 event/min across the span
+BOT_CV2_NUM, BOT_CV2_DEN = 1, 10  # metronome rule: cv^2 <= 0.1
+
+
+@REGISTRY.register(
+    "ev_bot_screen",
+    oracle=f"""
+    WITH g AS (SELECT user_id,
+                      epoch_us(ts) // 1000000
+                        - lag(epoch_us(ts) // 1000000) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        AS gap_sec
+               FROM events),
+    per_user AS (SELECT user_id,
+                        CAST(count(*) + 1 AS BIGINT) AS n_events,
+                        CAST(count(gap_sec) AS BIGINT) AS n_gaps,
+                        CAST(sum(gap_sec) AS BIGINT) AS span_sec,
+                        CAST(sum(gap_sec * gap_sec) AS BIGINT) AS ss
+                 FROM g GROUP BY user_id),
+    flags AS (SELECT user_id, n_events, span_sec,
+                     CAST(round(CAST(n_events AS DOUBLE) * 60 * 1000000
+                          / span_sec) AS BIGINT) AS rate_per_min_micro,
+                     (n_events >= {BOT_MIN_EVENTS} AND span_sec > 0
+                      AND n_events * 60 >= span_sec * {BOT_RATE_PER_MIN})
+                       AS is_rate_bot,
+                     (n_gaps >= 5 AND span_sec > 0
+                      AND {BOT_CV2_DEN} * (n_gaps * ss - span_sec * span_sec)
+                          <= {BOT_CV2_NUM} * span_sec * span_sec)
+                       AS is_metronome_bot
+              FROM per_user WHERE span_sec > 0)
+    SELECT user_id, n_events, span_sec, rate_per_min_micro,
+           is_rate_bot, is_metronome_bot,
+           (is_rate_bot OR is_metronome_bot) AS is_bot
+    FROM flags""",
+    doc="ABUSE SCREEN: per-user bot/automation heuristics — the gate a "
+    "behavioral corpus passes before events are trusted as training "
+    "signal (bots poison engagement counts, co-occurrence stats, and "
+    "every A/B readout upstream of them). Two classic rules: "
+    f"SUSTAINED RATE (>= {BOT_RATE_PER_MIN} event/min across the "
+    f"user's whole active span, with >= {BOT_MIN_EVENTS} events) and "
+    "METRONOME REGULARITY (squared coefficient of variation of "
+    "inter-event gaps <= 0.1 — human traffic is bursty, cv^2 ~ 1; "
+    "timers are flat). Every decision is an EXACT INTEGER "
+    "cross-multiplied comparison (n*60 >= span*rate; 10*(n*ss - s^2) "
+    "<= s^2 — cv^2 without ever forming a float ratio); the reported "
+    "rate is one rounded division for humans. Scale shape: one lag "
+    "window partitioned by user_id (high cardinality) feeding one "
+    "map-side-combinable per-user aggregate; output is the user "
+    "dimension with verdict flags. Second-grain integer seconds keep "
+    "s^2 and n*ss inside int64 to ~10^4 events/user over a month; "
+    "re-grain to minutes (or DECIMAL) for longer horizons.",
+)
+def ev_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("unix_micros(ts) DIV 1000000")
+    g = _events(spark, sf_dir).select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap_sec")
+    )
+    per_user = g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+        F.count("gap_sec").cast("long").alias("n_gaps"),
+        F.sum("gap_sec").cast("long").alias("span_sec"),
+        F.sum(F.col("gap_sec") * F.col("gap_sec")).cast("long").alias("ss"),
+    )
+    s2 = F.col("span_sec") * F.col("span_sec")
+    flags = per_user.filter(F.col("span_sec") > 0).select(
+        "user_id",
+        "n_events",
+        "span_sec",
+        F.round(F.col("n_events").cast("double") * 60 * 1000000 / F.col("span_sec"))
+        .cast("long")
+        .alias("rate_per_min_micro"),
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (F.col("span_sec") > 0)
+            & (F.col("n_events") * 60 >= F.col("span_sec") * BOT_RATE_PER_MIN)
+        ).alias("is_rate_bot"),
+        (
+            (F.col("n_gaps") >= 5)
+            & (F.col("span_sec") > 0)
+            & (
+                F.lit(BOT_CV2_DEN) * (F.col("n_gaps") * F.col("ss") - s2)
+                <= F.lit(BOT_CV2_NUM) * s2
+            )
+        ).alias("is_metronome_bot"),
+    )
+    return flags.select(
+        "*", (F.col("is_rate_bot") | F.col("is_metronome_bot")).alias("is_bot")
+    )

@@ -2401,3 +2401,96 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cum_nano").cast("double") / F.lit(1e9)), 6))
         .alias("survival"),
     ).orderBy("t_days")
+
+
+RFM_MIGRATION_SPLIT = "1998-05-01"  # midpoint of the 1995-2001 fixture span
+
+
+@REGISTRY.register(
+    "orders_rfm_migration",
+    oracle=f"""
+    WITH fm AS (SELECT o_custkey,
+                       (o_orderdate < TIMESTAMP '{RFM_MIGRATION_SPLIT} 00:00:00')
+                         AS h1,
+                       CAST(count(*) AS BIGINT) AS f,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS m
+                FROM orders GROUP BY 1, 2),
+    thr AS (SELECT round(quantile_cont(CAST(f AS DOUBLE), 0.5), 6) AS f_med,
+                   round(quantile_cont(CAST(m AS DOUBLE), 0.5), 6) AS m_med
+            FROM fm WHERE h1),
+    seg AS (SELECT o_custkey, h1,
+                   CASE WHEN CAST(f AS DOUBLE) > t.f_med
+                             AND CAST(m AS DOUBLE) > t.m_med THEN 'high_value'
+                        WHEN CAST(f AS DOUBLE) > t.f_med THEN 'frequent_small'
+                        WHEN CAST(m AS DOUBLE) > t.m_med THEN 'big_basket'
+                        ELSE 'low' END AS segment
+            FROM fm CROSS JOIN thr t),
+    mig AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                   coalesce(a.segment, 'absent') AS seg_from,
+                   coalesce(b.segment, 'absent') AS seg_to
+            FROM (SELECT * FROM seg WHERE h1) a
+            FULL OUTER JOIN (SELECT * FROM seg WHERE NOT h1) b
+              USING (o_custkey))
+    SELECT seg_from, seg_to, CAST(count(*) AS BIGINT) AS n_customers
+    FROM mig GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="CUSTOMER SEGMENT MIGRATION MATRIX: frequency/monetary "
+    "quadrants computed per customer in each HALF of the order "
+    "history (split at the fixture midpoint), with the quadrant "
+    "thresholds FROZEN from the first half and applied to both — so "
+    "a cell movement means the CUSTOMER changed, not the yardstick — "
+    "then the (from, to) transition counts including 'absent' states "
+    "(churned = from-segment → absent; acquired = absent → "
+    "to-segment). This is the period-over-period movement report "
+    "behind retention planning, the natural sequel to the static "
+    "orders_rfm_segments snapshot. Scale shape: ONE conditional "
+    "aggregate builds both halves' per-customer facts (no second "
+    "orders scan), the 2-value threshold row broadcasts back, the "
+    "halves full-outer-join on the customer key, and the matrix is a "
+    "bounded 5x5 rollup. Medians honor the exact↔sketch percentile "
+    "switch; money is exact integer cents.",
+)
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import median_expr
+
+    o = _t(spark, sf_dir, "orders")
+    fm = o.groupBy(
+        "o_custkey",
+        (
+            F.col("o_orderdate")
+            < F.lit(f"{RFM_MIGRATION_SPLIT} 00:00:00").cast("timestamp")
+        ).alias("h1"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m"),
+    )
+    thr = fm.filter(F.col("h1")).agg(
+        F.round(median_expr("f"), 6).alias("f_med"),
+        F.round(median_expr("m"), 6).alias("m_med"),
+    )
+    seg = fm.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "h1",
+        F.when(
+            (F.col("f").cast("double") > F.col("f_med"))
+            & (F.col("m").cast("double") > F.col("m_med")),
+            "high_value",
+        )
+        .when(F.col("f").cast("double") > F.col("f_med"), "frequent_small")
+        .when(F.col("m").cast("double") > F.col("m_med"), "big_basket")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("h1")).select("o_custkey", F.col("segment").alias("sa"))
+    b = seg.filter(~F.col("h1")).select("o_custkey", F.col("segment").alias("sb"))
+    mig = a.join(b, on="o_custkey", how="full_outer").select(
+        F.coalesce(F.col("sa"), F.lit("absent")).alias("seg_from"),
+        F.coalesce(F.col("sb"), F.lit("absent")).alias("seg_to"),
+    )
+    return (
+        mig.groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )

@@ -4676,3 +4676,260 @@ def emb_knn_recall_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@REGISTRY.register(
+    "emb_knn_mips",
+    oracle=f"""
+    WITH el AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                         AS em
+                FROM embeddings),
+    q AS (SELECT vec_id AS qid, em AS qm FROM el WHERE vec_id < {N_QUERIES}),
+    pairs AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(len(e.em)),
+                          i -> e.em[i + 1] * q.qm[i + 1])) AS BIGINT) AS ip_micro2
+              FROM el e, q WHERE e.vec_id <> q.qid),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY ip_micro2 DESC, neighbor_id ASC) AS rn
+               FROM pairs)
+    SELECT query_id, neighbor_id, ip_micro2, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {K_NEIGHBORS}""",
+    doc="MAXIMUM INNER-PRODUCT SEARCH (MIPS) top-k — the retrieval "
+    "metric recommender and two-tower ranking models actually serve "
+    "(inner product is NOT cosine: un-normalized magnitudes matter, "
+    "and a vector can out-score a more-aligned but shorter one — the "
+    "norm-augmentation reduction of Shrivastava & Li 2014 maps this "
+    "onto the cosine/L2 index families when an index is needed; this "
+    "entry is the exact baseline those reductions are measured "
+    "against, like emb_knn_bruteforce for cosine). Determinism: "
+    "coordinates quantize to micro integers BEFORE the products, so "
+    "every inner product is an EXACT bigint sum — no float fold "
+    "order, no division, no rounding anywhere. Scale shape: broadcast "
+    "query side, one corpus scan (the deliberate BNLJ baseline).",
+)
+def emb_knn_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.round(x * 1000000).cast("long"),
+        ).alias("em"),
+    )
+    q = el.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("em").alias("qm")
+    )
+    ip = F.aggregate(
+        F.zip_with(F.col("em"), F.col("qm"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        el.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            ip.cast("long").alias("ip_micro2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip_micro2").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_NEIGHBORS)
+        .select(
+            "query_id", "neighbor_id", "ip_micro2",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "docs_heldout_perplexity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DOC_PCT_DUCK} AS pct,
+                        unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, pct, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY 1, 2, 3),
+    lm AS (SELECT token, CAST(sum(n) AS BIGINT) AS c
+           FROM tf WHERE pct < {SPLIT_TRAIN_PCT} GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS v FROM lm)
+    SELECT f.doc_id,
+           CAST(sum(f.n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN l.c IS NULL THEN f.n ELSE 0 END) AS BIGINT)
+             AS n_oov_tokens,
+           round(CAST(sum(f.n * CAST(round(
+                   ln((coalesce(l.c, 0) + 1.0) / (tot.t + tot.v)) * 1e9)
+                   AS BIGINT)) AS DOUBLE) / 1e9 / sum(f.n), 6) AS avg_logprob,
+           round(exp(-(CAST(sum(f.n * CAST(round(
+                   ln((coalesce(l.c, 0) + 1.0) / (tot.t + tot.v)) * 1e9)
+                   AS BIGINT)) AS DOUBLE) / 1e9 / sum(f.n))), 6) AS perplexity
+    FROM tf f LEFT JOIN lm l USING (token) CROSS JOIN tot
+    WHERE f.pct >= {SPLIT_TRAIN_PCT}
+    GROUP BY f.doc_id""",
+    doc="HELD-OUT PERPLEXITY: the train/heldout evaluation loop every "
+    "LM data decision closes with — an add-1 unigram LM fit on the "
+    "deterministic 90% train split (the SAME md5-percentile "
+    "assignment as docs_split_assign, so train/heldout membership "
+    "matches the split entry exactly), scored on the held-out 10%: "
+    "per heldout doc, its token count, OOV token count (unseen in "
+    "train — the coverage signal), mean log-likelihood, and "
+    "perplexity. Differs from docs_unigram_logprob's SELF-scored LM "
+    "exactly the way eval differs from training diagnostics: the "
+    "model never sees the docs it scores. Scale shape: ONE "
+    "tokenize+count pass; the train LM is a filtered re-aggregation "
+    "of the (doc, token) frame (never a second corpus scan) and "
+    "broadcasts back onto the heldout postings with the 1-row "
+    "totals. Determinism: per-TYPE log terms nano-quantized to "
+    "integers before the per-doc weighted sum; avg and exp derive "
+    "from the exact bigint at the end.",
+)
+def docs_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    tok = docs.select(
+        "doc_id",
+        F.expr(_DOC_PCT_SPARK).alias("pct"),
+        F.explode(ws_tokens(norm_text(F.col("text")))).alias("token"),
+    )
+    tf = (
+        tok.groupBy("doc_id", "pct", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()  # feeds the train LM and the heldout scoring join
+    )
+    lm = (
+        tf.filter(F.col("pct") < SPLIT_TRAIN_PCT)
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("c"))
+    )
+    tot = lm.agg(
+        F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    nano = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+            / (F.col("t") + F.col("v"))
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    scored = (
+        tf.filter(F.col("pct") >= SPLIT_TRAIN_PCT)
+        .join(F.broadcast(lm), on="token", how="left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_oov_tokens"),
+            F.sum(F.col("n") * nano).cast("long").alias("s_nano"),
+        )
+    )
+    avg_ln = F.col("s_nano").cast("double") / F.lit(1e9) / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov_tokens",
+        F.round(avg_ln, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg_ln), 6).alias("perplexity"),
+    )
+
+
+KN_DISCOUNT = 0.75  # the standard fixed Kneser-Ney discount
+
+
+@REGISTRY.register(
+    "docs_bigram_kn_logprob",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    t AS (SELECT doc_id, string_split(norm, ' ') AS t
+          FROM n WHERE length(norm) > 0),
+    big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t) q),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS nfw
+           FROM bc GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nbw FROM bc GROUP BY w2),
+    btypes AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
+    terms AS (SELECT g.doc_id,
+                     CAST(round(log10(
+                       (c.c12 - {KN_DISCOUNT}) / u.c1
+                       + {KN_DISCOUNT} * u.nfw / u.c1 * (o.nbw * 1.0 / bt.b))
+                       * 1e9) AS BIGINT) AS nano
+              FROM big g
+              JOIN bc c ON g.w1 = c.w1 AND g.w2 = c.w2
+              JOIN uc u ON g.w1 = u.w1
+              JOIN cont o ON g.w2 = o.w2
+              CROSS JOIN btypes bt)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nano) AS DOUBLE) / 1e9 / count(*), 6) AS avg_logprob_kn
+    FROM terms GROUP BY doc_id""",
+    doc=f"INTERPOLATED KNESER-NEY bigram scoring (Kneser & Ney 1995; "
+    f"fixed discount D={KN_DISCOUNT}) — the smoothing that actually "
+    "ships in n-gram LMs, next to docs_bigram_lm_logprob's add-1 "
+    "strawman: P(w2|w1) = max(c12-D,0)/c1 + D*N1+(w1,.)/c1 * "
+    "Pcont(w2), where the continuation probability Pcont(w2) = "
+    "N1+(.,w2)/|bigram types| asks 'how many contexts has w2 "
+    "followed?' instead of 'how often has w2 appeared?' — the "
+    "correction that stops frequent-but-context-bound words from "
+    "leaking probability into novel contexts. Every scored bigram "
+    "was observed (c12 >= 1 > D), so the discounted term never hits "
+    "log(0). Scale shape: bigram counts once; c1, the forward "
+    "continuation fan-out N1+(w1,.), the backward fan-in N1+(.,w2), "
+    "and the bigram-type total are ALL tiny re-aggregations of that "
+    "ONE count table (the corpus is never re-scanned), joined back "
+    "by key. Determinism: integer counts into one identical double "
+    "expression, nano-quantized per TYPE before the per-doc sum.",
+)
+def docs_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") > 0)
+    toks = d.select("doc_id", ws_tokens(F.col("norm")).alias("t"))
+    big = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).persist()  # c1/nfw/nbw/btypes are all re-aggregations of bc
+    uc = bc.groupBy(F.col("w1").alias("u_w1")).agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("nfw"),
+    )
+    cont = bc.groupBy(F.col("w2").alias("o_w2")).agg(
+        F.count(F.lit(1)).cast("long").alias("nbw")
+    )
+    btypes = bc.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    p = (F.col("c12") - F.lit(KN_DISCOUNT)) / F.col("c1") + F.lit(
+        KN_DISCOUNT
+    ) * F.col("nfw") / F.col("c1") * (F.col("nbw") * F.lit(1.0) / F.col("b"))
+    terms = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), big["w1"] == F.col("u_w1"))
+        .join(F.broadcast(cont), big["w2"] == F.col("o_w2"))
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "doc_id",
+            F.round(F.log10(p) * 1e9).cast("long").alias("nano"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("nano").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+        ).alias("avg_logprob_kn"),
+    )
