@@ -1345,3 +1345,178 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer TRAINING: iterative merge learning (Sennrich et al. 2016)
+# --------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 10  # merge-table rows learned (one argmax pair per round)
+BPE_TRAIN_WORDS = 2000  # word-frequency vocab cap (freq desc, word asc)
+
+#: wrapped symbol encoding: every symbol carries its OWN space wrapper
+#: (" a  b  </w> " — two spaces between symbols, one at each edge), so
+#: a plain left-to-right replace of " L  R " with " LR " merges EVERY
+#: non-overlapping occurrence greedily — including consecutive runs
+#: (" a  a  a  a " -> " aa  aa "), which a single-space encoding gets
+#: wrong because the consumed trailing space breaks the next match.
+#: Plain replace() (no regex) means symbols never need escaping, and
+#: both engines share identical scan-forward non-rescanning semantics.
+_BPE_SEQ_DUCK = (
+    "' ' || array_to_string(list_append(regexp_extract_all(word, '[a-z]'),"
+    " '</w>'), '  ') || ' '"
+)
+_BPE_SEQ_SPARK = (
+    "concat(' ', array_join(concat(regexp_extract_all(word, '[a-z]', 0),"
+    " array('</w>')), '  '), ' ')"
+)
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB mirror of the BPE merge-training loop (the
+    _lloyd_oracle_sql idiom — generated from one Python loop so the
+    two engines cannot drift structurally): per round, count adjacent
+    symbol pairs weighted by word frequency, pick the (count desc,
+    pair asc) argmax, splice it into every word, and report the merge
+    plus the corpus token count it leaves behind."""
+    parts = [
+        f"""wtok AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+              FROM documents),
+    wf0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wtok
+            WHERE regexp_full_match(word, '[a-z]+') GROUP BY word
+            ORDER BY freq DESC, word ASC LIMIT {BPE_TRAIN_WORDS}),
+    nw AS (SELECT CAST(sum(freq) AS BIGINT) AS n_words FROM wf0),
+    w_0 AS (SELECT word, freq, {_BPE_SEQ_DUCK} AS seq FROM wf0)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    p_{t} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM (SELECT freq,
+                           unnest(list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1])) AS pair
+                    FROM (SELECT freq, string_split(trim(seq), '  ') AS t
+                          FROM w_{t - 1}))
+              GROUP BY pair),
+    b_{t} AS (SELECT pair, cnt FROM p_{t}
+              ORDER BY cnt DESC, pair ASC LIMIT 1),
+    w_{t} AS (SELECT w.word, w.freq,
+                     replace(w.seq, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                             ' ' || replace(b.pair, ' ', '') || ' ') AS seq
+              FROM w_{t - 1} w CROSS JOIN b_{t} b),
+    s_{t} AS (SELECT CAST(sum(freq * len(string_split(trim(seq), '  ')))
+                          AS BIGINT) AS total_tokens_after
+              FROM w_{t})""")
+    selects = [
+        f"""SELECT CAST({t} AS BIGINT) AS step, b.pair AS pair,
+           replace(b.pair, ' ', '') AS merged,
+           b.cnt AS pair_count, s.total_tokens_after,
+           round(CAST(s.total_tokens_after AS DOUBLE) / nw.n_words, 6)
+             AS tokens_per_word
+    FROM b_{t} b CROSS JOIN s_{t} s CROSS JOIN nw"""
+        for t in range(1, rounds + 1)
+    ]
+    return (
+        "WITH " + ",".join(parts) + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY step"
+    )
+
+
+@REGISTRY.register(
+    "docs_bpe_merges",
+    oracle=_bpe_oracle_sql(BPE_MERGE_ROUNDS),
+    doc="BPE TOKENIZER TRAINING — the iterative merge-learning loop "
+    "(Sennrich et al. 2016) that docs_bigram_topk's pair statistic "
+    f"exists to feed: {BPE_MERGE_ROUNDS} rounds, each counting "
+    "adjacent SYMBOL pairs over the word-frequency vocabulary "
+    "(weighted by word freq — the corpus is touched exactly ONCE to "
+    f"build the capped {BPE_TRAIN_WORDS}-word table; training then "
+    "iterates over the tiny vocab, the shape a 100 TB run demands), "
+    "taking the (count desc, pair asc) argmax as the next merge rule "
+    "and splicing it into every word via a plain string replace over "
+    "the space-wrapped symbol encoding (greedy left-to-right, "
+    "consecutive-run-safe, no regex escaping — see _BPE_SEQ docs). "
+    "Output: the learned merge table plus the corpus-token count and "
+    "tokens-per-word fertility each merge leaves behind — pytest pins "
+    "the fertility curve strictly decreasing (compression is the "
+    "point of every merge). Third iterative algorithm beside "
+    "connected-components and Lloyd: per-round lineage is cut by "
+    "localCheckpoint on the vocab frame (bounded rows), the argmax "
+    "is a 1-row broadcast back into the splice (no collect), and the "
+    "oracle unrolls the identical loop into generated CTEs.",
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    wf = (
+        docs.select(F.explode(ws_tokens(norm_text(F.col("text")))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(BPE_TRAIN_WORDS)
+    )
+    words = wf.select("word", "freq", F.expr(_BPE_SEQ_SPARK).alias("seq"))
+    words = words.localCheckpoint()
+    n_words = words.agg(F.sum("freq").cast("long").alias("n_words"))
+    steps = []
+    for t in range(1, BPE_MERGE_ROUNDS + 1):
+        pairs = (
+            words.select("freq", F.split(F.trim(F.col("seq")), "  ").alias("t"))
+            .select(
+                "freq",
+                F.explode(
+                    # the docs_bigram_topk CASE guard: Spark's
+                    # sequence(1, 0) is a DESCENDING [1, 0] — a
+                    # fully-merged single-symbol word would index
+                    # element_at(t, 0) and throw
+                    F.expr(
+                        "CASE WHEN size(t) >= 2"
+                        " THEN transform(sequence(1, size(t) - 1),"
+                        "      i -> concat(element_at(t, i), ' ',"
+                        "                  element_at(t, i + 1)))"
+                        " ELSE CAST(array() AS ARRAY<STRING>) END"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).localCheckpoint()
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                F.expr(
+                    "replace(seq, concat(' ', replace(pair, ' ', '  '), ' '),"
+                    " concat(' ', replace(pair, ' ', ''), ' '))"
+                ).alias("seq"),
+            )
+            .localCheckpoint()  # vocab-sized; cuts the per-round lineage
+        )
+        after = words.agg(
+            F.sum(
+                F.col("freq") * F.size(F.split(F.trim(F.col("seq")), "  "))
+            )
+            .cast("long")
+            .alias("total_tokens_after")
+        )
+        steps.append(
+            best.crossJoin(after)
+            .crossJoin(F.broadcast(n_words))
+            .select(
+                F.lit(t).cast("long").alias("step"),
+                "pair",
+                F.expr("replace(pair, ' ', '')").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+                "total_tokens_after",
+                F.round(
+                    F.col("total_tokens_after").cast("double") / F.col("n_words"),
+                    6,
+                ).alias("tokens_per_word"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")

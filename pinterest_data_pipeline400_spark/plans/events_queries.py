@@ -3838,7 +3838,7 @@ BOT_CV2_NUM, BOT_CV2_DEN = 1, 10  # metronome rule: cv^2 <= 0.1
                         AS gap_sec
                FROM events),
     per_user AS (SELECT user_id,
-                        CAST(count(*) + 1 AS BIGINT) AS n_events,
+                        CAST(count(*) AS BIGINT) AS n_events,
                         CAST(count(gap_sec) AS BIGINT) AS n_gaps,
                         CAST(sum(gap_sec) AS BIGINT) AS span_sec,
                         CAST(sum(gap_sec * gap_sec) AS BIGINT) AS ss
@@ -3883,7 +3883,7 @@ def ev_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", (sec - F.lag(sec).over(w)).alias("gap_sec")
     )
     per_user = g.groupBy("user_id").agg(
-        (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count("gap_sec").cast("long").alias("n_gaps"),
         F.sum("gap_sec").cast("long").alias("span_sec"),
         F.sum(F.col("gap_sec") * F.col("gap_sec")).cast("long").alias("ss"),

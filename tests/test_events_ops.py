@@ -373,3 +373,21 @@ def test_time_weighted_avg_constant_value_invariant(spark):
     assert r["twa_value_cents"] == 725.0
     assert r["n_events"] == 6
     assert r["total_weight_sec"] == 86400  # first event at midnight tiles the day
+
+
+def test_bot_screen_n_events_is_true_event_count(spark):
+    """ADVICE r7: the gap frame has ONE row per event (the first row's
+    lag is NULL), so count(*) already equals the user's event count —
+    the old `count(*) + 1` inflated n_events by one on both engines,
+    shifting every rate and the >= 20-event gate. Cross-check against
+    an independent per-user count of the raw events table."""
+    ev = _events_pdf(spark)
+    true_counts = ev.groupby("user_id").size()
+    out = eq.ev_bot_screen(spark, TEST_SF_DIR).toPandas().set_index("user_id")
+    assert len(out) > 0
+    for uid, row in out.iterrows():
+        assert row["n_events"] == true_counts[uid], (
+            uid,
+            row["n_events"],
+            true_counts[uid],
+        )
