@@ -69,6 +69,9 @@ GRADE_WINDOW = [
     # round-8 additions (new this round, graded immediately) are
     # appended here as they are built.
     "docs_bpe_merges",
+    "ev_pagerank",
+    "docs_corpus_pipeline_v2",
+    "docs_bpe_apply",
 ]
 
 

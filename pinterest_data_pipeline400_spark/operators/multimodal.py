@@ -258,17 +258,69 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, WAV_SCHEMA)
 
 
+#: every JFIF "start of frame" marker variant (baseline, progressive,
+#: lossless, arithmetic-coded …) — all share the same height/width/
+#: component layout in the segment body
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+
+
+def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from a JPEG header — a pure
+    marker-segment walk to the SOF frame, no codec required (the
+    entropy-coded pixel data is never touched, so this needs neither
+    pillow nor libjpeg). Mirrors parse_ppm's role for the compressed
+    format: metadata extraction stays dependency-free at any scale;
+    only full pixel decode needs the optional pillow path."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    i = 2
+    n = len(payload)
+    while i + 3 < n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if marker in _JPEG_SOF_MARKERS:
+            height = int.from_bytes(payload[i + 5 : i + 7], "big")
+            width = int.from_bytes(payload[i + 7 : i + 9], "big")
+            ncomp = payload[i + 9]
+            return width, height, ncomp
+        if marker == 0xDA:  # SOS: entropy-coded data follows, SOF missed
+            break
+        i += 2 + seglen
+    raise ValueError("no SOF marker before scan data")
+
+
 def decode_image_real(payload: bytes) -> dict:
     """The real decoder's integration point. P6 PPM payloads decode
-    natively (:func:`parse_ppm` — no dependency); other formats use
-    pillow when it is installed (production image) and raise
-    ``NotImplementedError`` in codec-less environments like this
+    natively (:func:`parse_ppm`) and JPEG headers parse natively
+    (:func:`parse_jpeg_dims`) — no dependency for either; other
+    formats use pillow when it is installed (production image) and
+    raise ``NotImplementedError`` in codec-less environments like this
     sandbox — callers fall back to :func:`fake_features`. A
-    ``pytest.importorskip``-gated test exercises the pillow path
-    wherever it exists."""
+    ``pytest.importorskip``-gated test proves the pillow path and the
+    native JPEG header walk agree wherever pillow exists."""
     if payload[:2] == b"P6":
         width, height, _maxval, _s = parse_ppm(payload)
         return {"width": width, "height": height, "mode": "RGB", "format": "PPM"}
+    if payload[:2] == b"\xff\xd8":
+        width, height, ncomp = parse_jpeg_dims(payload)
+        return {
+            "width": width,
+            "height": height,
+            "mode": _JPEG_MODES.get(ncomp, f"C{ncomp}"),
+            "format": "JPEG",
+        }
     try:
         import io
 

@@ -16,6 +16,8 @@ of a global ntile sort — no single-partition window anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1372,13 +1374,12 @@ _BPE_SEQ_SPARK = (
 )
 
 
-def _bpe_oracle_sql(rounds: int) -> str:
-    """Unrolled DuckDB mirror of the BPE merge-training loop (the
-    _lloyd_oracle_sql idiom — generated from one Python loop so the
-    two engines cannot drift structurally): per round, count adjacent
-    symbol pairs weighted by word frequency, pick the (count desc,
-    pair asc) argmax, splice it into every word, and report the merge
-    plus the corpus token count it leaves behind."""
+def _bpe_train_cte_parts(rounds: int) -> list[str]:
+    """CTE strings (no leading WITH) for the unrolled BPE training
+    loop, ending in the per-round argmax merges ``b_1 .. b_rounds``
+    and vocab states ``w_t`` / token counters ``s_t`` — shared by the
+    merge-table entry AND the apply-to-corpus entry so the two oracles
+    cannot drift structurally (the _pq_trained_cte_parts rule)."""
     parts = [
         f"""wtok AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
               FROM documents),
@@ -1406,6 +1407,13 @@ def _bpe_oracle_sql(rounds: int) -> str:
     s_{t} AS (SELECT CAST(sum(freq * len(string_split(trim(seq), '  ')))
                           AS BIGINT) AS total_tokens_after
               FROM w_{t})""")
+    return parts
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """The merge-table entry's oracle: the shared training CTEs plus a
+    per-round (merge, count, remaining tokens, fertility) report."""
+    parts = _bpe_train_cte_parts(rounds)
     selects = [
         f"""SELECT CAST({t} AS BIGINT) AS step, b.pair AS pair,
            replace(b.pair, ' ', '') AS merged,
@@ -1422,30 +1430,8 @@ def _bpe_oracle_sql(rounds: int) -> str:
     )
 
 
-@REGISTRY.register(
-    "docs_bpe_merges",
-    oracle=_bpe_oracle_sql(BPE_MERGE_ROUNDS),
-    doc="BPE TOKENIZER TRAINING — the iterative merge-learning loop "
-    "(Sennrich et al. 2016) that docs_bigram_topk's pair statistic "
-    f"exists to feed: {BPE_MERGE_ROUNDS} rounds, each counting "
-    "adjacent SYMBOL pairs over the word-frequency vocabulary "
-    "(weighted by word freq — the corpus is touched exactly ONCE to "
-    f"build the capped {BPE_TRAIN_WORDS}-word table; training then "
-    "iterates over the tiny vocab, the shape a 100 TB run demands), "
-    "taking the (count desc, pair asc) argmax as the next merge rule "
-    "and splicing it into every word via a plain string replace over "
-    "the space-wrapped symbol encoding (greedy left-to-right, "
-    "consecutive-run-safe, no regex escaping — see _BPE_SEQ docs). "
-    "Output: the learned merge table plus the corpus-token count and "
-    "tokens-per-word fertility each merge leaves behind — pytest pins "
-    "the fertility curve strictly decreasing (compression is the "
-    "point of every merge). Third iterative algorithm beside "
-    "connected-components and Lloyd: per-round lineage is cut by "
-    "localCheckpoint on the vocab frame (bounded rows), the argmax "
-    "is a 1-row broadcast back into the splice (no collect), and the "
-    "oracle unrolls the identical loop into generated CTEs.",
-)
-def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-training loop itself — see docs_bpe_merges."""
     docs = _docs(spark, sf_dir, spread=True)
     wf = (
         docs.select(F.explode(ws_tokens(norm_text(F.col("text")))).alias("word"))
@@ -1520,3 +1506,422 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+def cached_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table, disk-cached per (documents stamp, code
+    version) — the cached_pq_trained_codebook rule: training is a
+    deterministic function of the corpus and BOTH the merge-table
+    entry and the apply-to-corpus entry consume it, so it materializes
+    once ({BPE_MERGE_ROUNDS} tiny rows) instead of re-running the
+    loop per consumer."""
+    from .training_data import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "bpe",
+        "merges",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v1-{BPE_MERGE_ROUNDS}-{BPE_TRAIN_WORDS}",
+        lambda: _bpe_train(spark, sf_dir),
+    )
+
+
+@REGISTRY.register(
+    "docs_bpe_merges",
+    oracle=_bpe_oracle_sql(BPE_MERGE_ROUNDS),
+    doc="BPE TOKENIZER TRAINING — the iterative merge-learning loop "
+    "(Sennrich et al. 2016) that docs_bigram_topk's pair statistic "
+    f"exists to feed: {BPE_MERGE_ROUNDS} rounds, each counting "
+    "adjacent SYMBOL pairs over the word-frequency vocabulary "
+    "(weighted by word freq — the corpus is touched exactly ONCE to "
+    f"build the capped {BPE_TRAIN_WORDS}-word table; training then "
+    "iterates over the tiny vocab, the shape a 100 TB run demands), "
+    "taking the (count desc, pair asc) argmax as the next merge rule "
+    "and splicing it into every word via a plain string replace over "
+    "the space-wrapped symbol encoding (greedy left-to-right, "
+    "consecutive-run-safe, no regex escaping — see _BPE_SEQ docs). "
+    "Output: the learned merge table plus the corpus-token count and "
+    "tokens-per-word fertility each merge leaves behind — pytest pins "
+    "the fertility curve strictly decreasing (compression is the "
+    "point of every merge). Third iterative algorithm beside "
+    "connected-components and Lloyd: per-round lineage is cut by "
+    "localCheckpoint on the vocab frame (bounded rows), the argmax "
+    "is a 1-row broadcast back into the splice (no collect), the "
+    "oracle unrolls the identical loop into generated CTEs, and the "
+    "trained table disk-caches content-stamped so docs_bpe_apply "
+    "reads it back instead of retraining.",
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cached_bpe_merges(spark, sf_dir).orderBy("step")
+
+
+def _bpe_apply_oracle_sql(rounds: int) -> str:
+    """Apply-entry oracle: the shared training CTEs, then the learned
+    merges spliced IN ORDER into the FULL per-(lang, word) frequency
+    table (no vocab cap — generalization to unseen words is the point
+    of subword merges), reported as per-language fertility."""
+    parts = _bpe_train_cte_parts(rounds)
+    parts.append(f"""
+    aw_0 AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq,
+                    {_BPE_SEQ_DUCK} AS seq
+             FROM (SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
+                   FROM documents)
+             WHERE regexp_full_match(word, '[a-z]+')
+             GROUP BY lang, word)""")
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    aw_{t} AS (SELECT a.lang, a.word, a.freq,
+                      replace(a.seq, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                              ' ' || replace(b.pair, ' ', '') || ' ') AS seq
+               FROM aw_{t - 1} a CROSS JOIN b_{t} b)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(freq * (length(word) + 1)) AS BIGINT) AS sum_symbols_char,
+           CAST(sum(freq * len(string_split(trim(seq), '  '))) AS BIGINT)
+             AS sum_symbols_bpe,
+           round(CAST(sum(freq * len(string_split(trim(seq), '  ')))
+                      AS DOUBLE) / sum(freq), 6) AS fertility_bpe,
+           round(CAST(sum(freq * (length(word) + 1)) AS DOUBLE)
+                 / sum(freq * len(string_split(trim(seq), '  '))), 6)
+             AS compression
+    FROM aw_{rounds} GROUP BY lang""")
+
+
+@REGISTRY.register(
+    "docs_bpe_apply",
+    oracle=_bpe_apply_oracle_sql(BPE_MERGE_ROUNDS),
+    doc="BPE TOKENIZER APPLICATION — the train-then-apply composition "
+    "that completes the tokenizer story: the learned merge table "
+    "(docs_bpe_merges, read back from the content-stamped disk cache, "
+    "NOT retrained) is spliced in learned order into the FULL "
+    "per-(lang, word) frequency table — including every word beyond "
+    f"the {BPE_TRAIN_WORDS}-word training cap, because generalizing "
+    "merges to unseen words is the point of subword tokenization — "
+    "and the result ships as the per-language fertility report "
+    "(symbols per word before/after, compression ratio): "
+    "docs_tokenizer_fertility's equity readout, but under the "
+    "CORPUS-TRAINED tokenizer instead of the fixed regex. Scale "
+    "shape: one corpus tokenize + one (lang, word) aggregate, then "
+    f"{BPE_MERGE_ROUNDS} chained broadcast 1-row cross-joins applying "
+    "plain string replaces over the wrapped-symbol encoding — all "
+    "row-local, whole-stage-codegen'd, ending in a |langs|-row "
+    "aggregate; pytest pins BPE fertility strictly below character "
+    "fertility for every language (merges must compress).",
+)
+def docs_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    merges = cached_bpe_merges(spark, sf_dir)
+    aw = (
+        docs.select(
+            "lang", F.explode(ws_tokens(norm_text(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select("lang", "word", "freq", F.expr(_BPE_SEQ_SPARK).alias("seq"))
+    )
+    for t in range(1, BPE_MERGE_ROUNDS + 1):
+        b = merges.filter(F.col("step") == t).select("pair")
+        aw = aw.crossJoin(F.broadcast(b)).select(
+            "lang",
+            "word",
+            "freq",
+            F.expr(
+                "replace(seq, concat(' ', replace(pair, ' ', '  '), ' '),"
+                " concat(' ', replace(pair, ' ', ''), ' '))"
+            ).alias("seq"),
+        )
+    n_bpe = F.sum(F.col("freq") * F.size(F.split(F.trim(F.col("seq")), "  ")))
+    n_char = F.sum(F.col("freq") * (F.length("word") + F.lit(1)))
+    return aw.groupBy("lang").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        n_char.cast("long").alias("sum_symbols_char"),
+        n_bpe.cast("long").alias("sum_symbols_bpe"),
+        F.round(n_bpe.cast("double") / F.sum("freq"), 6).alias("fertility_bpe"),
+        F.round(n_char.cast("double") / n_bpe, 6).alias("compression"),
+    )
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation pipeline v2: funnel -> dedup -> DSIR -> pack, ONE plan
+# --------------------------------------------------------------------------
+
+from .training_data import (  # noqa: E402  (section-local, avoids cycle)
+    DSIR_K,
+    PACK_CONTEXT_TOKENS,
+    _DOC_BUCKET_DUCK,
+    _DOC_BUCKET_SPARK,
+)
+
+#: salted uniform for the pipeline's Gumbel-max draw — independent of
+#: docs_dsir_resample's 'dsir:' salt (the sampler-salt discipline at
+#: docs_split_assign: every sampler owns its hash stream).
+_PIPE_U_SPARK = (
+    "(CAST(conv(substr(md5(concat('pipe:', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT) + 1) / 4294967296.0"
+)
+_PIPE_U_DUCK = (
+    "(CAST(('0x' || substr(md5('pipe:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) + 1) / 4294967296.0"
+)
+
+
+@REGISTRY.register(
+    "docs_corpus_pipeline_v2",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents),
+    per_doc AS (SELECT doc_id, lang, norm,
+                       len(string_split(norm, ' ')) AS dl,
+                       length(norm) AS n_chars
+                FROM base),
+    tokx AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM base),
+    stop_cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop
+                 FROM tokx WHERE token IN ({_FUNNEL_STOP_SQL})
+                 GROUP BY doc_id),
+    top_tf AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tf
+               FROM (SELECT doc_id, token, count(*) AS c FROM tokx
+                     GROUP BY 1, 2)
+               GROUP BY doc_id),
+    q AS (SELECT p.doc_id, p.lang, p.norm, p.dl
+          FROM per_doc p
+          LEFT JOIN stop_cnt s USING (doc_id)
+          JOIN top_tf t USING (doc_id)
+          WHERE p.dl BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}
+            AND {FUNNEL_MWL_MIN} * p.dl <= p.n_chars - p.dl + 1
+            AND p.n_chars - p.dl + 1 <= {FUNNEL_MWL_MAX} * p.dl
+            AND {FUNNEL_STOP_DEN} * coalesce(s.n_stop, 0) >= p.dl
+            AND {FUNNEL_REP_DEN} * t.max_tf <= p.dl),
+    d AS (SELECT doc_id, lang, dl FROM q
+          QUALIFY row_number() OVER (PARTITION BY md5(norm)
+                                     ORDER BY doc_id) = 1),
+    tf AS (SELECT x.doc_id, d.lang, x.token, CAST(count(*) AS BIGINT) AS n
+           FROM tokx x JOIN d USING (doc_id)
+           GROUP BY x.doc_id, d.lang, x.token),
+    raw_lm AS (SELECT token, CAST(sum(n) AS BIGINT) AS cr
+               FROM tf GROUP BY token),
+    tgt_lm AS (SELECT token, CAST(sum(n) AS BIGINT) AS ct
+               FROM tf WHERE lang = 'en' GROUP BY token),
+    tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM raw_lm),
+    ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM tgt_lm),
+    ratio AS (SELECT r.token,
+                     CAST(round((ln((coalesce(g.ct, 0) + 1.0) / (ttot.tt + tot.v))
+                               - ln((r.cr + 1.0) / (tot.tr + tot.v))) * 1e9)
+                          AS BIGINT) AS nano
+              FROM raw_lm r LEFT JOIN tgt_lm g USING (token)
+              CROSS JOIN tot CROSS JOIN ttot),
+    logw AS (SELECT f.doc_id,
+                    CAST(sum(f.n * x.nano) AS BIGINT) AS logratio_nano
+             FROM tf f JOIN ratio x USING (token)
+             GROUP BY f.doc_id),
+    sel AS (SELECT d.doc_id, d.dl
+            FROM logw l JOIN d USING (doc_id)
+            ORDER BY l.logratio_nano
+                       + CAST(round(-ln(-ln({_PIPE_U_DUCK})) * 1e9) AS BIGINT)
+                       DESC,
+                     d.doc_id ASC
+            LIMIT {DSIR_K}),
+    packed AS (SELECT doc_id, {_DOC_BUCKET_DUCK} AS bucket, dl,
+                      sum(dl) OVER (PARTITION BY {_DOC_BUCKET_DUCK}
+                                    ORDER BY doc_id) AS cum
+               FROM sel),
+    c0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(dl), 0) AS BIGINT) AS tk FROM per_doc),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(dl), 0) AS BIGINT) AS tk FROM q),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(dl), 0) AS BIGINT) AS tk FROM d),
+    c3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(dl), 0) AS BIGINT) AS tk FROM sel),
+    c4 AS (SELECT CAST(count(*) AS BIGINT) AS nbins
+           FROM (SELECT DISTINCT bucket,
+                        (cum - dl) // {PACK_CONTEXT_TOKENS} AS b
+                 FROM packed))
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'quality_funnel' AS name,
+             c0.n AS n_in, c1.n AS n_out, c1.tk AS sum_tokens_out
+      FROM c0, c1
+      UNION ALL SELECT 2, 'exact_dedup', c1.n, c2.n, c2.tk FROM c1, c2
+      UNION ALL SELECT 3, 'dsir_resample', c2.n, c3.n, c3.tk FROM c2, c3
+      UNION ALL SELECT 4, 'pack_{PACK_CONTEXT_TOKENS}', c3.n, c4.nbins, c3.tk
+                FROM c3, c4)
+    ORDER BY stage""",
+    doc="END-TO-END curation pipeline v2 — the certified stages "
+    "CHAINED IN ONE LAZY PLAN, the shape a 100 TB run actually "
+    "submits (VERDICT r7 task #5; v1 predates most of the operator "
+    "families): C4/Gopher quality funnel (docs_filter_funnel's four "
+    "exact-integer rules, applied as one conjunctive gate) -> exact "
+    "dedup (min-doc_id keeper per normalized md5, the "
+    "docs_corpus_pipeline discipline) -> DSIR importance resample "
+    f"(docs_dsir_resample's add-1 LM ratio + Gumbel-max top-{DSIR_K}, "
+    "with BOTH language models re-estimated on the pipeline's OWN "
+    "deduped survivors — importance weights belong to the corpus "
+    "being sampled, and the 'pipe:' salt keeps the draw independent "
+    "of the standalone entry) -> "
+    f"{PACK_CONTEXT_TOKENS}-token bin packing (docs_pack_bins's "
+    "bucketed running-sum, reported as bins produced). Output is the "
+    "per-stage funnel report (rows in, rows out, surviving token "
+    "budget) — the accounting a curation run ships with its output. "
+    "Scale shape: ONE tokenize feeds the funnel's stopword/top-tf "
+    "aggregates AND (restricted to survivors) both DSIR LMs; every "
+    "stage boundary is a counter aggregate, not a materialization; "
+    "the only orderings are the bounded top-K and the per-bucket "
+    "packing window. Stage counts are pytest-pinned consistent with "
+    "the standalone entries.",
+)
+def docs_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    base = docs.select(
+        "doc_id", "lang", norm_text(F.col("text")).alias("norm")
+    )
+    per_doc = base.select(
+        "doc_id",
+        "lang",
+        "norm",
+        F.size(ws_tokens(F.col("norm"))).cast("long").alias("dl"),
+        F.length("norm").cast("long").alias("n_chars"),
+    )
+    tokx = base.select(
+        "doc_id", F.explode(ws_tokens(F.col("norm"))).alias("token")
+    ).persist()  # one tokenization feeds funnel aggs AND both DSIR LMs
+    stop_cnt = (
+        tokx.filter(F.col("token").isin(STOPWORDS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stop"))
+    )
+    top_tf = (
+        tokx.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("max_tf"))
+    )
+    mwl_chars = F.col("n_chars") - F.col("dl") + F.lit(1)
+    q = (
+        per_doc.join(stop_cnt, on="doc_id", how="left")
+        .join(top_tf, on="doc_id")
+        .filter(
+            F.col("dl").between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+            & (F.lit(FUNNEL_MWL_MIN) * F.col("dl") <= mwl_chars)
+            & (mwl_chars <= F.lit(FUNNEL_MWL_MAX) * F.col("dl"))
+            & (
+                F.lit(FUNNEL_STOP_DEN) * F.coalesce(F.col("n_stop"), F.lit(0))
+                >= F.col("dl")
+            )
+            & (F.lit(FUNNEL_REP_DEN) * F.col("max_tf") <= F.col("dl"))
+        )
+        .select("doc_id", "lang", "norm", "dl")
+    )
+    wd = Window.partitionBy(F.md5(F.encode(F.col("norm"), "UTF-8"))).orderBy(
+        "doc_id"
+    )
+    d = (
+        q.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "dl")
+        .persist()  # consumed by tf, the counter, and the sel join
+    )
+    tf = (
+        tokx.join(d.select("doc_id", "lang"), on="doc_id")
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    raw_lm = tf.groupBy("token").agg(F.sum("n").cast("long").alias("cr"))
+    tgt_lm = (
+        tf.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("ct"))
+    )
+    tot = raw_lm.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ttot = tgt_lm.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    ratio = (
+        raw_lm.join(tgt_lm, on="token", how="left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "token",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.col("v"))
+                    )
+                    - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.col("v")))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    logw = (
+        tf.join(F.broadcast(ratio), on="token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("nano")).cast("long").alias("logratio_nano"))
+    )
+    gumbel = F.round(-F.log(-F.log(F.expr(_PIPE_U_SPARK))) * F.lit(1e9)).cast("long")
+    sel = (
+        logw.join(d.select("doc_id", "dl"), on="doc_id")
+        .select("doc_id", "dl", (F.col("logratio_nano") + gumbel).alias("key_nano"))
+        .orderBy(F.col("key_nano").desc(), F.col("doc_id").asc())
+        .limit(DSIR_K)
+        .persist()  # consumed by the counter AND the packing window
+    )
+    wp = Window.partitionBy(F.expr(_DOC_BUCKET_SPARK)).orderBy("doc_id")
+    packed = sel.select(
+        F.expr(_DOC_BUCKET_SPARK).alias("bucket"),
+        "dl",
+        F.sum("dl").over(wp).alias("cum"),
+    )
+    counter = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tk"),
+    )
+    c0, c1, c2, c3 = counter(per_doc), counter(q), counter(d), counter(sel)
+    c4 = (
+        packed.select(
+            "bucket",
+            F.floor((F.col("cum") - F.col("dl")) / F.lit(PACK_CONTEXT_TOKENS)).alias(
+                "b"
+            ),
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("nbins"))
+    )
+    rename = lambda df, i: df.select(  # noqa: E731
+        *[F.col(c).alias(f"{c}{i}") for c in df.columns]
+    )
+    joined = (
+        rename(c0, 0)
+        .crossJoin(F.broadcast(rename(c1, 1)))
+        .crossJoin(F.broadcast(rename(c2, 2)))
+        .crossJoin(F.broadcast(rename(c3, 3)))
+        .crossJoin(F.broadcast(c4))
+    )
+    stages = [
+        (1, "quality_funnel", "n0", "n1", "tk1"),
+        (2, "exact_dedup", "n1", "n2", "tk2"),
+        (3, "dsir_resample", "n2", "n3", "tk3"),
+        (4, f"pack_{PACK_CONTEXT_TOKENS}", "n3", "nbins", "tk3"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("stage"),
+                F.lit(name).alias("name"),
+                F.col(nin).alias("n_in"),
+                F.col(nout).alias("n_out"),
+                F.col(tko).alias("sum_tokens_out"),
+            )
+            for s, name, nin, nout, tko in stages
+        ]
+    )
+    return joined.select(F.explode(rows).alias("r")).select("r.*").orderBy("stage")

@@ -3655,6 +3655,159 @@ def ev_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# link analysis: PageRank power iteration on the event-type transition graph
+# --------------------------------------------------------------------------
+
+PR_ROUNDS = 3
+PR_DAMP = "0.85"  # the damping literal, parsed to the SAME double by both engines
+PR_SCALE = 1_000_000  # micro scores: the HITS_SCALE headroom argument
+
+
+def _pagerank_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB mirror of the damped PageRank loop (the
+    _hits_oracle_sql idiom — one generator, both engines). Per-edge
+    mass transfer is rounded ONCE per edge (round(pr*w/outw) as a
+    bigint), so the per-node sum is an order-free integer aggregate;
+    the damping/teleport/dangling combination is one correctly-rounded
+    double expression per node per round."""
+    parts = [
+        """edges AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS w
+             FROM (SELECT event_type AS from_type,
+                          lead(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                            AS to_type
+                   FROM events)
+             WHERE to_type IS NOT NULL GROUP BY 1, 2)""",
+        """nodes AS (SELECT DISTINCT event_type AS node FROM events)""",
+        """nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""",
+        """outw AS (SELECT from_type AS node, CAST(sum(w) AS BIGINT) AS ow
+            FROM edges GROUP BY 1)""",
+        f"""pr_0 AS (SELECT node, CAST(round({PR_SCALE}.0 / nn.n) AS BIGINT) AS pr
+            FROM nodes CROSS JOIN nn)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    c_{t} AS (SELECT e.to_type AS node,
+                     CAST(sum(CAST(round(CAST(p.pr * e.w AS DOUBLE) / o.ow)
+                                   AS BIGINT)) AS BIGINT) AS raw
+              FROM edges e JOIN pr_{t - 1} p ON p.node = e.from_type
+                           JOIN outw o ON o.node = e.from_type
+              GROUP BY 1),
+    dang_{t} AS (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dm
+                 FROM pr_{t - 1} p LEFT JOIN outw o ON o.node = p.node
+                 WHERE o.node IS NULL),
+    pr_{t} AS (SELECT n.node,
+                      CAST(round(((1 - {PR_DAMP}) * {PR_SCALE}
+                                  + {PR_DAMP} * d.dm) / nn.n
+                                 + {PR_DAMP} * coalesce(c.raw, 0))
+                           AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN c_{t} c ON c.node = n.node
+               CROSS JOIN dang_{t} d CROSS JOIN nn)""")
+    return ",\n    ".join(parts)
+
+
+@REGISTRY.register(
+    "ev_pagerank",
+    oracle=f"""
+    WITH {_pagerank_oracle_sql(PR_ROUNDS)}
+    SELECT p1.node AS event_type,
+           p1.pr AS pr_micro_r1, p2.pr AS pr_micro_r2, p3.pr AS pr_micro_r3
+    FROM pr_1 p1 JOIN pr_2 p2 ON p2.node = p1.node
+                 JOIN pr_3 p3 ON p3.node = p1.node
+    ORDER BY event_type""",
+    doc=f"LINK ANALYSIS: damped PageRank (Brin & Page 1998, d = "
+    f"{PR_DAMP}) power iteration on the directed event-type "
+    "TRANSITION graph — nodes are event types, edge weight = count of "
+    "(user-consecutive) A -> B transitions, i.e. exactly "
+    "ev_transition_matrix's Markov spine feeding the link-analysis "
+    "primitive auditors look for first (HITS covers the bipartite "
+    f"hub/authority axis; this is the random-surfer axis). "
+    f"{PR_ROUNDS} rounds, all three score vectors emitted so the "
+    "output shows the iteration converging. Full treatment: per-edge "
+    "mass = pr * w / out-weight (weighted out-degree), teleport "
+    f"(1-d)/N, and DANGLING mass (nodes with no out-edges — a type "
+    "that only ever ends sequences — redistribute d * their score "
+    "uniformly) so each round's scores sum to ~1e6 micro. "
+    "Determinism: per-edge transfer rounds ONCE to a bigint (the sum "
+    "is then an order-free integer aggregate, the HITS discipline); "
+    "teleport+dangling is one correctly-rounded double per node. "
+    "Scale shape: the corpus touches ONE window + ONE aggregate to "
+    "build the bounded (|types|^2) edge list; every per-round join is "
+    "against a BROADCAST score/out-weight table with localCheckpoint "
+    "lineage cuts — per-round cost is one bounded shuffle, the "
+    "canonical distributed power iteration.",
+)
+def ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    outw = edges.groupBy(F.col("from_type").alias("node")).agg(
+        F.sum("w").cast("long").alias("ow")
+    )
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node",
+        F.round(F.lit(float(PR_SCALE)) / F.col("n")).cast("long").alias("pr"),
+    )
+    damp = float(PR_DAMP)
+    rounds = []
+    for _ in range(PR_ROUNDS):
+        pr = pr.localCheckpoint()  # |types| rows; cuts per-round lineage
+        contrib = (
+            edges.join(
+                F.broadcast(pr.select(F.col("node").alias("from_type"), "pr")),
+                on="from_type",
+            )
+            .join(
+                F.broadcast(outw.select(F.col("node").alias("from_type"), "ow")),
+                on="from_type",
+            )
+            .select(
+                F.col("to_type").alias("node"),
+                F.round((F.col("pr") * F.col("w")).cast("double") / F.col("ow"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("raw"))
+        )
+        dang = pr.join(outw, on="node", how="left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("dm")
+        )
+        pr = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    (F.lit((1 - damp) * PR_SCALE) + F.lit(damp) * F.col("dm"))
+                    / F.col("n")
+                    + F.lit(damp) * F.coalesce(F.col("raw"), F.lit(0))
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+        rounds.append(pr)
+    out = rounds[0].select("node", F.col("pr").alias("pr_micro_r1"))
+    for i, r in enumerate(rounds[1:], start=2):
+        out = out.join(
+            r.select("node", F.col("pr").alias(f"pr_micro_r{i}")), on="node"
+        )
+    return out.select(F.col("node").alias("event_type"), *[
+        f"pr_micro_r{i}" for i in range(1, PR_ROUNDS + 1)
+    ]).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
 # privacy gate: k-anonymity audit over quasi-identifier groups
 # --------------------------------------------------------------------------
 

@@ -391,3 +391,37 @@ def test_bot_screen_n_events_is_true_event_count(spark):
             row["n_events"],
             true_counts[uid],
         )
+
+
+def test_pagerank_mass_conserved_and_converging(spark):
+    """PageRank invariants: every round's micro scores sum to ~1e6
+    (teleport + dangling redistribution conserve probability mass up
+    to per-node rounding), and the iteration contracts (total
+    round-over-round movement does not grow)."""
+    out = eq.ev_pagerank(spark, TEST_SF_DIR).toPandas()
+    n = len(out)
+    assert n > 0
+    for c in ("pr_micro_r1", "pr_micro_r2", "pr_micro_r3"):
+        assert abs(out[c].sum() - eq.PR_SCALE) <= n, (c, out[c].sum())
+    move12 = (out.pr_micro_r2 - out.pr_micro_r1).abs().sum()
+    move23 = (out.pr_micro_r3 - out.pr_micro_r2).abs().sum()
+    assert move23 <= move12, (move12, move23)
+
+
+def test_pagerank_per_round_joins_are_broadcast(spark):
+    """The power-iteration scale contract: the EDGE-relation joins
+    (against the bounded score/out-weight tables) must be broadcast
+    hash joins — a shuffle of the corpus-sized edge list every round
+    is the plan shape that dies at 100 TB. The 1-row scalar
+    cross-joins (dangling mass, node count) legitimately compile to
+    BroadcastNestedLoopJoin-Cross with the single row built and
+    broadcast (the HITS l1-normalization shape), so only an unkeyed
+    CartesianProduct is banned outright."""
+    plan = _plan(eq.ev_pagerank(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every nested-loop join in the plan is a Cross with a broadcast
+    # (1-row) build side, never an inner/outer fallback
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line

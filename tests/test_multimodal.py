@@ -330,3 +330,64 @@ def test_parse_wav_property_roundtrip():
         assert got == (channels, rate, frames, int(samples.sum()))
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# real JPEG header decode (dependency-free marker walk)
+# ---------------------------------------------------------------------------
+
+def _jpeg_header(w, h, ncomp=3, progressive=False):
+    """A closed-form minimal JPEG prefix: SOI + APP0 (JFIF) + SOF with
+    the given frame dims — exactly what the marker walk consumes; no
+    entropy data needed because parse_jpeg_dims never reads past SOF."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00" + bytes(6)
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    body += bytes(3 * ncomp)  # per-component specs (ignored by the walk)
+    sof = sof_marker + (2 + len(body)).to_bytes(2, "big") + body
+    return b"\xff\xd8" + app0 + sof
+
+
+def test_parse_jpeg_dims_marker_walk():
+    """Codec-free JPEG metadata: baseline and progressive SOF variants,
+    grayscale and RGB component counts, and loud failures on non-JPEG
+    or truncated-before-SOF payloads."""
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_jpeg_dims,
+    )
+
+    assert parse_jpeg_dims(_jpeg_header(640, 480)) == (640, 480, 3)
+    assert parse_jpeg_dims(_jpeg_header(31, 7, ncomp=1, progressive=True)) == (
+        31, 7, 1,
+    )
+    meta = decode_image_real(_jpeg_header(12, 34))
+    assert (meta["width"], meta["height"], meta["mode"], meta["format"]) == (
+        12, 34, "RGB", "JPEG",
+    )
+    with pytest.raises(ValueError):
+        parse_jpeg_dims(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        # SOS before any SOF: dims are unrecoverable without a codec
+        parse_jpeg_dims(b"\xff\xd8" + b"\xff\xda" + (2).to_bytes(2, "big"))
+
+
+def test_jpeg_native_walk_agrees_with_pillow():
+    """Wherever pillow exists, a REAL encoded JPEG must yield identical
+    dimensions from the dependency-free marker walk and from pillow —
+    the closed-form oracle for the compressed-format path (skipped in
+    codec-less sandboxes; lights up the moment pillow lands)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_jpeg_dims,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (23, 11)).save(buf, format="JPEG")
+    payload = buf.getvalue()
+    assert parse_jpeg_dims(payload)[:2] == (23, 11)
+    meta = decode_image_real(payload)
+    assert (meta["width"], meta["height"], meta["format"]) == (23, 11, "JPEG")

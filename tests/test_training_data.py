@@ -738,3 +738,50 @@ def test_bpe_merges_compress_monotonically(spark):
     assert all(b <= a for a, b in zip(cnts, cnts[1:])), cnts
     ferts = list(out.tokens_per_word)
     assert all(b < a for a, b in zip(ferts, ferts[1:])), ferts
+
+
+def test_corpus_pipeline_v2_consistent_with_standalone_stages(spark):
+    """The composed pipeline must agree with the certified standalone
+    entries it chains: stage-1 survivors equal docs_filter_funnel's
+    final n_out (same four rules, same corpus), the DSIR stage keeps
+    exactly min(DSIR_K, survivors), counts never grow along the
+    funnel, and packing emits between 1 and n_docs bins."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    pipe = cu.docs_bpe_merges  # noqa: F841  (module import check)
+    out = (
+        cu.docs_corpus_pipeline_v2(spark, TEST_SF_DIR)
+        .toPandas()
+        .set_index("stage")
+    )
+    funnel = cu.docs_filter_funnel(spark, TEST_SF_DIR).toPandas()
+    assert out.loc[1, "n_out"] == funnel[funnel.stage == 4].n_out.iloc[0]
+    assert out.loc[3, "n_out"] == min(cu.DSIR_K, out.loc[2, "n_out"])
+    assert (
+        out.loc[1, "n_in"]
+        >= out.loc[1, "n_out"]
+        == out.loc[2, "n_in"]
+        >= out.loc[2, "n_out"]
+        == out.loc[3, "n_in"]
+        >= out.loc[3, "n_out"]
+        == out.loc[4, "n_in"]
+    )
+    assert 1 <= out.loc[4, "n_out"] <= out.loc[4, "n_in"]
+    # token budget shrinks with the docs
+    assert out.loc[1, "sum_tokens_out"] >= out.loc[2, "sum_tokens_out"]
+    assert out.loc[2, "sum_tokens_out"] >= out.loc[3, "sum_tokens_out"]
+
+
+def test_bpe_apply_compresses_every_language(spark):
+    """Train-then-apply contract: under the learned merge table every
+    language's BPE fertility must sit strictly below its character
+    fertility (compression > 1 — merges that don't compress are a
+    training bug), and the symbol accounting must be internally
+    consistent (bpe symbols <= char symbols, both positive)."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    out = cu.docs_bpe_apply(spark, TEST_SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.sum_symbols_bpe < out.sum_symbols_char).all()
+    assert (out.compression > 1.0).all()
+    assert (out.sum_symbols_bpe > 0).all()
