@@ -72,6 +72,11 @@ GRADE_WINDOW = [
     "ev_pagerank",
     "docs_corpus_pipeline_v2",
     "docs_bpe_apply",
+    "ev_abtest_ks",
+    "ev_bootstrap_ci",
+    "emb_top_pc_power",
+    "emb_pca_project",
+    "docs_quality_probe_gd",
 ]
 
 

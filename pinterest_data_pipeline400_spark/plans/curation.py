@@ -1925,3 +1925,322 @@ def docs_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return joined.select(F.explode(rows).alias("r")).select("r.*").orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# linear-probe distillation of the quality gate via gradient descent
+# --------------------------------------------------------------------------
+
+PROBE_ROUNDS = 8
+PROBE_LR_DEN = 2  # learning rate 1/2 (divisor form: exact both engines)
+#: the rule being distilled (docs_quality_repetition's gate) as exact
+#: integer comparisons: tokens >= 20, top-token share <= 15% (20*top
+#: <= 3*n), type-token ratio >= 40% (5*distinct >= 2*n)
+_PROBE_LABEL_DUCK = (
+    "CASE WHEN n_tok >= 20 AND 20 * top_c <= 3 * n_tok"
+    " AND 5 * n_dis >= 2 * n_tok THEN 1000000 ELSE 0 END"
+)
+
+
+def _probe_feat_ctes() -> str:
+    """feat: per-doc micro features + the integer rule label, shared
+    by every training round. Min-max normalizes token count from a
+    1-row extrema aggregate (broadcast; GD needs feature scales
+    aligned)."""
+    return f"""
+    ptok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+             FROM documents),
+    pcnt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+             FROM ptok GROUP BY doc_id, token),
+    pdoc AS (SELECT doc_id,
+                    CAST(sum(c) AS BIGINT) AS n_tok,
+                    CAST(count(*) AS BIGINT) AS n_dis,
+                    CAST(max(c) AS BIGINT) AS top_c
+             FROM pcnt GROUP BY doc_id),
+    pstop AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop
+              FROM ptok WHERE token IN ({_FUNNEL_STOP_SQL})
+              GROUP BY doc_id),
+    pext AS (SELECT CAST(min(n_tok) AS BIGINT) AS lo,
+                    CAST(max(n_tok) AS BIGINT) AS hi
+             FROM pdoc),
+    feat AS MATERIALIZED (
+      SELECT p.doc_id,
+             CAST(round(CAST((p.n_tok - e.lo) AS DOUBLE) * 1000000
+                        / (e.hi - e.lo)) AS BIGINT) AS xl,
+             CAST(round(CAST(p.n_dis AS DOUBLE) * 1000000 / p.n_tok)
+                  AS BIGINT) AS xt,
+             CAST(round(CAST(coalesce(s.n_stop, 0) AS DOUBLE) * 1000000
+                        / p.n_tok) AS BIGINT) AS xs,
+             CAST({_PROBE_LABEL_DUCK} AS BIGINT) AS y
+      FROM pdoc p LEFT JOIN pstop s USING (doc_id) CROSS JOIN pext e),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+    fm AS (SELECT CAST(round(avg(xl)) AS BIGINT) AS ml,
+                  CAST(round(avg(xt)) AS BIGINT) AS mt,
+                  CAST(round(avg(xs)) AS BIGINT) AS ms,
+                  CAST(round(avg(y)) AS BIGINT) AS my
+           FROM feat),
+    featc AS MATERIALIZED (
+      SELECT f.doc_id, f.xl - m.ml AS xl, f.xt - m.mt AS xt,
+             f.xs - m.ms AS xs, f.y - m.my AS yc,
+             CASE WHEN f.y > 0 THEN 1 ELSE 0 END AS pos
+      FROM feat f CROSS JOIN fm m)"""
+
+
+def _probe_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB mirror of the gradient-descent loop. Per-doc
+    error contributions round ONCE to micro before the per-feature
+    integer gradient sums (order-free); each weight update is one
+    rounded double division. Per-round AUC is the exact Mann-Whitney
+    U with average-rank tie handling, kept integer by doubling
+    (2*avg_rank = 2*cnt_less + cnt_eq + 1)."""
+    parts = [
+        _probe_feat_ctes(),
+        """w_0 AS (SELECT CAST(0 AS BIGINT) AS wl, CAST(0 AS BIGINT) AS wt,
+                   CAST(0 AS BIGINT) AS ws, CAST(0 AS BIGINT) AS wb)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    yh_{t} AS MATERIALIZED (
+      SELECT f.doc_id, f.xl, f.xt, f.xs, f.yc, f.pos,
+             CAST(round((CAST(w.wl * f.xl AS DOUBLE) + w.wt * f.xt
+                         + w.ws * f.xs + w.wb * 1000000) / 1000000)
+                  AS BIGINT) AS yhat
+      FROM featc f CROSS JOIN w_{t - 1} w),
+    g_{t} AS (SELECT
+        CAST(sum(CAST(round(CAST((yhat - yc) AS DOUBLE) * xl / 1000000)
+                      AS BIGINT)) AS BIGINT) AS gl,
+        CAST(sum(CAST(round(CAST((yhat - yc) AS DOUBLE) * xt / 1000000)
+                      AS BIGINT)) AS BIGINT) AS gt,
+        CAST(sum(CAST(round(CAST((yhat - yc) AS DOUBLE) * xs / 1000000)
+                      AS BIGINT)) AS BIGINT) AS gs,
+        CAST(sum(yhat - yc) AS BIGINT) AS gb,
+        CAST(round(CAST(sum((yhat - yc) * (yhat - yc)) AS DOUBLE)
+                   / count(*) / 1000) AS BIGINT) AS mse_scaled
+      FROM yh_{t}),
+    w_{t} AS (SELECT
+        CAST(w.wl - round(CAST(g.gl AS DOUBLE) / ({PROBE_LR_DEN} * nn.n))
+             AS BIGINT) AS wl,
+        CAST(w.wt - round(CAST(g.gt AS DOUBLE) / ({PROBE_LR_DEN} * nn.n))
+             AS BIGINT) AS wt,
+        CAST(w.ws - round(CAST(g.gs AS DOUBLE) / ({PROBE_LR_DEN} * nn.n))
+             AS BIGINT) AS ws,
+        CAST(w.wb - round(CAST(g.gb AS DOUBLE) / ({PROBE_LR_DEN} * nn.n))
+             AS BIGINT) AS wb
+      FROM w_{t - 1} w CROSS JOIN g_{t} g CROSS JOIN nn),
+    sg_{t} AS (SELECT yhat, CAST(count(*) AS BIGINT) AS c,
+                      CAST(sum(pos) AS BIGINT) AS p
+               FROM yh_{t} GROUP BY yhat),
+    au_{t} AS (SELECT
+        CAST(sum(p * (2 * (cum - c) + c + 1)) AS BIGINT) AS r2,
+        CAST(sum(p) AS BIGINT) AS n1,
+        CAST(sum(c - p) AS BIGINT) AS n0
+      FROM (SELECT yhat, c, p,
+                   CAST(sum(c) OVER (ORDER BY yhat) AS BIGINT) AS cum
+            FROM sg_{t}))""")
+    selects = [
+        f"""SELECT CAST({t} AS BIGINT) AS round,
+           w.wl AS w_len, w.wt AS w_ttr, w.ws AS w_stop, w.wb AS w_bias,
+           g.mse_scaled,
+           CAST(round(CAST((a.r2 - a.n1 * (a.n1 + 1)) AS DOUBLE)
+                      / (2 * a.n1 * a.n0) * 1000000) AS BIGINT) AS auc_micro
+    FROM w_{t} w CROSS JOIN g_{t} g CROSS JOIN au_{t} a"""
+        for t in range(1, rounds + 1)
+    ]
+    return (
+        "WITH " + ",".join(parts) + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY round"
+    )
+
+
+@REGISTRY.register(
+    "docs_quality_probe_gd",
+    oracle=_probe_oracle_sql(PROBE_ROUNDS),
+    doc="MODEL-TRAINING primitive: a linear probe DISTILLING the "
+    "rule-based quality gate (docs_quality_repetition's keep/drop) "
+    "into a trained scorer by full-batch GRADIENT DESCENT on squared "
+    f"loss — {PROBE_ROUNDS} rounds over (scaled token count, "
+    "type-token ratio, stopword ratio, bias), the fifth iterative "
+    "algorithm beside connected components, Lloyd, BPE, and power "
+    "iteration, and the pattern behind production quality classifiers "
+    "(fastText-style models trained on rule labels). NO sigmoid "
+    "anywhere — squared loss keeps every quantity exact-integer "
+    "(a logistic loss would hinge on exp(), where libm last-ulp "
+    "differences between engines could flip a rounded hash): per-doc "
+    "error contributions round once to micro, per-feature gradients "
+    "are order-free integer sums, each weight update is one rounded "
+    "division. Per-round readouts: weights, scaled MSE, and the exact "
+    "Mann-Whitney AUC of the round's scores against the labels "
+    "(average-rank ties kept integer by doubling) — pytest pins MSE "
+    "falling and final AUC >> 0.5. Scale shape: ONE tokenize feeds "
+    "features and labels; each round is one pass over the persisted "
+    "feature frame (map-side-combinable gradient sums, 1-row weight "
+    "state broadcast back, localCheckpoint lineage cuts); the AUC "
+    "window runs over DISTINCT scores, bounded by the micro grain.",
+)
+def docs_quality_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    ptok = docs.select(
+        "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+    ).persist()
+    pcnt = ptok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pdoc = pcnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_dis"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    pstop = (
+        ptok.filter(F.col("token").isin(STOPWORDS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stop"))
+    )
+    pext = pdoc.agg(
+        F.min("n_tok").cast("long").alias("lo"),
+        F.max("n_tok").cast("long").alias("hi"),
+    )
+    label = (
+        F.when(
+            (F.col("n_tok") >= 20)
+            & (F.lit(20) * F.col("top_c") <= F.lit(3) * F.col("n_tok"))
+            & (F.lit(5) * F.col("n_dis") >= F.lit(2) * F.col("n_tok")),
+            1000000,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    feat = (
+        pdoc.join(pstop, on="doc_id", how="left")
+        .crossJoin(F.broadcast(pext))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("n_tok") - F.col("lo")).cast("double")
+                * 1000000
+                / (F.col("hi") - F.col("lo"))
+            )
+            .cast("long")
+            .alias("xl"),
+            F.round(F.col("n_dis").cast("double") * 1000000 / F.col("n_tok"))
+            .cast("long")
+            .alias("xt"),
+            F.round(
+                F.coalesce(F.col("n_stop"), F.lit(0)).cast("double")
+                * 1000000
+                / F.col("n_tok")
+            )
+            .cast("long")
+            .alias("xs"),
+            label.alias("y"),
+        )
+    )
+    fm = feat.agg(
+        F.round(F.avg("xl")).cast("long").alias("ml"),
+        F.round(F.avg("xt")).cast("long").alias("mt"),
+        F.round(F.avg("xs")).cast("long").alias("ms"),
+        F.round(F.avg("y")).cast("long").alias("my"),
+    )
+    featc = (
+        feat.crossJoin(F.broadcast(fm))
+        .select(
+            "doc_id",
+            (F.col("xl") - F.col("ml")).alias("xl"),
+            (F.col("xt") - F.col("mt")).alias("xt"),
+            (F.col("xs") - F.col("ms")).alias("xs"),
+            (F.col("y") - F.col("my")).alias("yc"),
+            (F.col("y") > 0).cast("int").alias("pos"),
+        )
+        .persist()  # every round's pass reads it
+    )
+    nn = featc.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("wl"),
+        F.lit(0).cast("long").alias("wt"),
+        F.lit(0).cast("long").alias("ws"),
+        F.lit(0).cast("long").alias("wb"),
+    )
+    err = F.col("yhat") - F.col("yc")
+    rows = []
+    for t in range(1, PROBE_ROUNDS + 1):
+        w = w.localCheckpoint()  # 1 row; cuts the per-round lineage
+        yh = featc.crossJoin(F.broadcast(w)).select(
+            "xl",
+            "xt",
+            "xs",
+            "yc",
+            "pos",
+            F.round(
+                (
+                    (F.col("wl") * F.col("xl")).cast("double")
+                    + F.col("wt") * F.col("xt")
+                    + F.col("ws") * F.col("xs")
+                    + F.col("wb") * 1000000
+                )
+                / 1000000
+            )
+            .cast("long")
+            .alias("yhat"),
+        )
+        gpart = lambda x: F.sum(  # noqa: E731
+            F.round(err.cast("double") * F.col(x) / 1000000).cast("long")
+        ).cast("long")
+        g = yh.agg(
+            gpart("xl").alias("gl"),
+            gpart("xt").alias("gt"),
+            gpart("xs").alias("gs"),
+            F.sum(err).cast("long").alias("gb"),
+            F.round(
+                F.sum(err * err).cast("double") / F.count(F.lit(1)) / 1000
+            )
+            .cast("long")
+            .alias("mse_scaled"),
+        )
+        upd = lambda wc, gc: (  # noqa: E731
+            F.col(wc)
+            - F.round(F.col(gc).cast("double") / (PROBE_LR_DEN * F.col("n")))
+        ).cast("long").alias(wc)
+        w = (
+            w.crossJoin(F.broadcast(g.select("gl", "gt", "gs", "gb")))
+            .crossJoin(F.broadcast(nn))
+            .select(upd("wl", "gl"), upd("wt", "gt"), upd("ws", "gs"), upd("wb", "gb"))
+        )
+        sg = yh.groupBy("yhat").agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+        cum = sg.select(
+            "c",
+            "p",
+            F.sum("c").over(Window.orderBy("yhat")).cast("long").alias("cum"),
+        )
+        au = cum.agg(
+            F.sum(F.col("p") * (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1))
+            .cast("long")
+            .alias("r2"),
+            F.sum("p").cast("long").alias("n1"),
+            F.sum(F.col("c") - F.col("p")).cast("long").alias("n0"),
+        )
+        rows.append(
+            w.crossJoin(F.broadcast(g.select("mse_scaled")))
+            .crossJoin(F.broadcast(au))
+            .select(
+                F.lit(t).cast("long").alias("round"),
+                F.col("wl").alias("w_len"),
+                F.col("wt").alias("w_ttr"),
+                F.col("ws").alias("w_stop"),
+                F.col("wb").alias("w_bias"),
+                "mse_scaled",
+                F.round(
+                    (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+                    / (2 * F.col("n1") * F.col("n0"))
+                    * 1000000
+                )
+                .cast("long")
+                .alias("auc_micro"),
+            )
+        )
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionByName(rdf)
+    return out.orderBy("round")

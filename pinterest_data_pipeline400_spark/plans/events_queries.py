@@ -3972,6 +3972,237 @@ def ev_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_CRIT_05 = "1.358"  # Kolmogorov critical coefficient at alpha = 0.05
+
+
+@REGISTRY.register(
+    "ev_abtest_ks",
+    oracle=f"""
+    WITH pu AS (SELECT user_id, {_AB_ARM_SQL_DUCK} AS arm,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         AS y
+                FROM events GROUP BY user_id),
+    n AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          FROM pu),
+    pts AS (SELECT y,
+                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS db
+            FROM pu GROUP BY y),
+    cum AS (SELECT y,
+                   CAST(sum(da) OVER (ORDER BY y) AS BIGINT) AS ca,
+                   CAST(sum(db) OVER (ORDER BY y) AS BIGINT) AS cb
+            FROM pts),
+    d AS (SELECT CAST(max(abs(ca * n.nb - cb * n.na)) AS BIGINT) AS d_scaled
+          FROM cum CROSS JOIN n)
+    SELECT n.na, n.nb, d.d_scaled,
+           round(CAST(d.d_scaled AS DOUBLE) / (n.na * n.nb), 6) AS ks_stat,
+           (CAST(d.d_scaled AS DOUBLE)
+              > {KS_CRIT_05} * sqrt(CAST((n.na + n.nb) * n.na * n.nb AS DOUBLE)))
+             AS reject_05
+    FROM n CROSS JOIN d""",
+    doc="A/B family: two-sample KOLMOGOROV-SMIRNOV test on the "
+    "per-user value distribution between arms — the "
+    "whole-distribution complement to the mean-difference readouts "
+    "(SRM checks assignment, uplift/CUPED check means; KS catches a "
+    "treatment that moves the SHAPE — heavier tail, bimodality — "
+    "while leaving the mean flat). The statistic is EXACT INTEGER "
+    "end-to-end: D_scaled = max over distinct metric values of "
+    "|cum_a * n_b - cum_b * n_a| (the ECDF gap cross-multiplied "
+    "through both denominators), so engines cannot disagree at the "
+    "max; KS = D_scaled/(na*nb) and the alpha=0.05 rejection "
+    f"(Kolmogorov asymptotic, c = {KS_CRIT_05}) are single rounded "
+    "comparisons at the end. Scale shape: one per-user aggregate "
+    "(high-cardinality uniform key), then the ECDF runs over "
+    "DISTINCT metric values — bounded by the cents grain, orders of "
+    "magnitude below user count; at 100 TB the documented path is "
+    "the standard two-pass partition-offset cumulative sum over the "
+    "value-sorted range partition (the single-partition window here "
+    "is the small-N convenience, not the algorithm).",
+)
+def ev_abtest_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pu = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(F.expr(_AB_ARM_SQL_SPARK).alias("arm"), "y")
+    )
+    n = pu.agg(
+        F.sum((F.col("arm") == 0).cast("int")).cast("long").alias("na"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("long").alias("nb"),
+    )
+    pts = pu.groupBy("y").agg(
+        F.sum((F.col("arm") == 0).cast("int")).cast("long").alias("da"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("long").alias("db"),
+    )
+    wy = Window.orderBy("y")
+    cum = pts.select(
+        F.sum("da").over(wy).cast("long").alias("ca"),
+        F.sum("db").over(wy).cast("long").alias("cb"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+        .cast("long")
+        .alias("d_scaled")
+    )
+    return (
+        n.crossJoin(F.broadcast(d))
+        .select(
+            "na",
+            "nb",
+            "d_scaled",
+            F.round(
+                F.col("d_scaled").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("ks_stat"),
+            (
+                F.col("d_scaled").cast("double")
+                > F.lit(float(KS_CRIT_05))
+                * F.sqrt(
+                    ((F.col("na") + F.col("nb")) * F.col("na") * F.col("nb"))
+                    .cast("double")
+                )
+            ).alias("reject_05"),
+        )
+    )
+
+
+BOOT_REPLICAS = 32
+#: cumulative Poisson(1) CDF thresholds (P(X<=k), k=0..4) as decimal
+#: LITERALS — both engines parse the same string to the same double,
+#: so the inverse-CDF bucket of every uniform is identical.
+_POIS1_CDF = (
+    "0.3678794411714423",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+_BOOT_U_SPARK = (
+    "(CAST(conv(substr(md5(concat('boot:', CAST(user_id AS STRING), ':', "
+    "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1) / 4294967296.0"
+)
+_BOOT_U_DUCK = (
+    "(CAST(('0x' || substr(md5('boot:' || CAST(user_id AS VARCHAR) || ':' || "
+    "CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967296.0"
+)
+
+
+def _pois1_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {arms} ELSE {len(_POIS1_CDF)} END"
+
+
+@REGISTRY.register(
+    "ev_bootstrap_ci",
+    oracle=f"""
+    WITH pu AS (SELECT user_id,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         AS y
+                FROM events GROUP BY user_id),
+    rep AS (SELECT user_id, y, unnest(range(1, {BOOT_REPLICAS + 1})) AS b
+            FROM pu),
+    wgt AS (SELECT b, y, {_pois1_case_sql(f"({_BOOT_U_DUCK})")} AS w FROM rep),
+    rm AS (SELECT b,
+                  CAST(round(CAST(sum(w * y) AS DOUBLE) / sum(w) * 1000)
+                       AS BIGINT) AS m
+           FROM wgt GROUP BY b HAVING sum(w) > 0),
+    rs AS (SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+                  round(quantile_cont(CAST(m AS DOUBLE), 0.025), 6)
+                    AS ci_lo_millicents,
+                  round(quantile_cont(CAST(m AS DOUBLE), 0.975), 6)
+                    AS ci_hi_millicents,
+                  round(sqrt((sum(m * m) - CAST(sum(m) AS DOUBLE) * sum(m)
+                              / count(*)) / (count(*) - 1)), 6)
+                    AS se_millicents
+           FROM rm),
+    base AS (SELECT CAST(round(CAST(sum(y) AS DOUBLE) / count(*) * 1000)
+                         AS BIGINT) AS mean_millicents
+             FROM pu)
+    SELECT rs.n_replicas, base.mean_millicents, rs.ci_lo_millicents,
+           rs.ci_hi_millicents, rs.se_millicents
+    FROM rs CROSS JOIN base""",
+    doc=f"POISSON BOOTSTRAP confidence interval for the per-user mean "
+    f"value — the bootstrap that actually runs at 100 TB (Chamandy et "
+    "al., Google 2012): true multinomial resampling needs a global "
+    "draw over N users, but for large N each user's resample "
+    f"multiplicity is Poisson(1) INDEPENDENTLY, so {BOOT_REPLICAS} "
+    "replicas materialize as one explode + a per-(user, replica) "
+    "weight from the inverse CDF of a salted-md5 uniform ('boot:' "
+    "stream, the sampler-salt discipline) — embarrassingly parallel, "
+    "no coordination, reproducible on any engine or partitioning. "
+    "Replica means are exact integer sum(w*y)/sum(w) ratios rounded "
+    "once to milli-cents; the CI is the exact 2.5/97.5 percentile "
+    "over the replica means (Spark percentile == DuckDB "
+    "quantile_cont) and the SE is the replica standard deviation "
+    "from integer power sums. Scale shape: one per-user aggregate, "
+    f"one bounded x{BOOT_REPLICAS} fan-out, one map-side-combinable "
+    "per-replica aggregate; milli-cent grain keeps every power sum "
+    "inside int64 headroom.",
+)
+def ev_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pu = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    rep = pu.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_REPLICAS))).alias("b"),
+    )
+    wgt = rep.select(
+        "b", "y", F.expr(_pois1_case_sql(f"({_BOOT_U_SPARK})")).alias("w")
+    )
+    rm = (
+        wgt.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).cast("long").alias("swy"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            F.round(F.col("swy").cast("double") / F.col("sw") * 1000)
+            .cast("long")
+            .alias("m")
+        )
+    )
+    rs = rm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.expr("round(percentile(CAST(m AS DOUBLE), 0.025), 6)").alias(
+            "ci_lo_millicents"
+        ),
+        F.expr("round(percentile(CAST(m AS DOUBLE), 0.975), 6)").alias(
+            "ci_hi_millicents"
+        ),
+        F.expr(
+            "round(sqrt((sum(m * m) - CAST(sum(m) AS DOUBLE) * sum(m)"
+            " / count(*)) / (count(*) - 1)), 6)"
+        ).alias("se_millicents"),
+    )
+    base = pu.agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)) * 1000)
+        .cast("long")
+        .alias("mean_millicents")
+    )
+    return rs.crossJoin(F.broadcast(base)).select(
+        "n_replicas",
+        "mean_millicents",
+        "ci_lo_millicents",
+        "ci_hi_millicents",
+        "se_millicents",
+    )
+
+
 # --------------------------------------------------------------------------
 # abuse screen: bot / automation detection heuristics per user
 # --------------------------------------------------------------------------

@@ -5005,3 +5005,307 @@ def docs_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nano").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
         ).alias("avg_logprob_kn"),
     )
+
+
+# --------------------------------------------------------------------------
+# top principal component via power iteration (dimensionality reduction)
+# --------------------------------------------------------------------------
+
+#: the fixture's near-random embeddings have a FLAT spectrum
+#: (lambda2/lambda1 = 0.932 at sf0.001), so the iteration needs
+#: 0.932^t decay: 24 rounds reach Rayleigh/lambda_max ~ 0.98 — each
+#: round is a bounded 4096-row matvec, so depth is cheap by design
+PC_POWER_ROUNDS = 24
+#: v_0 = 1/8 in micro units for every dim — exactly unit L2 over 64
+#: dims (64 * 0.125^2 = 1), the deterministic init both engines share
+PC_V0_MICRO = 125_000
+PC_DIMS = PQ_SUBS * PQ_SUB_DIM  # 64 — the fixture embedding width
+
+
+def _pc_power_cte_parts(rounds: int) -> list[str]:
+    """CTE strings (no leading WITH) for the unrolled power iteration
+    (the _lloyd_oracle_sql idiom), ending in the loading vectors
+    ``v_1 .. v_rounds`` — shared by the component entry AND the
+    projection entry so the two oracles cannot drift: centered micro
+    coordinates, an exact integer covariance reduced once to milli
+    grain, then per round an exact integer matrix-vector product, one
+    double L2 norm, and a re-quantization to micro loadings. The
+    multi-referenced CTEs are AS MATERIALIZED: w_t is consumed by
+    BOTH n_t and v_t, so default inlining would double the expansion
+    per round (2^rounds scans — observed as fd exhaustion at 24
+    rounds), and cov/cen are referenced repeatedly."""
+    parts = [
+        """el AS MATERIALIZED (SELECT vec_id,
+                     unnest(range(len(embedding))) AS dim,
+                     unnest(list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT))) AS xm
+              FROM embeddings)""",
+        """mu AS (SELECT dim, CAST(round(CAST(sum(xm) AS DOUBLE) / count(*))
+                             AS BIGINT) AS m
+          FROM el GROUP BY dim)""",
+        """cen AS MATERIALIZED (SELECT e.vec_id, e.dim, e.xm - m.m AS c
+           FROM el e JOIN mu m USING (dim))""",
+        """cov AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+                      CAST(round(CAST(sum(a.c * b.c) AS DOUBLE) / 1000000)
+                           AS BIGINT) AS s
+           FROM cen a JOIN cen b USING (vec_id) GROUP BY 1, 2)""",
+        f"""v_0 AS (SELECT DISTINCT dim AS j, CAST({PC_V0_MICRO} AS BIGINT) AS v
+            FROM el)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    w_{t} AS MATERIALIZED (SELECT c.i AS j, CAST(sum(c.s * v.v) AS BIGINT) AS w
+              FROM cov c JOIN v_{t - 1} v ON v.j = c.j GROUP BY c.i),
+    n_{t} AS (SELECT sqrt(sum(CAST(w AS DOUBLE) * w)) AS nrm FROM w_{t}),
+    v_{t} AS MATERIALIZED (SELECT w.j, CAST(round(CAST(w.w AS DOUBLE) / n.nrm * 1000000)
+                               AS BIGINT) AS v
+              FROM w_{t} w CROSS JOIN n_{t} n)""")
+    return parts
+
+
+def _pc_power_oracle_sql(rounds: int) -> str:
+    parts = _pc_power_cte_parts(rounds)
+    r = rounds
+    return (
+        "WITH " + ",".join(parts) + f""",
+    al AS (SELECT CAST(round(CAST(sum(a.v * b.v) AS DOUBLE) / 1000000)
+                       AS BIGINT) AS align_micro
+           FROM v_{r - 1} a JOIN v_{r} b USING (j))
+    SELECT p.j AS dim,
+           p.v AS loading_micro_r{r - 1},
+           q.v AS loading_micro_r{r},
+           al.align_micro
+    FROM v_{r - 1} p JOIN v_{r} q USING (j) CROSS JOIN al
+    ORDER BY dim""")
+
+
+@REGISTRY.register(
+    "emb_top_pc_power",
+    oracle=_pc_power_oracle_sql(PC_POWER_ROUNDS),
+    doc="DIMENSIONALITY REDUCTION: the embedding corpus's TOP PRINCIPAL "
+    f"COMPONENT by power iteration — {PC_POWER_ROUNDS} rounds of "
+    "v <- normalize(C v) on the centered covariance, the fourth "
+    "iterative algorithm beside connected components, Lloyd, and BPE "
+    "(PCA whitening / anisotropy checks are standard embedding-corpus "
+    "hygiene: a dominant component means the space wastes capacity on "
+    "one direction). Determinism: coordinates center on micro-integer "
+    "means; the covariance is an EXACT bigint sum reduced ONCE to "
+    "milli grain (int64 headroom to ~1e9 vectors — re-grain beyond); "
+    "each round's matrix-vector product is an exact integer sum, "
+    "followed by one double L2 norm and a micro re-quantization — "
+    "bit-identical on both engines, oracle unrolled from the same "
+    "loop. The last two loading vectors ship plus their alignment "
+    "(micro cosine; 1e6 = converged, pytest-pinned high). Scale "
+    "shape: ONE corpus-sized shuffle builds the 64x64 covariance "
+    "(map-side-combinable (i, j) aggregate over the per-vector "
+    "dimension pair fan-out); every iteration then runs on the "
+    "BOUNDED 4096-row matrix with a broadcast 64-row vector — "
+    "iteration cost is independent of corpus size, the right shape "
+    "for 100 TB; and like every trained model here (PQ codebook, BPE "
+    "merges) the fitted component disk-caches content-stamped, so "
+    "consumers read it back instead of re-iterating.",
+)
+def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return _pc_power_train(spark, sf_dir)
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "pca",
+        "top_pc",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"v1-{PC_POWER_ROUNDS}-{PC_DIMS}-{PC_V0_MICRO}",
+        build,
+    ).orderBy("dim")
+
+
+def _pc_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                _as_double(F.col("embedding")),
+                lambda x: F.round(x * 1000000).cast("long"),
+            )
+        ).alias("dim", "xm"),
+    )
+    mu = el.groupBy("dim").agg(
+        F.round(F.sum("xm").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("m")
+    )
+    cen = el.join(F.broadcast(mu), on="dim").select(
+        "vec_id", "dim", (F.col("xm") - F.col("m")).alias("c")
+    )
+    a, b = cen.alias("a"), cen.alias("b")
+    cov = (
+        a.join(b, on="vec_id")
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(
+            F.round(F.sum(F.col("a.c") * F.col("b.c")).cast("double") / 1000000)
+            .cast("long")
+            .alias("s")
+        )
+        .persist()  # dim^2 rows; every round re-reads it
+    )
+    v = el.select(F.col("dim").alias("j")).distinct().select(
+        "j", F.lit(PC_V0_MICRO).cast("long").alias("v")
+    )
+    vs = []
+    for _ in range(PC_POWER_ROUNDS):
+        w = (
+            cov.join(F.broadcast(v), on="j")
+            .groupBy(F.col("i").alias("j"))
+            .agg(F.sum(F.col("s") * F.col("v")).cast("long").alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(F.sum(F.col("w").cast("double") * F.col("w"))).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                "j",
+                F.round(F.col("w").cast("double") / F.col("nrm") * 1000000)
+                .cast("long")
+                .alias("v"),
+            )
+            # dim rows, EVERY round: the norm cross-join references w
+            # twice, so an uncut lazy chain doubles the plan per round
+            # (2^rounds analysis blow-up, measured 60 s at cut-every-6)
+            .localCheckpoint()
+        )
+        vs.append(v)
+    r = PC_POWER_ROUNDS
+    p, q = vs[-2], vs[-1]
+    al = (
+        p.alias("pa")
+        .join(q.alias("qa"), on="j")
+        .agg(
+            F.round(
+                F.sum(F.col("pa.v") * F.col("qa.v")).cast("double") / 1000000
+            )
+            .cast("long")
+            .alias("align_micro")
+        )
+    )
+    return (
+        p.select("j", F.col("v").alias(f"loading_micro_r{r - 1}"))
+        .join(q.select("j", F.col("v").alias(f"loading_micro_r{r}")), on="j")
+        .crossJoin(F.broadcast(al))
+        .select(
+            F.col("j").alias("dim"),
+            f"loading_micro_r{r - 1}",
+            f"loading_micro_r{r}",
+            "align_micro",
+        )
+        .orderBy("dim")
+    )
+
+
+PCA_EXTREME_K = 10  # vectors reported from each end of the component
+
+
+@REGISTRY.register(
+    "emb_pca_project",
+    oracle="WITH "
+    + ",".join(_pc_power_cte_parts(PC_POWER_ROUNDS))
+    + f""",
+    sc AS (SELECT c.vec_id,
+                  CAST(sum(c.c * v.v) AS BIGINT) AS raw
+           FROM cen c JOIN v_{PC_POWER_ROUNDS} v ON v.j = c.dim
+           GROUP BY c.vec_id),
+    scored AS MATERIALIZED (SELECT vec_id,
+                      CAST(round(CAST(raw AS DOUBLE) / 1000000) AS BIGINT)
+                        AS score_micro
+               FROM sc),
+    lo AS (SELECT vec_id, score_micro, 'low' AS tail,
+                  row_number() OVER (ORDER BY score_micro ASC, vec_id ASC)
+                    AS rank
+           FROM scored
+           ORDER BY score_micro ASC, vec_id ASC LIMIT {PCA_EXTREME_K}),
+    hi AS (SELECT vec_id, score_micro, 'high' AS tail,
+                  row_number() OVER (ORDER BY score_micro DESC, vec_id ASC)
+                    AS rank
+           FROM scored
+           ORDER BY score_micro DESC, vec_id ASC LIMIT {PCA_EXTREME_K})
+    SELECT vec_id, score_micro, tail, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi)""",
+    doc="PCA PROJECTION — the trained component CONSUMED: every "
+    "centered vector's score along the cached top principal "
+    "component (emb_top_pc_power's disk-cached loadings, read back, "
+    "never re-iterated — the model-consumer composition the PQ "
+    "codebook and BPE merge caches established), reported as the "
+    f"top-{PCA_EXTREME_K} extreme vectors from EACH end — exactly the "
+    "anisotropy audit a curation run ships: the vectors that most "
+    "embody the dominant direction are the cluster/artifact "
+    "candidates to inspect first. Determinism: centered micro "
+    "coordinates dot the micro loadings exactly (bigint), one rounded "
+    "re-quantization, id tiebreaks on both rankings. Scale shape: one "
+    "corpus pass against a BROADCAST 64-row loading vector, bounded "
+    "top-k via TakeOrderedAndProject; the oracle re-derives the "
+    "identical component through the shared unrolled CTEs.",
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = PC_POWER_ROUNDS
+    v = emb_top_pc_power(spark, sf_dir).select(
+        F.col("dim"), F.col(f"loading_micro_r{r}").alias("v")
+    )
+    el = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                _as_double(F.col("embedding")),
+                lambda x: F.round(x * 1000000).cast("long"),
+            )
+        ).alias("dim", "xm"),
+    )
+    mu = el.groupBy("dim").agg(
+        F.round(F.sum("xm").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("m")
+    )
+    scored = (
+        el.join(F.broadcast(mu), on="dim")
+        .join(F.broadcast(v), on="dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("xm") - F.col("m")) * F.col("v"))
+            .cast("long")
+            .alias("raw")
+        )
+        .select(
+            "vec_id",
+            F.round(F.col("raw").cast("double") / 1000000)
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    lo = (
+        scored.orderBy(F.col("score_micro").asc(), F.col("vec_id").asc())
+        .limit(PCA_EXTREME_K)
+        .select(
+            "vec_id",
+            "score_micro",
+            F.lit("low").alias("tail"),
+            F.row_number()
+            .over(Window.orderBy(F.col("score_micro").asc(), F.col("vec_id").asc()))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    hi = (
+        scored.orderBy(F.col("score_micro").desc(), F.col("vec_id").asc())
+        .limit(PCA_EXTREME_K)
+        .select(
+            "vec_id",
+            "score_micro",
+            F.lit("high").alias("tail"),
+            F.row_number()
+            .over(Window.orderBy(F.col("score_micro").desc(), F.col("vec_id").asc()))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    return lo.unionByName(hi)

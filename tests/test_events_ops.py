@@ -425,3 +425,46 @@ def test_pagerank_per_round_joins_are_broadcast(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line
+
+
+def test_ks_statistic_matches_scipy_style_recompute(spark):
+    """Independent recompute of the two-sample KS statistic in pandas
+    (max ECDF gap over the pooled support) must equal the exact
+    integer-scaled statistic the entry reports."""
+    ev = _events_pdf(spark)
+    pu = ev.groupby("user_id").apply(
+        lambda g: round((g.value * 100).round().sum()), include_groups=False
+    )
+    import hashlib
+
+    def arm(uid):
+        return int(hashlib.md5(f"{uid}:abtest".encode()).hexdigest()[:8], 16) % 2
+
+    arms = pu.index.map(arm)
+    ya = sorted(pu[arms == 0])
+    yb = sorted(pu[arms == 1])
+    support = sorted(set(ya) | set(yb))
+    import bisect
+
+    d_scaled = max(
+        abs(
+            bisect.bisect_right(ya, v) * len(yb)
+            - bisect.bisect_right(yb, v) * len(ya)
+        )
+        for v in support
+    )
+    out = eq.ev_abtest_ks(spark, TEST_SF_DIR).toPandas().iloc[0]
+    assert out.na == len(ya) and out.nb == len(yb)
+    assert out.d_scaled == d_scaled, (out.d_scaled, d_scaled)
+
+
+def test_bootstrap_ci_brackets_the_sample_mean(spark):
+    """Poisson-bootstrap sanity: the replica count survives (no empty
+    replica at this N), the CI is ordered, it brackets the full-sample
+    mean, and the SE is positive — the invariants that hold for any
+    resampling of a non-degenerate metric."""
+    out = eq.ev_bootstrap_ci(spark, TEST_SF_DIR).toPandas().iloc[0]
+    assert out.n_replicas == eq.BOOT_REPLICAS
+    assert out.ci_lo_millicents < out.ci_hi_millicents
+    assert out.ci_lo_millicents <= out.mean_millicents <= out.ci_hi_millicents
+    assert out.se_millicents > 0

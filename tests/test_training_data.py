@@ -785,3 +785,74 @@ def test_bpe_apply_compresses_every_language(spark):
     assert (out.sum_symbols_bpe < out.sum_symbols_char).all()
     assert (out.compression > 1.0).all()
     assert (out.sum_symbols_bpe > 0).all()
+
+
+def test_top_pc_power_converges_to_unit_eigenvector(spark):
+    """Power-iteration invariants: every loading vector is (micro)
+    unit-L2, the last two iterates align (micro cosine >= 0.99 after
+    24 rounds), and the captured variance (Rayleigh quotient against
+    numpy's recompute of the same centered micro covariance) reaches
+    >= 95% of the true top eigenvalue — the honest convergence gauge
+    on a flat spectrum, where exact eigenvector identity would need
+    unbounded rounds (lambda2/lambda1 = 0.932 on this fixture)."""
+    import numpy as np
+
+    out = td.emb_top_pc_power(spark, TEST_SF_DIR).toPandas().sort_values("dim")
+    r = td.PC_POWER_ROUNDS
+    v = out[f"loading_micro_r{r}"].to_numpy(dtype=float) / 1e6
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    assert out.align_micro.iloc[0] >= 990_000
+    embs = td._embs(spark, TEST_SF_DIR).toPandas()
+    x = np.rint(np.stack(embs.embedding.to_numpy()).astype(float) * 1e6)
+    mu = np.rint(x.sum(axis=0) / len(x))
+    c = x - mu
+    cov = np.rint(c.T @ c / 1e6)
+    lmax = np.linalg.eigvalsh(cov)[-1]
+    rayleigh = float(v @ cov @ v)
+    assert rayleigh >= 0.95 * lmax, (rayleigh, lmax)
+
+
+def test_pca_project_extremes_are_true_extremes(spark):
+    """The projection entry must report the GENUINE tails: recompute
+    every vector's component score in numpy from the cached loadings
+    and check the reported low/high sets equal the true top-k sets
+    (with the score/id tiebreak), and scores match exactly."""
+    import numpy as np
+
+    r = td.PC_POWER_ROUNDS
+    load = td.emb_top_pc_power(spark, TEST_SF_DIR).toPandas().sort_values("dim")
+    v = load[f"loading_micro_r{r}"].to_numpy(dtype="int64")
+    embs = td._embs(spark, TEST_SF_DIR).toPandas().sort_values("vec_id")
+    x = np.rint(np.stack(embs.embedding.to_numpy()).astype(float) * 1e6).astype(
+        "int64"
+    )
+    mu = np.rint(x.sum(axis=0).astype(float) / len(x)).astype("int64")
+    raw = (x - mu) @ v
+    score = np.rint(raw.astype(float) / 1e6).astype("int64")
+    ids = embs.vec_id.to_numpy()
+    order = sorted(zip(score, ids))
+    want_low = {i for _, i in order[: td.PCA_EXTREME_K]}
+    order_hi = sorted(zip(-score, ids))
+    want_high = {i for _, i in order_hi[: td.PCA_EXTREME_K]}
+    out = td.emb_pca_project(spark, TEST_SF_DIR).toPandas()
+    got = dict(zip(out.vec_id, out.score_micro))
+    truth = dict(zip(ids, score))
+    assert all(truth[i] == s for i, s in got.items())
+    assert set(out[out["tail"] == "low"].vec_id) == want_low
+    assert set(out[out["tail"] == "high"].vec_id) == want_high
+
+
+def test_quality_probe_gd_learns_the_gate(spark):
+    """Distillation contract: training MSE strictly decreases every
+    round, round-1 AUC is exactly 0.5 (zero weights rank nothing), and
+    the final AUC is well above chance (the probe genuinely learns the
+    rule's direction: negative length weight, positive TTR weight on
+    this fixture)."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    out = cu.docs_quality_probe_gd(spark, TEST_SF_DIR).toPandas()
+    assert list(out["round"]) == list(range(1, cu.PROBE_ROUNDS + 1))
+    mses = list(out.mse_scaled)
+    assert all(b < a for a, b in zip(mses, mses[1:])), mses
+    assert out.auc_micro.iloc[0] == 500_000
+    assert out.auc_micro.iloc[-1] >= 700_000, out.auc_micro.iloc[-1]
