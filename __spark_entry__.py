@@ -77,6 +77,10 @@ GRADE_WINDOW = [
     "emb_top_pc_power",
     "emb_pca_project",
     "docs_quality_probe_gd",
+    "ev_markov_attribution",
+    "emb_knn_ivfadc_residual",
+    "emb_knn_recall_ivfadc_residual",
+    "orders_benford_screen",
 ]
 
 

@@ -301,15 +301,59 @@ def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF marker before scan data")
 
 
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_dims(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, color_type) from a PNG's IHDR chunk — the spec
+    REQUIRES IHDR first, so this is a fixed-offset read after the
+    8-byte signature: chunk length+type at 8..16, then width/height as
+    big-endian u32 and bit-depth/color-type bytes. No inflate, no
+    dependency — metadata only, like the JPEG marker walk."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    if len(payload) < 26 or payload[12:16] != b"IHDR":
+        raise ValueError("malformed PNG: IHDR not first")
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    color_type = payload[25]
+    return width, height, color_type
+
+
+def parse_flac_streaminfo(payload: bytes) -> dict:
+    """Sample rate / channels / bits / total samples from a FLAC
+    STREAMINFO block — the spec requires it as the first metadata
+    block after the 'fLaC' marker, so this is bit-shifting at fixed
+    offsets; the compressed frames are never touched (the WAV
+    decoder's metadata-only sibling for the compressed format)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC marker)")
+    if len(payload) < 42 or (payload[4] & 0x7F) != 0:
+        raise ValueError("malformed FLAC: STREAMINFO not first")
+    b = payload[8:]  # STREAMINFO body (34 bytes)
+    sample_rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x07) + 1
+    bits = (((b[12] & 0x01) << 4) | (b[13] >> 4)) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "total_samples": total,
+    }
+
+
 def decode_image_real(payload: bytes) -> dict:
     """The real decoder's integration point. P6 PPM payloads decode
-    natively (:func:`parse_ppm`) and JPEG headers parse natively
-    (:func:`parse_jpeg_dims`) — no dependency for either; other
-    formats use pillow when it is installed (production image) and
-    raise ``NotImplementedError`` in codec-less environments like this
-    sandbox — callers fall back to :func:`fake_features`. A
-    ``pytest.importorskip``-gated test proves the pillow path and the
-    native JPEG header walk agree wherever pillow exists."""
+    natively (:func:`parse_ppm`); JPEG and PNG headers parse natively
+    (:func:`parse_jpeg_dims` / :func:`parse_png_dims`) — no dependency
+    for any of them; other formats use pillow when it is installed
+    (production image) and raise ``NotImplementedError`` in codec-less
+    environments like this sandbox — callers fall back to
+    :func:`fake_features`. ``pytest.importorskip``-gated tests prove
+    the pillow path and the native header walks agree wherever pillow
+    exists."""
     if payload[:2] == b"P6":
         width, height, _maxval, _s = parse_ppm(payload)
         return {"width": width, "height": height, "mode": "RGB", "format": "PPM"}
@@ -320,6 +364,14 @@ def decode_image_real(payload: bytes) -> dict:
             "height": height,
             "mode": _JPEG_MODES.get(ncomp, f"C{ncomp}"),
             "format": "JPEG",
+        }
+    if payload[:8] == _PNG_SIG:
+        width, height, color_type = parse_png_dims(payload)
+        return {
+            "width": width,
+            "height": height,
+            "mode": _PNG_MODES.get(color_type, f"C{color_type}"),
+            "format": "PNG",
         }
     try:
         import io

@@ -4297,3 +4297,291 @@ def ev_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select(
         "*", (F.col("is_rate_bot") | F.col("is_metronome_bot")).alias("is_bot")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov (removal-effect) attribution over per-user journeys
+# --------------------------------------------------------------------------
+
+MARKOV_CONV_TYPE = "purchase"  # the absorbing conversion event
+MARKOV_ROUNDS = 12  # absorption power-iteration depth (geometric tail)
+
+
+def _markov_journey_ctes() -> str:
+    """Journey -> chain edges, shared structure: per-user ordered
+    events truncate at the first conversion; states are the channel
+    events BEFORE it; START enters the first state (or CONV directly
+    when the first event converts); the last state absorbs into CONV
+    (journey converted) or NULL (it didn't). Removal variants rewrite
+    edges INTO the removed channel to NULL and drop edges out of it
+    (the standard removal-effect surgery); out-counts are unchanged
+    for surviving states, so they aggregate once per variant."""
+    return f"""
+    ev2 AS (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events),
+    fp AS (SELECT user_id, CAST(min(rn) AS BIGINT) AS prn FROM ev2
+           WHERE event_type = '{MARKOV_CONV_TYPE}' GROUP BY user_id),
+    kept AS MATERIALIZED (
+      SELECT e.user_id, e.rn, e.event_type
+      FROM ev2 e LEFT JOIN fp ON fp.user_id = e.user_id
+      WHERE fp.prn IS NULL OR e.rn < fp.prn),
+    firsts AS (SELECT user_id, CAST(min(rn) AS BIGINT) AS mn
+               FROM kept GROUP BY user_id),
+    lasts AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS mx
+              FROM kept GROUP BY user_id),
+    raw_edges AS (
+      SELECT 'START' AS s, k.event_type AS t
+      FROM kept k JOIN firsts f ON f.user_id = k.user_id AND f.mn = k.rn
+      UNION ALL
+      SELECT 'START', 'CONV'
+      FROM fp f WHERE NOT EXISTS (SELECT 1 FROM kept k
+                                  WHERE k.user_id = f.user_id)
+      UNION ALL
+      SELECT s, t FROM (
+        SELECT k.event_type AS s,
+               lead(k.event_type) OVER (PARTITION BY k.user_id
+                                        ORDER BY k.rn) AS t
+        FROM kept k) WHERE t IS NOT NULL
+      UNION ALL
+      SELECT k.event_type,
+             CASE WHEN f.user_id IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+      FROM kept k JOIN lasts l ON l.user_id = k.user_id AND l.mx = k.rn
+      LEFT JOIN fp f ON f.user_id = k.user_id),
+    edges AS MATERIALIZED (
+      SELECT s, t, CAST(count(*) AS BIGINT) AS c
+      FROM raw_edges GROUP BY s, t),
+    variants AS MATERIALIZED (
+      SELECT 'FULL' AS v
+      UNION ALL
+      SELECT DISTINCT s FROM edges WHERE s <> 'START'),
+    vt AS MATERIALIZED (
+      SELECT v.v, e.s,
+             CASE WHEN v.v <> 'FULL' AND e.t = v.v THEN 'NULL'
+                  ELSE e.t END AS t,
+             CAST(sum(e.c) AS BIGINT) AS c
+      FROM edges e CROSS JOIN variants v
+      WHERE v.v = 'FULL' OR e.s <> v.v
+      GROUP BY 1, 2, 3),
+    outs AS MATERIALIZED (
+      SELECT v, s, CAST(sum(c) AS BIGINT) AS out_c FROM vt GROUP BY v, s),
+    p_0 AS (SELECT v, s, CAST(0 AS BIGINT) AS p FROM outs)"""
+
+
+def _markov_oracle_sql(rounds: int) -> str:
+    parts = [_markov_journey_ctes()]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    p_{t} AS MATERIALIZED (
+      SELECT e.v, e.s,
+             CAST(round(CAST(sum(e.c * CASE WHEN e.t = 'CONV' THEN 1000000
+                                            WHEN e.t = 'NULL' THEN 0
+                                            ELSE coalesce(pp.p, 0) END)
+                             AS DOUBLE) / o.out_c) AS BIGINT) AS p
+      FROM vt e JOIN outs o ON o.v = e.v AND o.s = e.s
+      LEFT JOIN p_{t - 1} pp ON pp.v = e.v AND pp.s = e.t
+      GROUP BY e.v, e.s, o.out_c)""")
+    r = rounds
+    return (
+        "WITH " + ",".join(parts) + f""",
+    pf AS (SELECT v, p FROM p_{r} WHERE s = 'START'),
+    fullp AS (SELECT p AS pf_full FROM pf WHERE v = 'FULL'),
+    res AS (SELECT pf.v AS channel, pf.p AS p_removed_micro, f.pf_full,
+                   CAST(round(CAST((f.pf_full - pf.p) AS DOUBLE)
+                              / f.pf_full * 1000000) AS BIGINT) AS re_micro
+            FROM pf CROSS JOIN fullp f WHERE pf.v <> 'FULL'),
+    tot AS (SELECT CAST(sum(re_micro) AS BIGINT) AS t FROM res)
+    SELECT r.channel, r.pf_full AS p_full_micro, r.p_removed_micro,
+           r.re_micro,
+           CAST(round(CAST(r.re_micro AS DOUBLE) / t.t * 1000000) AS BIGINT)
+             AS attribution_micro
+    FROM res r CROSS JOIN tot t
+    ORDER BY channel""")
+
+
+@REGISTRY.register(
+    "ev_markov_attribution",
+    oracle=_markov_oracle_sql(MARKOV_ROUNDS),
+    doc="MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the "
+    "data-driven alternative to ev_attribution_first_touch's position "
+    "rule: per-user journeys (ordered events truncated at the first "
+    f"'{MARKOV_CONV_TYPE}') become a first-order chain with START/"
+    "CONV/NULL absorbers; each channel's credit is its REMOVAL EFFECT "
+    "— how much the chain's START->CONV absorption probability drops "
+    "when edges into the channel divert to NULL — normalized into "
+    "attribution shares. Absorption probabilities solve by "
+    f"{MARKOV_ROUNDS} power-iteration rounds over the BOUNDED "
+    "(variant, state) grid (all |channels|+1 variants solved in ONE "
+    "frame per round — the removal surgery is an edge rewrite, not a "
+    "re-walk of the corpus). Determinism: integer edge counts, one "
+    "rounded division per (variant, state) per round, the "
+    "monotonicity guarantee (removal only redirects mass to NULL) "
+    "keeping effects non-negative. Scale shape: the corpus is touched "
+    "by ONE user-window pass to build edges; everything after is "
+    "bounded-cardinality; per-round joins are on the tiny state grid "
+    "with localCheckpoint lineage cuts; the solved attribution table "
+    "(a derived model, like the PQ codebook and BPE merges) "
+    "disk-caches content-stamped so consumers pay the iteration once "
+    "per fixture generation.",
+)
+def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .training_data import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "markov",
+        "attribution",
+        _os.path.join(sf_dir, "events.parquet"),
+        f"v1-{MARKOV_ROUNDS}-{MARKOV_CONV_TYPE}",
+        lambda: _markov_attribution_train(spark, sf_dir),
+    ).orderBy("channel")
+
+
+def _markov_attribution_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev2 = ev.withColumn("rn", F.row_number().over(w)).select(
+        "user_id", "event_type", "rn"
+    )
+    fp = (
+        ev2.filter(F.col("event_type") == MARKOV_CONV_TYPE)
+        .groupBy("user_id")
+        .agg(F.min("rn").cast("long").alias("prn"))
+    )
+    kept = (
+        ev2.join(fp, on="user_id", how="left")
+        .filter(F.col("prn").isNull() | (F.col("rn") < F.col("prn")))
+        .select("user_id", "rn", "event_type")
+        .persist()
+    )
+    firsts = kept.groupBy("user_id").agg(F.min("rn").cast("long").alias("mn"))
+    lasts = kept.groupBy("user_id").agg(F.max("rn").cast("long").alias("mx"))
+    e_start = kept.join(
+        firsts,
+        on=[kept.user_id == firsts.user_id, kept.rn == firsts.mn],
+    ).select(F.lit("START").alias("s"), F.col("event_type").alias("t"))
+    e_direct = fp.join(kept.select("user_id"), on="user_id", how="left_anti").select(
+        F.lit("START").alias("s"), F.lit("CONV").alias("t")
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    e_mid = (
+        kept.withColumn("t", F.lead("event_type").over(wk))
+        .filter(F.col("t").isNotNull())
+        .select(F.col("event_type").alias("s"), "t")
+    )
+    e_end = (
+        kept.join(
+            lasts.withColumnRenamed("user_id", "luid"),
+            on=[kept.user_id == F.col("luid"), kept.rn == F.col("mx")],
+        )
+        .join(
+            fp.select(F.col("user_id").alias("fuid")),
+            on=F.col("fuid") == F.col("luid"),
+            how="left",
+        )
+        .select(
+            F.col("event_type").alias("s"),
+            F.when(F.col("fuid").isNotNull(), "CONV").otherwise("NULL").alias("t"),
+        )
+    )
+    edges = (
+        e_start.unionByName(e_direct)
+        .unionByName(e_mid)
+        .unionByName(e_end)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    variants = (
+        spark.range(1)
+        .select(F.lit("FULL").alias("v"))
+        .unionByName(
+            edges.filter(F.col("s") != "START").select(F.col("s").alias("v")).distinct()
+        )
+    )
+    vt = (
+        edges.crossJoin(F.broadcast(variants))
+        .filter((F.col("v") == "FULL") | (F.col("s") != F.col("v")))
+        .groupBy(
+            "v",
+            "s",
+            F.when(
+                (F.col("v") != "FULL") & (F.col("t") == F.col("v")), "NULL"
+            )
+            .otherwise(F.col("t"))
+            .alias("t2"),
+        )
+        .agg(F.sum("c").cast("long").alias("c"))
+        .withColumnRenamed("t2", "t")
+        .persist()
+    )
+    outs = vt.groupBy("v", "s").agg(F.sum("c").cast("long").alias("out_c"))
+    p = outs.select("v", "s", F.lit(0).cast("long").alias("p"))
+    for t in range(1, MARKOV_ROUNDS + 1):
+        if t % 3 == 1:
+            # bounded (variant, state) grid; p is referenced ONCE per
+            # round so the lazy chain stays linear — cut every few
+            # rounds to bound depth without paying a job per round
+            p = p.localCheckpoint()
+        pval = (
+            F.when(F.col("t") == "CONV", 1000000)
+            .when(F.col("t") == "NULL", 0)
+            .otherwise(F.coalesce(F.col("p"), F.lit(0)))
+        )
+        p = (
+            vt.join(
+                F.broadcast(
+                    p.select(F.col("v").alias("pv"), F.col("s").alias("pt"), "p")
+                ),
+                on=[F.col("pv") == F.col("v"), F.col("pt") == F.col("t")],
+                how="left",
+            )
+            .join(F.broadcast(outs), on=["v", "s"])
+            .groupBy("v", "s", "out_c")
+            .agg(F.sum(F.col("c") * pval).cast("long").alias("num"))
+            .select(
+                "v",
+                "s",
+                F.round(F.col("num").cast("double") / F.col("out_c"))
+                .cast("long")
+                .alias("p"),
+            )
+        )
+    pf = p.filter(F.col("s") == "START").select("v", "p")
+    fullp = pf.filter(F.col("v") == "FULL").select(
+        F.col("p").alias("pf_full")
+    )
+    res = (
+        pf.filter(F.col("v") != "FULL")
+        .crossJoin(F.broadcast(fullp))
+        .select(
+            F.col("v").alias("channel"),
+            F.col("pf_full"),
+            F.col("p").alias("p_removed_micro"),
+            F.round(
+                (F.col("pf_full") - F.col("p")).cast("double")
+                / F.col("pf_full")
+                * 1000000
+            )
+            .cast("long")
+            .alias("re_micro"),
+        )
+    )
+    tot = res.agg(F.sum("re_micro").cast("long").alias("t"))
+    return (
+        res.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("pf_full").alias("p_full_micro"),
+            "p_removed_micro",
+            "re_micro",
+            F.round(F.col("re_micro").cast("double") / F.col("t") * 1000000)
+            .cast("long")
+            .alias("attribution_micro"),
+        )
+        .orderBy("channel")
+    )

@@ -2494,3 +2494,119 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("seg_from", "seg_to")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit screen on order totals (forensic data-quality gate)
+# --------------------------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9 as decimal LITERALS — both engines parse
+#: the same string to the same double, so the expectations (and the
+#: per-digit chi-square terms quantized from them) are bit-identical;
+#: computing log10 at runtime would ride each engine's libm.
+_BENFORD_P = (
+    "0.3010299956639812",
+    "0.1760912590556813",
+    "0.1249387366082999",
+    "0.0969100130080564",
+    "0.0791812460476248",
+    "0.0669467896306132",
+    "0.0579919469776867",
+    "0.0511525224473813",
+    "0.0457574905606751",
+)
+#: CAST to DOUBLE: DuckDB types a bare decimal literal as DECIMAL(38),
+#: and the chi-square squaring then overflows decimal multiplication
+_BENFORD_VALUES_DUCK = ", ".join(
+    f"({d + 1}, CAST({p} AS DOUBLE))" for d, p in enumerate(_BENFORD_P)
+)
+
+
+@REGISTRY.register(
+    "orders_benford_screen",
+    oracle=f"""
+    WITH fd AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                         AS BIGINT) AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                FROM orders),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM fd GROUP BY digit),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fd),
+    exp AS (SELECT * FROM (VALUES {_BENFORD_VALUES_DUCK}) AS t(digit, p)),
+    terms AS (SELECT e.digit,
+                     CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+                     CAST(round(nn.n * e.p * 1000000) AS BIGINT)
+                       AS expected_micro,
+                     CAST(round((coalesce(o.n_obs, 0) - nn.n * e.p)
+                                * (coalesce(o.n_obs, 0) - nn.n * e.p)
+                                / (nn.n * e.p) * 1000000) AS BIGINT)
+                       AS term_nano
+              FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN nn),
+    chi AS (SELECT CAST(sum(term_nano) AS BIGINT) AS chi2_nano FROM terms)
+    SELECT t.digit, t.n_obs, t.expected_micro, t.term_nano, c.chi2_nano
+    FROM terms t CROSS JOIN chi c
+    ORDER BY t.digit""",
+    doc="BENFORD'S-LAW first-digit screen on order totals — the "
+    "forensic data-quality gate auditors run on any money column "
+    "(fabricated, capped, or template-generated amounts break the "
+    "log-uniform leading-digit law long before summary stats notice): "
+    "observed first-digit counts against the Benford expectation "
+    "n*log10(1+1/d), with per-digit chi-square contributions and the "
+    "9-dof chi-square total. Determinism: the first digit comes from "
+    "an exact integer-cents string (no float log10 of the value); the "
+    "nine expectations are PRE-COMPUTED decimal literals (runtime "
+    "log10 would ride each engine's libm); each chi-square term "
+    "quantizes to an integer BEFORE the total, so the sum is "
+    "order-free. Scale shape: one narrow scan, a 9-group aggregate, "
+    "and a broadcast constants table — output is 9 rows at any "
+    "corpus size. NOTE the honest reading: TPC-H-style uniform "
+    "synthetic prices are EXPECTED to fail Benford (chi2 >> crit) — "
+    "the entry reports the screen, the fixture demonstrates a "
+    "failing population, and the pytest pins both the arithmetic and "
+    "that the screen fires on this data.",
+)
+def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    fd = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = fd.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    nn = fd.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exp = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d + 1).cast("long").alias("digit"),
+                        F.lit(float(p)).alias("p"),
+                    )
+                    for d, p in enumerate(_BENFORD_P)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    dev = F.coalesce(F.col("n_obs"), F.lit(0)) - F.col("n") * F.col("p")
+    terms = (
+        exp.join(obs, on="digit", how="left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.round(F.col("n") * F.col("p") * 1000000)
+            .cast("long")
+            .alias("expected_micro"),
+            F.round(dev * dev / (F.col("n") * F.col("p")) * 1000000)
+            .cast("long")
+            .alias("term_nano"),
+        )
+    )
+    chi = terms.agg(F.sum("term_nano").cast("long").alias("chi2_nano"))
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select("digit", "n_obs", "expected_micro", "term_nano", "chi2_nano")
+        .orderBy("digit")
+    )

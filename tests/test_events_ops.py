@@ -468,3 +468,16 @@ def test_bootstrap_ci_brackets_the_sample_mean(spark):
     assert out.ci_lo_millicents < out.ci_hi_millicents
     assert out.ci_lo_millicents <= out.mean_millicents <= out.ci_hi_millicents
     assert out.se_millicents > 0
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal-effect contracts: every channel's removal strictly lowers
+    the chain's conversion probability (removal only redirects mass to
+    NULL, so effects are positive), attribution shares sum to ~1e6, and
+    the full-chain conversion probability is a probability."""
+    out = eq.ev_markov_attribution(spark, TEST_SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.p_full_micro.between(0, 1_000_000)).all()
+    assert (out.p_removed_micro <= out.p_full_micro).all()
+    assert (out.re_micro > 0).all()
+    assert abs(out.attribution_micro.sum() - 1_000_000) <= len(out)

@@ -80,7 +80,8 @@ def test_decode_image_real_without_pillow():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG\r\n\x1a\n")
+        # GIF: no native header walk — genuinely needs a codec library
+        decode_image_real(b"GIF89a" + bytes(20))
 
 
 def test_decode_image_real_with_pillow():
@@ -391,3 +392,75 @@ def test_jpeg_native_walk_agrees_with_pillow():
     assert parse_jpeg_dims(payload)[:2] == (23, 11)
     meta = decode_image_real(payload)
     assert (meta["width"], meta["height"], meta["format"]) == (23, 11, "JPEG")
+
+
+def test_parse_png_dims_ihdr():
+    """PNG IHDR fixed-offset read: dims and color-type for RGB and
+    grayscale headers, loud failures on bad signature / IHDR order."""
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_png_dims,
+    )
+
+    def png(w, h, ct):
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ct, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + bytes(4)  # crc (unchecked)
+        )
+
+    assert parse_png_dims(png(640, 480, 2)) == (640, 480, 2)
+    meta = decode_image_real(png(31, 7, 0))
+    assert (meta["width"], meta["height"], meta["mode"], meta["format"]) == (
+        31, 7, "L", "PNG",
+    )
+    with pytest.raises(ValueError):
+        parse_png_dims(b"\xff\xd8 not a png")
+    with pytest.raises(ValueError):
+        parse_png_dims(b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IDAT")
+
+
+def test_png_native_walk_agrees_with_pillow():
+    """Wherever pillow exists, a REAL encoded PNG must yield identical
+    dimensions from the fixed-offset IHDR read and from pillow."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_png_dims,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (23, 11)).save(buf, format="PNG")
+    assert parse_png_dims(buf.getvalue())[:2] == (23, 11)
+
+
+def test_parse_flac_streaminfo_bitfields():
+    """FLAC STREAMINFO bit-shifting: a hand-built header with known
+    rate/channels/bits/total must round-trip exactly."""
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_flac_streaminfo,
+    )
+
+    rate, channels, bits, total = 44100, 2, 16, 1_234_567
+    b10 = rate >> 12
+    b11 = (rate >> 4) & 0xFF
+    b12 = ((rate & 0x0F) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    b13 = (((bits - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F)
+    body = bytes(10) + bytes([b10, b11, b12, b13]) + (total & 0xFFFFFFFF).to_bytes(
+        4, "big"
+    ) + bytes(16)
+    payload = b"fLaC" + bytes([0]) + (34).to_bytes(3, "big") + body
+    meta = parse_flac_streaminfo(payload)
+    assert meta == {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "total_samples": total,
+    }
+    with pytest.raises(ValueError):
+        parse_flac_streaminfo(b"RIFF not flac")

@@ -354,3 +354,21 @@ def test_compact_parquet_refuses_in_place(spark, tmp_path):
     spark.range(10).write.parquet(src)
     with pytest.raises(ValueError, match="overwrite its own source"):
         compact_parquet(spark, src, src)
+
+
+def test_benford_screen_arithmetic_and_fires_on_uniform_prices(spark):
+    """Benford screen contracts: observed digit counts sum to the order
+    count, expectations sum to ~n (the nine Benford shares sum to 1),
+    the chi-square total equals the sum of the per-digit integer terms,
+    and — the honest fixture reading — uniform synthetic prices FAIL
+    the law loudly (chi2 far above the 15.51 critical value at 8 dof)."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    out = rx.orders_benford_screen(spark, TEST_SF_DIR).toPandas()
+    orders = rx._t(spark, TEST_SF_DIR, "orders")
+    n = orders.count()
+    assert list(out.digit) == list(range(1, 10))
+    assert out.n_obs.sum() == n
+    assert abs(out.expected_micro.sum() - n * 1_000_000) <= 9
+    assert out.chi2_nano.iloc[0] == out.term_nano.sum()
+    assert out.chi2_nano.iloc[0] > 15_507_000  # 15.507 * 1e6: screen fires

@@ -856,3 +856,15 @@ def test_quality_probe_gd_learns_the_gate(spark):
     assert all(b < a for a, b in zip(mses, mses[1:])), mses
     assert out.auc_micro.iloc[0] == 500_000
     assert out.auc_micro.iloc[-1] >= 700_000, out.auc_micro.iloc[-1]
+
+
+def test_ivfadc_residual_recall_above_zero(spark):
+    """The residual-encoded IVFADC must retrieve real neighbors at both
+    graded fixtures (measured 0.167 mean recall@3 at sf0.01 with the
+    untrained residual sample codebook) — pinned > 0 so a composition
+    regression to quality-dead fails loudly, same contract as the
+    composed IVF-PQ pin."""
+    for sf in [TEST_SF_DIR, "/root/testdata/sf0.01"]:
+        out = td.emb_knn_recall_ivfadc_residual(spark, sf).toPandas()
+        assert len(out) == td.N_QUERIES
+        assert out.recall_at_k.mean() > 0.0, (sf, out.recall_at_k.mean())
