@@ -81,6 +81,7 @@ GRADE_WINDOW = [
     "emb_knn_ivfadc_residual",
     "emb_knn_recall_ivfadc_residual",
     "orders_benford_screen",
+    "docs_probe_lift_table",
 ]
 
 

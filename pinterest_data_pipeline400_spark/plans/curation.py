@@ -1986,13 +1986,15 @@ def _probe_feat_ctes() -> str:
       FROM feat f CROSS JOIN fm m)"""
 
 
-def _probe_oracle_sql(rounds: int) -> str:
-    """Unrolled DuckDB mirror of the gradient-descent loop. Per-doc
-    error contributions round ONCE to micro before the per-feature
-    integer gradient sums (order-free); each weight update is one
-    rounded double division. Per-round AUC is the exact Mann-Whitney
-    U with average-rank tie handling, kept integer by doubling
-    (2*avg_rank = 2*cnt_less + cnt_eq + 1)."""
+def _probe_cte_parts(rounds: int) -> list[str]:
+    """CTE strings (no leading WITH) for the unrolled gradient-descent
+    loop — shared by the training entry and the lift-table consumer so
+    the two oracles cannot drift. Per-doc error contributions round
+    ONCE to micro before the per-feature integer gradient sums
+    (order-free); each weight update is one rounded double division.
+    Per-round AUC is the exact Mann-Whitney U with average-rank tie
+    handling, kept integer by doubling (2*avg_rank = 2*cnt_less +
+    cnt_eq + 1)."""
     parts = [
         _probe_feat_ctes(),
         """w_0 AS (SELECT CAST(0 AS BIGINT) AS wl, CAST(0 AS BIGINT) AS wt,
@@ -2037,6 +2039,11 @@ def _probe_oracle_sql(rounds: int) -> str:
       FROM (SELECT yhat, c, p,
                    CAST(sum(c) OVER (ORDER BY yhat) AS BIGINT) AS cum
             FROM sg_{t}))""")
+    return parts
+
+
+def _probe_oracle_sql(rounds: int) -> str:
+    parts = _probe_cte_parts(rounds)
     selects = [
         f"""SELECT CAST({t} AS BIGINT) AS round,
            w.wl AS w_len, w.wt AS w_ttr, w.ws AS w_stop, w.wb AS w_bias,
@@ -2079,6 +2086,22 @@ def _probe_oracle_sql(rounds: int) -> str:
     "window runs over DISTINCT scores, bounded by the micro grain.",
 )
 def docs_quality_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "probe",
+        "quality_gd",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v1-{PROBE_ROUNDS}-{PROBE_LR_DEN}",
+        lambda: _quality_probe_train(spark, sf_dir),
+    ).orderBy("round")
+
+
+def _probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centered micro feature/label frame (persisted) — shared by
+    the GD training loop and the lift-table consumer."""
     docs = _docs(spark, sf_dir, spread=True)
     ptok = docs.select(
         "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
@@ -2153,6 +2176,14 @@ def docs_quality_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # every round's pass reads it
     )
+    return featc
+
+
+def _quality_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GD loop itself — see docs_quality_probe_gd; the trained
+    trajectory disk-caches content-stamped (the PQ/BPE/PCA/Markov
+    model-cache rule)."""
+    featc = _probe_features(spark, sf_dir)
     nn = featc.agg(F.count(F.lit(1)).cast("long").alias("n"))
     w = spark.range(1).select(
         F.lit(0).cast("long").alias("wl"),
@@ -2244,3 +2275,148 @@ def docs_quality_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rows[1:]:
         out = out.unionByName(rdf)
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# lift/gains table for the trained probe (ranking diagnostic)
+# --------------------------------------------------------------------------
+
+_LIFT_QS = tuple(round(i / 10, 1) for i in range(1, 10))
+
+
+@REGISTRY.register(
+    "docs_probe_lift_table",
+    oracle="WITH "
+    + ",".join(_probe_cte_parts(PROBE_ROUNDS))
+    + f""",
+    yfin AS (SELECT f.doc_id, f.pos,
+                    CAST(round((CAST(w.wl * f.xl AS DOUBLE) + w.wt * f.xt
+                                + w.ws * f.xs + w.wb * 1000000) / 1000000)
+                         AS BIGINT) AS yhat
+             FROM featc f CROSS JOIN w_{PROBE_ROUNDS} w),
+    thr AS (SELECT {", ".join(
+        f"quantile_cont(CAST(yhat AS DOUBLE), {q}) AS t{i + 1}"
+        for i, q in enumerate(_LIFT_QS)
+    )} FROM yfin),
+    dec AS (SELECT pos,
+                   1 + {" + ".join(
+        f"(CASE WHEN yhat > thr.t{i + 1} THEN 1 ELSE 0 END)"
+        for i in range(len(_LIFT_QS))
+    )} AS decile
+            FROM yfin CROSS JOIN thr),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(pos) AS BIGINT) AS k FROM dec),
+    g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(pos) AS BIGINT) AS n_keep
+          FROM dec GROUP BY decile),
+    c AS (SELECT *, CAST(sum(n_keep) OVER (ORDER BY decile DESC)
+                         AS BIGINT) AS cum_keep
+          FROM g)
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_keep,
+           CAST(round(CAST(n_keep AS DOUBLE) / n_docs * 1000000) AS BIGINT)
+             AS keep_rate_micro,
+           CAST(round(CAST(n_keep AS DOUBLE) / n_docs
+                      / (CAST(b.k AS DOUBLE) / b.n) * 1000000) AS BIGINT)
+             AS lift_micro,
+           CAST(round(CAST(cum_keep AS DOUBLE) / b.k * 1000000) AS BIGINT)
+             AS cum_capture_micro
+    FROM c CROSS JOIN base b
+    ORDER BY decile""",
+    doc="LIFT/GAINS TABLE for the trained quality probe — the ranking "
+    "diagnostic a score ships with before anyone thresholds it: docs "
+    "bucket into score deciles (exact-percentile thresholds broadcast "
+    "from one aggregate — the ev_value_deciles_bounded discipline, "
+    "never a global-sort ntile), and each decile reports its keep "
+    "rate, lift over the base rate, and the cumulative fraction of "
+    "all keepers captured scanning from the top decile down — the "
+    "curve that answers 'if I only keep the top 20% by score, what "
+    "fraction of rule-keepers do I retain?'. Scores come from the "
+    "FINAL trained weights (w_8) applied to the same centered "
+    "features — and the table EARNS ITS KEEP on this fixture: the "
+    "topmost decile's keep rate collapses (the linear probe rewards "
+    "short high-TTR docs, but the rule's length FLOOR fails the very "
+    "shortest — a monotone score approximating a band-shaped rule "
+    "overshoots at the extreme), which is precisely the deployment "
+    "risk a gains curve exists to expose before thresholding. pytest "
+    "pins the accounting exact, capture monotone, and peak lift "
+    "well above 1. Scale shape: one pass to score against a broadcast "
+    "1-row weight table, a 9-threshold broadcast, a 10-group "
+    "aggregate, and a 10-row window.",
+)
+def docs_probe_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = PROBE_ROUNDS
+    wrow = (
+        docs_quality_probe_gd(spark, sf_dir)
+        .filter(F.col("round") == r)
+        .select(
+            F.col("w_len").alias("wl"),
+            F.col("w_ttr").alias("wt"),
+            F.col("w_stop").alias("ws"),
+            F.col("w_bias").alias("wb"),
+        )
+    )
+    featc = _probe_features(spark, sf_dir)
+    yfin = featc.crossJoin(F.broadcast(wrow)).select(
+        "pos",
+        F.round(
+            (
+                (F.col("wl") * F.col("xl")).cast("double")
+                + F.col("wt") * F.col("xt")
+                + F.col("ws") * F.col("xs")
+                + F.col("wb") * 1000000
+            )
+            / 1000000
+        )
+        .cast("long")
+        .alias("yhat"),
+    )
+    thr = yfin.agg(
+        *[
+            F.expr(f"percentile(CAST(yhat AS DOUBLE), {q})").alias(f"t{i + 1}")
+            for i, q in enumerate(_LIFT_QS)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(len(_LIFT_QS)):
+        decile = decile + (F.col("yhat") > F.col(f"t{i + 1}")).cast("int")
+    dec = yfin.crossJoin(F.broadcast(thr)).select(
+        "pos", decile.cast("long").alias("decile")
+    )
+    base = dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("k"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_keep"),
+    )
+    c = g.select(
+        "*",
+        F.sum("n_keep")
+        .over(Window.orderBy(F.col("decile").desc()))
+        .cast("long")
+        .alias("cum_keep"),
+    )
+    return (
+        c.crossJoin(F.broadcast(base))
+        .select(
+            "decile",
+            "n_docs",
+            "n_keep",
+            F.round(F.col("n_keep").cast("double") / F.col("n_docs") * 1000000)
+            .cast("long")
+            .alias("keep_rate_micro"),
+            F.round(
+                F.col("n_keep").cast("double")
+                / F.col("n_docs")
+                / (F.col("k").cast("double") / F.col("n"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("lift_micro"),
+            F.round(F.col("cum_keep").cast("double") / F.col("k") * 1000000)
+            .cast("long")
+            .alias("cum_capture_micro"),
+        )
+        .orderBy("decile")
+    )

@@ -868,3 +868,27 @@ def test_ivfadc_residual_recall_above_zero(spark):
         out = td.emb_knn_recall_ivfadc_residual(spark, sf).toPandas()
         assert len(out) == td.N_QUERIES
         assert out.recall_at_k.mean() > 0.0, (sf, out.recall_at_k.mean())
+
+
+def test_probe_lift_table_accounting_and_shape(spark):
+    """Gains-table contracts: decile doc counts sum to the corpus,
+    keeps sum to the rule's keeper count, cumulative capture is
+    monotone non-increasing in decile (it accumulates from the top
+    down) and reaches 1.0 at the bottom row, and the peak lift is well
+    above 1 (the probe genuinely concentrates keepers) — while the TOP
+    decile's collapse (monotone score vs band-shaped rule) is the
+    diagnostic finding, not a bug."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    out = (
+        cu.docs_probe_lift_table(spark, TEST_SF_DIR)
+        .toPandas()
+        .sort_values("decile")
+    )
+    feat = cu._probe_features(spark, TEST_SF_DIR).toPandas()
+    assert out.n_docs.sum() == len(feat)
+    assert out.n_keep.sum() == int(feat.pos.sum())
+    caps = list(out.cum_capture_micro)
+    assert all(a >= b for a, b in zip(caps, caps[1:])), caps
+    assert caps[0] == 1_000_000
+    assert out.lift_micro.max() >= 1_500_000, out.lift_micro.max()
