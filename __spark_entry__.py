@@ -82,6 +82,7 @@ GRADE_WINDOW = [
     "emb_knn_recall_ivfadc_residual",
     "orders_benford_screen",
     "docs_probe_lift_table",
+    "docs_heaps_law",
 ]
 
 

@@ -2420,3 +2420,131 @@ def docs_probe_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law: vocabulary growth vs corpus size
+# --------------------------------------------------------------------------
+
+HEAPS_SLICES = 10
+
+
+@REGISTRY.register(
+    "docs_heaps_law",
+    oracle=f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    thr AS (SELECT {", ".join(
+        f"quantile_cont(CAST(doc_id AS DOUBLE), {i / 10}) AS t{i}"
+        for i in range(1, HEAPS_SLICES)
+    )} FROM ids),
+    dtok AS (SELECT d.doc_id,
+                    unnest(string_split({_NORM_SQL}, ' ')) AS token
+             FROM documents d),
+    sl AS (SELECT doc_id,
+                  1 + {" + ".join(
+        f"(CASE WHEN doc_id > thr.t{i} THEN 1 ELSE 0 END)"
+        for i in range(1, HEAPS_SLICES)
+    )} AS slice
+           FROM ids CROSS JOIN thr),
+    tk AS (SELECT t.doc_id, t.token, s.slice
+           FROM dtok t JOIN sl s USING (doc_id)),
+    per_slice_tokens AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_tok
+                         FROM tk GROUP BY slice),
+    first_slice AS (SELECT token, CAST(min(slice) AS BIGINT) AS fs
+                    FROM tk GROUP BY token),
+    new_types AS (SELECT fs AS slice, CAST(count(*) AS BIGINT) AS n_new
+                  FROM first_slice GROUP BY fs),
+    cum AS (SELECT p.slice,
+                   CAST(sum(p.n_tok) OVER (ORDER BY p.slice) AS BIGINT)
+                     AS tokens_cum,
+                   CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.slice)
+                        AS BIGINT) AS types_cum
+            FROM per_slice_tokens p LEFT JOIN new_types n USING (slice)),
+    pts AS (SELECT slice, tokens_cum, types_cum,
+                   log10(CAST(tokens_cum AS DOUBLE)) AS x,
+                   log10(CAST(types_cum AS DOUBLE)) AS y
+            FROM cum),
+    fit AS (SELECT round(regr_slope(y, x), 6) AS heaps_beta,
+                   round(regr_intercept(y, x), 6) AS heaps_log_k
+            FROM pts)
+    SELECT p.slice, p.tokens_cum, p.types_cum, f.heaps_beta, f.heaps_log_k
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.slice""",
+    doc="HEAPS' LAW vocabulary-growth curve — the corpus statistic "
+    "behind every vocab-size and dedup-payoff decision (V ~ K·n^beta, "
+    "beta ~ 0.4-0.6 for natural language; a flattening curve means "
+    "diminishing new content — duplicated or template-heavy data; a "
+    "beta near 1 means unbounded vocabulary — noisy tokens): the "
+    f"corpus splits into {HEAPS_SLICES} doc-id slices via broadcast "
+    "percentile THRESHOLDS (never a global-sort ntile), each token "
+    "TYPE charges its first-appearance slice (one min-aggregate — no "
+    "per-prefix distinct-count rescans), cumulative tokens/types come "
+    "from a 10-row window, and the log-log least-squares fit uses the "
+    "docs_zipf_slope regr_slope discipline. Scale shape: one "
+    "tokenize, two map-side-combinable aggregates (slice sums, "
+    "per-type min), all windows over the bounded slice axis.",
+)
+def docs_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    ids = docs.select("doc_id")
+    thr = ids.agg(
+        *[
+            F.expr(f"percentile(CAST(doc_id AS DOUBLE), {i / 10})").alias(f"t{i}")
+            for i in range(1, HEAPS_SLICES)
+        ]
+    )
+    slice_col = F.lit(1)
+    for i in range(1, HEAPS_SLICES):
+        slice_col = slice_col + (F.col("doc_id") > F.col(f"t{i}")).cast("int")
+    sl = ids.crossJoin(F.broadcast(thr)).select(
+        "doc_id", slice_col.cast("long").alias("slice")
+    )
+    tk = (
+        docs.select(
+            "doc_id", F.explode(ws_tokens(norm_text(F.col("text")))).alias("token")
+        )
+        .join(sl, on="doc_id")
+        .persist()  # feeds both the slice sums and the per-type min
+    )
+    per_slice = tk.groupBy("slice").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    new_types = (
+        tk.groupBy("token")
+        .agg(F.min("slice").cast("long").alias("slice"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    wsl = Window.orderBy("slice")
+    cum = (
+        per_slice.join(new_types, on="slice", how="left")
+        .select(
+            "slice",
+            F.sum("n_tok").over(wsl).cast("long").alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(wsl)
+            .cast("long")
+            .alias("types_cum"),
+        )
+    )
+    pts = cum.select(
+        "slice",
+        "tokens_cum",
+        "types_cum",
+        F.log10(F.col("tokens_cum").cast("double")).alias("x"),
+        F.log10(F.col("types_cum").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    fit = pts.agg(
+        F.round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6).alias("heaps_beta"),
+        F.round(
+            (sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 6
+        ).alias("heaps_log_k"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "slice", "tokens_cum", "types_cum", "heaps_beta", "heaps_log_k"
+        )
+        .orderBy("slice")
+    )

@@ -3735,9 +3735,27 @@ def _pagerank_oracle_sql(rounds: int) -> str:
     "build the bounded (|types|^2) edge list; every per-round join is "
     "against a BROADCAST score/out-weight table with localCheckpoint "
     "lineage cuts — per-round cost is one bounded shuffle, the "
-    "canonical distributed power iteration.",
+    "canonical distributed power iteration; the solved score table "
+    "(a derived model) disk-caches content-stamped like the Markov "
+    "attribution chain.",
 )
 def ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .training_data import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "pagerank",
+        "scores",
+        _os.path.join(sf_dir, "events.parquet"),
+        f"v1-{PR_ROUNDS}-{PR_DAMP}-{PR_SCALE}",
+        lambda: _pagerank_train(spark, sf_dir),
+    ).orderBy("event_type")
+
+
+def _pagerank_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (

@@ -416,8 +416,9 @@ def test_pagerank_per_round_joins_are_broadcast(spark):
     cross-joins (dangling mass, node count) legitimately compile to
     BroadcastNestedLoopJoin-Cross with the single row built and
     broadcast (the HITS l1-normalization shape), so only an unkeyed
-    CartesianProduct is banned outright."""
-    plan = _plan(eq.ev_pagerank(spark, TEST_SF_DIR))
+    CartesianProduct is banned outright. Asserted on the TRAINING
+    builder — the registered entry serves the cached score table."""
+    plan = _plan(eq._pagerank_train(spark, TEST_SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     # every nested-loop join in the plan is a Cross with a broadcast

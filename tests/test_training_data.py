@@ -892,3 +892,28 @@ def test_probe_lift_table_accounting_and_shape(spark):
     assert all(a >= b for a, b in zip(caps, caps[1:])), caps
     assert caps[0] == 1_000_000
     assert out.lift_micro.max() >= 1_500_000, out.lift_micro.max()
+
+
+def test_heaps_law_curve_shape(spark):
+    """Heaps-curve contracts: cumulative tokens strictly increase per
+    slice, cumulative types never decrease and end at the true vocab
+    size, and the fitted beta lands in [0, 1) — on THIS synthetic
+    corpus (fixed template vocabulary) the curve is nearly flat
+    (beta ~ 0), which is precisely the duplicated/template-heavy
+    signature the statistic exists to flag."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    out = cu.docs_heaps_law(spark, TEST_SF_DIR).toPandas().sort_values("slice")
+    toks = list(out.tokens_cum)
+    types = list(out.types_cum)
+    assert all(b > a for a, b in zip(toks, toks[1:])), toks
+    assert all(b >= a for a, b in zip(types, types[1:])), types
+    true_vocab = (
+        td._docs(spark, TEST_SF_DIR)
+        .select(td.F.explode(td.ws_tokens(td.norm_text(td.F.col("text")))))
+        .distinct()
+        .count()
+    )
+    assert types[-1] == true_vocab
+    assert 0.0 <= out.heaps_beta.iloc[0] < 1.0
+    assert out.heaps_beta.iloc[0] < 0.2  # template corpus: flat growth
