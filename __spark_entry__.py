@@ -83,6 +83,8 @@ GRADE_WINDOW = [
     "orders_benford_screen",
     "docs_probe_lift_table",
     "docs_heaps_law",
+    "docs_incremental_dedup",
+    "ev_ldiversity_audit",
 ]
 
 

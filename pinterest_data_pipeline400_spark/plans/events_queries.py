@@ -4603,3 +4603,60 @@ def _markov_attribution_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+LDIV_L = 3  # minimum sensitive-value diversity per released QI group
+
+
+@REGISTRY.register(
+    "ev_ldiversity_audit",
+    oracle=f"""
+    WITH s AS (SELECT event_type,
+                      CAST(date_part('isodow', ts) AS BIGINT) AS dow_iso,
+                      CAST(date_part('hour', ts) AS BIGINT) AS hod,
+                      CAST(floor(log2(greatest(CAST(round(value * 100)
+                                                    AS BIGINT), 1)))
+                           AS BIGINT) AS sens_band
+               FROM events),
+    g AS (SELECT event_type, dow_iso, hod,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT sens_band) AS BIGINT) AS l_distinct
+          FROM s GROUP BY 1, 2, 3)
+    SELECT event_type, dow_iso, hod, n, l_distinct
+    FROM g WHERE l_distinct < {LDIV_L}
+    ORDER BY event_type, dow_iso, hod""",
+    doc=f"PRIVACY GATE: l-diversity audit (Machanavajjhala 2007) — the "
+    "attack k-anonymity misses: a QI group can hold k rows yet carry "
+    "ONE sensitive value, so membership alone discloses it "
+    "(homogeneity attack). Sensitive attribute here = the log2 "
+    "spend band of the event value (exact integer banding of cents; "
+    "the banding is the generalization a release would apply); every "
+    f"(event_type, iso weekday, hour) group with fewer than l="
+    f"{LDIV_L} distinct bands is surfaced for suppression next to "
+    "ev_kanonymity_audit's small-group list — the two gates ship "
+    "together in any release checklist. Scale shape: one hash "
+    "aggregate to the bounded QI grid (distinct over the ~40-band "
+    "sensitive axis is cheap; HLL is the documented scale switch), "
+    "filter + order on the grid.",
+)
+def ev_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = ev.select(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor(
+            F.log2(
+                F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(1))
+            )
+        )
+        .cast("long")
+        .alias("sens_band"),
+    )
+    g = s.groupBy("event_type", "dow_iso", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("sens_band").cast("long").alias("l_distinct"),
+    )
+    return g.filter(F.col("l_distinct") < LDIV_L).orderBy(
+        "event_type", "dow_iso", "hod"
+    )

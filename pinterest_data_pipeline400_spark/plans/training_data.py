@@ -5530,3 +5530,91 @@ def emb_knn_recall_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: a NEW batch probed against the stored corpus index
+# --------------------------------------------------------------------------
+
+INCR_OLD_FRAC = "0.6"  # corpus share treated as the already-ingested index
+
+
+@REGISTRY.register(
+    "docs_incremental_dedup",
+    oracle=f"""
+    WITH pairs AS ({{pairs}}),
+    cut AS (SELECT quantile_cont(CAST(doc_id AS DOUBLE), {INCR_OLD_FRAC}) AS c
+            FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')),
+    newdocs AS (SELECT doc_id
+                FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')
+                CROSS JOIN cut WHERE doc_id > cut.c),
+    long_pairs AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+    stats AS (SELECT n.doc_id,
+                     CAST(sum(CASE WHEN p.y <= cut.c THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_corpus_matches,
+                     CAST(sum(CASE WHEN p.y > cut.c AND p.y < n.doc_id
+                                   THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_batch_matches_smaller
+              FROM newdocs n CROSS JOIN cut
+              LEFT JOIN long_pairs p ON p.x = n.doc_id
+              GROUP BY n.doc_id)
+    SELECT doc_id, n_corpus_matches, n_batch_matches_smaller,
+           CASE WHEN n_corpus_matches > 0 THEN 'dup_of_corpus'
+                WHEN n_batch_matches_smaller > 0 THEN 'dup_in_batch'
+                ELSE 'ingest' END AS verdict
+    FROM stats""".format(pairs=REGISTRY.oracles()["docs_dup_minhash_pairs"]),
+    doc="INCREMENTAL DEDUP — the framing production pipelines actually "
+    "run: a NEW batch (the newest 40% of doc ids, cut at a broadcast "
+    "percentile) probes the ALREADY-INGESTED corpus's near-dup index "
+    "instead of re-deduping the world. Every new doc gets its verdict "
+    "with the evidence: matches against the stored corpus (-> "
+    "dup_of_corpus, drop), near-dups WITHIN the batch resolved by the "
+    "min-id keeper rule (-> dup_in_batch for the losers), else "
+    "ingest. Candidates come from the SAME certified MinHash spine "
+    "(the content-stamped disk cache — at 100 TB the band index IS "
+    "the stored state; probing is a band equi-join of the batch's "
+    "signatures against it, never a corpus rescan), and the oracle "
+    "composes docs_dup_minhash_pairs' SQL verbatim so any change to "
+    "the detector flows into this entry. Scale shape: pair list "
+    "symmetrized once, one left join + aggregate on the batch side.",
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    cut = dup.agg(
+        F.expr(f"percentile(CAST(doc_id AS DOUBLE), {INCR_OLD_FRAC})").alias("c")
+    )
+    newdocs = dup.select("doc_id").crossJoin(F.broadcast(cut)).filter(
+        F.col("doc_id") > F.col("c")
+    )
+    pairs = cached_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    long_pairs = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionByName(pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    stats = (
+        newdocs.join(long_pairs, on=F.col("x") == F.col("doc_id"), how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("y") <= F.col("c"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_corpus_matches"),
+            F.sum(
+                F.when(
+                    (F.col("y") > F.col("c")) & (F.col("y") < F.col("doc_id")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_batch_matches_smaller"),
+        )
+    )
+    return stats.select(
+        "doc_id",
+        "n_corpus_matches",
+        "n_batch_matches_smaller",
+        F.when(F.col("n_corpus_matches") > 0, "dup_of_corpus")
+        .when(F.col("n_batch_matches_smaller") > 0, "dup_in_batch")
+        .otherwise("ingest")
+        .alias("verdict"),
+    )

@@ -482,3 +482,26 @@ def test_markov_attribution_invariants(spark):
     assert (out.p_removed_micro <= out.p_full_micro).all()
     assert (out.re_micro > 0).all()
     assert abs(out.attribution_micro.sum() - 1_000_000) <= len(out)
+
+
+def test_ldiversity_flags_are_truly_homogeneous(spark):
+    """Every flagged QI group must genuinely have < L distinct sensitive
+    bands (recomputed in pandas), and groups the audit does NOT flag
+    must all be diverse — no false negatives on this corpus."""
+    import numpy as np
+
+    ev = _events_pdf(spark)
+    cents = np.rint(ev.value.to_numpy(dtype=float) * 100).clip(min=1)
+    ev = ev.assign(
+        dow_iso=ev.ts.dt.weekday + 1,
+        hod=ev.ts.dt.hour,
+        band=np.floor(np.log2(cents)).astype(int),
+    )
+    truth = ev.groupby(["event_type", "dow_iso", "hod"]).band.nunique()
+    out = eq.ev_ldiversity_audit(spark, TEST_SF_DIR).toPandas()
+    flagged = set(zip(out.event_type, out.dow_iso, out.hod))
+    for key, l in truth.items():
+        if key in flagged:
+            assert l < eq.LDIV_L, (key, l)
+        else:
+            assert l >= eq.LDIV_L, (key, l)

@@ -917,3 +917,41 @@ def test_heaps_law_curve_shape(spark):
     assert types[-1] == true_vocab
     assert 0.0 <= out.heaps_beta.iloc[0] < 1.0
     assert out.heaps_beta.iloc[0] < 0.2  # template corpus: flat growth
+
+
+def test_incremental_dedup_consistent_with_pair_spine(spark, dup_corpus):
+    """Incremental-dedup contracts vs an independent pandas recompute
+    from the same cached pair list: the new-batch partition is exact
+    (doc_id above the 60th percentile), every dup_of_corpus doc really
+    has a pair into the old partition, every dup_in_batch doc has a
+    smaller new-batch near-dup and no corpus match, and ingest docs
+    have neither."""
+    import numpy as np
+
+    pairs = td.cached_minhash_pairs(spark, TEST_SF_DIR).toPandas()
+    cut = np.percentile(dup_corpus.doc_id.to_numpy(dtype=float), 60)
+    out = (
+        td.docs_incremental_dedup(spark, TEST_SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    new_ids = set(dup_corpus.doc_id[dup_corpus.doc_id > cut])
+    assert set(out.index) == new_ids
+    adj = {}
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for did, row in out.iterrows():
+        nbrs = adj.get(did, set())
+        corpus = sum(1 for x in nbrs if x <= cut)
+        batch_smaller = sum(1 for x in nbrs if cut < x < did)
+        assert row.n_corpus_matches == corpus
+        assert row.n_batch_matches_smaller == batch_smaller
+        want = (
+            "dup_of_corpus"
+            if corpus
+            else ("dup_in_batch" if batch_smaller else "ingest")
+        )
+        assert row.verdict == want
+    assert (out.verdict == "dup_of_corpus").any()
+    assert (out.verdict == "ingest").any()
