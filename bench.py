@@ -68,6 +68,14 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    # Environment snapshot BEFORE any work: the end-of-run loadavg is
+    # dominated by this very sweep (32 threads for ~10 min), so only
+    # the start-of-run figure can testify that the MACHINE was quiet
+    # when the measurement began (VERDICT r7 task #3).
+    try:
+        la_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        la_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_name = os.path.basename(os.path.normpath(sf_dir))
@@ -184,6 +192,7 @@ def main() -> None:
         la1 = la5 = la15 = None
     context = {
         "uptime_sec": uptime_sec,
+        "loadavg_start_1m": la_start,
         "loadavg_1m": la1,
         "loadavg_5m": la5,
         "loadavg_15m": la15,
