@@ -85,6 +85,8 @@ GRADE_WINDOW = [
     "docs_heaps_law",
     "docs_incremental_dedup",
     "ev_ldiversity_audit",
+    "geo_near_pairs",
+    "ev_holt_forecast",
 ]
 
 

@@ -4660,3 +4660,141 @@ def ev_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("l_distinct") < LDIV_L).orderBy(
         "event_type", "dow_iso", "hod"
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing + forecast over the daily count series
+# --------------------------------------------------------------------------
+
+HOLT_ALPHA = "0.5"  # level smoothing (literal: same double both engines)
+HOLT_BETA = "0.3"  # trend smoothing
+HOLT_HORIZON = 7  # days forecast beyond the observed spine
+
+
+@REGISTRY.register(
+    "ev_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+                   SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    bounds AS (SELECT CAST(min(d) AS BIGINT) AS lo, CAST(max(d) AS BIGINT) AS hi
+               FROM daily),
+    spine AS (SELECT lo + CAST(gs.g AS BIGINT) AS d,
+                     CAST(gs.g AS BIGINT) AS i
+              FROM bounds CROSS JOIN
+                   (SELECT unnest(range(0, 1000000)) AS g) gs
+              WHERE lo + gs.g <= hi),
+    days AS (SELECT s.i, s.d, CAST(coalesce(dl.y, 0) AS BIGINT) AS y
+             FROM spine s LEFT JOIN daily dl ON dl.d = s.d),
+    hw AS (
+      SELECT i, d, y,
+             CAST(y * 1000 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b,
+             CAST(y * 1000 AS BIGINT) AS f
+      FROM days WHERE i = 0
+      UNION ALL
+      SELECT nd.i, nd.d, nd.y,
+             CAST(round({HOLT_ALPHA} * nd.y * 1000
+                        + (1 - {HOLT_ALPHA}) * (hw.l + hw.b)) AS BIGINT),
+             CAST(round({HOLT_BETA}
+                        * (CAST(round({HOLT_ALPHA} * nd.y * 1000
+                                      + (1 - {HOLT_ALPHA}) * (hw.l + hw.b))
+                                AS BIGINT) - hw.l)
+                        + (1 - {HOLT_BETA}) * hw.b) AS BIGINT),
+             CAST(hw.l + hw.b AS BIGINT)
+      FROM hw JOIN days nd ON nd.i = hw.i + 1),
+    last AS (SELECT l, b, d FROM hw ORDER BY i DESC LIMIT 1),
+    fc AS (SELECT last.d + CAST(h.h AS BIGINT) AS d,
+                  CAST(NULL AS BIGINT) AS y,
+                  last.l, last.b,
+                  CAST(last.l + h.h * last.b AS BIGINT) AS f
+           FROM last CROSS JOIN
+                (SELECT unnest(range(1, {HOLT_HORIZON + 1})) AS h) h)
+    SELECT d AS day_epoch, 'obs' AS kind, y,
+           l AS level_milli, b AS trend_milli, f AS fitted_milli
+    FROM hw
+    UNION ALL
+    SELECT d, 'forecast', y, l, b, f FROM fc
+    ORDER BY day_epoch""",
+    doc="FORECASTING: Holt's linear-trend exponential smoothing over "
+    f"the zero-filled daily event series (alpha={HOLT_ALPHA}, "
+    f"beta={HOLT_BETA}) plus a {HOLT_HORIZON}-day-ahead linear "
+    "forecast — the workload-capacity primitive next to "
+    "ev_ewma_value's single-parameter smoother and "
+    "q_forecast_revenue_change's naive delta. The recurrence is "
+    "GENUINELY SEQUENTIAL (each day's level/trend feeds the next), "
+    "and both engines run it deterministically by quantizing the "
+    "state to MILLI integers at every step: DuckDB as a linear "
+    "recursive CTE over the day index, Spark as a ROW-LOCAL "
+    "aggregate() fold over the collected day array — the day spine "
+    "is bounded (the corpus-sized work ends at the daily aggregate), "
+    "so folding it in one row costs nothing and needs no driver "
+    "loop, no 30-round job chain, no checkpoint. One-step-ahead "
+    "fitted values ship per observed day (the residual series for "
+    "anomaly screens); the forecast extends the last level/trend "
+    "linearly. Init: l_0 = y_0, b_0 = 0 (the no-lookahead variant).",
+)
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, bta = HOLT_ALPHA, HOLT_BETA
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.expr("unix_micros(ts) DIV 86400000000").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = daily.agg(
+        F.min("d").cast("long").alias("lo"), F.max("d").cast("long").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    days = (
+        spine.join(daily, on="d", how="left")
+        .select("d", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"))
+    )
+    row = days.agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("ds")
+    )
+    lnew = (
+        f"CAST(round({a} * x.y * 1000 + (1 - {a}) * (p.l + p.b)) AS BIGINT)"
+    )
+    fold = f"""
+      aggregate(
+        slice(ds, 2, size(ds) - 1),
+        array(struct(ds[0].d AS d, ds[0].y AS y,
+                     CAST(ds[0].y * 1000 AS BIGINT) AS l,
+                     CAST(0 AS BIGINT) AS b,
+                     CAST(ds[0].y * 1000 AS BIGINT) AS f)),
+        (acc, x) -> concat(acc, transform(slice(acc, size(acc), 1), p ->
+          struct(x.d AS d, x.y AS y,
+                 {lnew} AS l,
+                 CAST(round({bta} * ({lnew} - p.l)
+                            + (1 - {bta}) * p.b) AS BIGINT) AS b,
+                 CAST(p.l + p.b AS BIGINT) AS f))))
+    """
+    hw = row.select(F.expr(fold).alias("hw"))
+    obs = hw.select(F.explode("hw").alias("r")).select(
+        F.col("r.d").alias("day_epoch"),
+        F.lit("obs").alias("kind"),
+        F.col("r.y").alias("y"),
+        F.col("r.l").alias("level_milli"),
+        F.col("r.b").alias("trend_milli"),
+        F.col("r.f").alias("fitted_milli"),
+    )
+    fc = (
+        hw.select(F.expr("element_at(hw, -1)").alias("p"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(HOLT_HORIZON))).alias("h"), "p"
+        )
+        .select(
+            (F.col("p.d") + F.col("h")).cast("long").alias("day_epoch"),
+            F.lit("forecast").alias("kind"),
+            F.lit(None).cast("long").alias("y"),
+            F.col("p.l").alias("level_milli"),
+            F.col("p.b").alias("trend_milli"),
+            (F.col("p.l") + F.col("h") * F.col("p.b"))
+            .cast("long")
+            .alias("fitted_milli"),
+        )
+    )
+    return obs.unionByName(fc).orderBy("day_epoch")

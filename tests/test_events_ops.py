@@ -505,3 +505,46 @@ def test_ldiversity_flags_are_truly_homogeneous(spark):
             assert l < eq.LDIV_L, (key, l)
         else:
             assert l >= eq.LDIV_L, (key, l)
+
+
+def test_holt_forecast_matches_python_recurrence(spark):
+    """Independent Python recompute of the milli-quantized Holt
+    recurrence over the same zero-filled daily series must reproduce
+    every level/trend/fitted value exactly, and the forecast rows must
+    extend the final state linearly."""
+    ev = _events_pdf(spark)
+    days = (ev.ts.astype("int64") // 10**9 // 86400).astype(int)
+    counts = days.value_counts().sort_index()
+    lo, hi = counts.index.min(), counts.index.max()
+    series = [(d, int(counts.get(d, 0))) for d in range(lo, hi + 1)]
+    a, b = float(eq.HOLT_ALPHA), float(eq.HOLT_BETA)
+
+    def rnd(x):  # engines round half AWAY FROM ZERO; python round() is banker's
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    want = []
+    l = series[0][1] * 1000
+    t = 0
+    want.append((series[0][0], series[0][1], l, t, l))
+    for d, y in series[1:]:
+        f = l + t
+        l_new = rnd(a * y * 1000 + (1 - a) * (l + t))
+        t = rnd(b * (l_new - l) + (1 - b) * t)
+        l = l_new
+        want.append((d, y, l, t, f))
+    out = eq.ev_holt_forecast(spark, TEST_SF_DIR).toPandas()
+    obs = out[out.kind == "obs"]
+    got = [
+        (int(r.day_epoch), int(r.y), int(r.level_milli), int(r.trend_milli),
+         int(r.fitted_milli))
+        for r in obs.itertuples()
+    ]
+    assert got == want
+    fc = out[out.kind == "forecast"].sort_values("day_epoch")
+    assert len(fc) == eq.HOLT_HORIZON
+    for h, r in enumerate(fc.itertuples(), start=1):
+        assert r.day_epoch == hi + h
+        assert r.fitted_milli == l + h * t
+        assert pd.isna(r.y)

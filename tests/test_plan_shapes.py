@@ -998,3 +998,37 @@ def test_survival_km_customer_window_then_bounded_curve(spark):
     assert "hashpartitioning(o_custkey" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_geo_near_pairs_exact_vs_bruteforce_and_equi_join(spark):
+    """Spatial-join contracts: the grid-cell candidate generation must
+    be candidate-COMPLETE (radius <= cell size), so the reported pair
+    set equals a brute-force numpy recompute exactly — and each
+    unordered pair exactly once; the plan is a cell equi-join, never
+    a nested loop."""
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import (
+        ensure_fixtures,
+        fixture_dir_for,
+    )
+    from pinterest_data_pipeline400_spark.plans import pinterest_queries as pq
+    import pandas as pd
+
+    ensure_fixtures("sf0.001")
+    fx = fixture_dir_for(TEST_SF_DIR)
+    geo = pd.read_parquet(f"{fx}/geo_raw.parquet")
+    la = np.rint(geo.latitude.to_numpy() * 1e6).astype("int64")
+    lo = np.rint(geo.longitude.to_numpy() * 1e6).astype("int64")
+    ids = geo.ind.to_numpy()
+    d2 = (la[:, None] - la[None, :]) ** 2 + (lo[:, None] - lo[None, :]) ** 2
+    r2 = pq.GEO_RADIUS_MICRODEG**2
+    ii, jj = np.where((d2 <= r2) & (ids[:, None] < ids[None, :]))
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+    out = pq.geo_near_pairs(spark, TEST_SF_DIR).toPandas()
+    got = list(zip(out.ind_a, out.ind_b))
+    assert len(got) == len(set(got))  # exactly once per pair
+    assert set(got) == want
+    plan = _plan(pq.geo_near_pairs(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
