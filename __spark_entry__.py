@@ -87,6 +87,7 @@ GRADE_WINDOW = [
     "ev_ldiversity_audit",
     "geo_near_pairs",
     "ev_holt_forecast",
+    "docs_split_leakage",
 ]
 
 

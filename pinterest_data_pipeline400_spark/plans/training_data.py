@@ -5618,3 +5618,96 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ingest")
         .alias("verdict"),
     )
+
+
+# --------------------------------------------------------------------------
+# split leakage: near-duplicates straddling the train/val/test boundary
+# --------------------------------------------------------------------------
+
+_SPLIT_CASE_DUCK = (
+    f"CASE WHEN {_DOC_PCT_DUCK} < {SPLIT_TRAIN_PCT} THEN 'train' "
+    f"WHEN {_DOC_PCT_DUCK} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+    "ELSE 'test' END"
+)
+_SPLIT_CASE_SPARK = (
+    f"CASE WHEN {_DOC_PCT_SPARK} < {SPLIT_TRAIN_PCT} THEN 'train' "
+    f"WHEN {_DOC_PCT_SPARK} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@REGISTRY.register(
+    "docs_split_leakage",
+    oracle=f"""
+    WITH pairs AS ({{pairs}}),
+    sp AS (SELECT doc_id, {_SPLIT_CASE_DUCK} AS split
+           FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')),
+    lab AS (SELECT least(sa.split, sb.split) AS split_a,
+                   greatest(sa.split, sb.split) AS split_b,
+                   p.doc_a, p.doc_b
+            FROM pairs p
+            JOIN sp sa ON sa.doc_id = p.doc_a
+            JOIN sp sb ON sb.doc_id = p.doc_b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM lab)
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (split_a <> split_b) AS is_leak,
+           CAST(round(CAST(count(*) AS DOUBLE) / tot.n_all * 1000000)
+                AS BIGINT) AS share_micro
+    FROM lab CROSS JOIN tot
+    GROUP BY split_a, split_b, tot.n_all
+    ORDER BY split_a, split_b""".format(
+        pairs=REGISTRY.oracles()["docs_dup_minhash_pairs"]
+    ),
+    doc="EVAL-INTEGRITY GATE: near-duplicate SPLIT LEAKAGE — the "
+    "failure mode naive per-doc split assignment cannot prevent: a "
+    "near-duplicate pair straddling train/test means the model is "
+    "evaluated on (a light paraphrase of) its own training data, "
+    "inflating every benchmark number (the reason production "
+    "pipelines split by CLUSTER, not by document). Composes two "
+    "certified pieces: the deterministic md5-percentile split rule "
+    "(docs_split_assign's 90/5/5) applied to the planted-duplicate "
+    "corpus, and the cached MinHash pair spine — every near-dup pair "
+    "labels with its ordered split combination, cross-split rows "
+    "flagged as leaks with their share of all pairs. The fix is "
+    "docs_dup_clusters' CC labels (split by cluster keeper); this "
+    "entry is the auditor that proves it's needed. Scale shape: pair "
+    "list joined twice against the narrow split projection, bounded "
+    "3x3 output grid; oracle composes the detector SQL verbatim.",
+)
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(
+        os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet")
+    )
+    sp = dup.select("doc_id", F.expr(_SPLIT_CASE_SPARK).alias("split"))
+    pairs = cached_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lab = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            on="doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            on="doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    return (
+        lab.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+            F.round(F.col("n_pairs").cast("double") / F.col("n_all") * 1000000)
+            .cast("long")
+            .alias("share_micro"),
+        )
+        .orderBy("split_a", "split_b")
+    )

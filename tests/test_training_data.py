@@ -955,3 +955,33 @@ def test_incremental_dedup_consistent_with_pair_spine(spark, dup_corpus):
         assert row.verdict == want
     assert (out.verdict == "dup_of_corpus").any()
     assert (out.verdict == "ingest").any()
+
+
+def test_split_leakage_consistent_with_pairs_and_splits(spark, dup_corpus):
+    """Leakage-audit contracts vs an independent recompute: every pair
+    from the cached spine lands in exactly one (ordered) split-pair
+    bucket, counts match a pandas recompute of the md5-percentile
+    split, shares sum to 1e6, and the fixture genuinely exhibits
+    cross-split leakage (the reason cluster-wise splitting exists)."""
+    import hashlib
+
+    def split(doc_id):
+        pct = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if pct < 90 else ("val" if pct < 95 else "test")
+
+    pairs = td.cached_minhash_pairs(spark, TEST_SF_DIR).toPandas()
+    from collections import Counter
+
+    want = Counter(
+        tuple(sorted((split(a), split(b))))
+        for a, b in zip(pairs.doc_a, pairs.doc_b)
+    )
+    out = td.docs_split_leakage(spark, TEST_SF_DIR).toPandas()
+    got = {
+        (r.split_a, r.split_b): r.n_pairs for r in out.itertuples()
+    }
+    assert got == dict(want)
+    assert out.n_pairs.sum() == len(pairs)
+    assert abs(out.share_micro.sum() - 1_000_000) <= len(out)
+    assert out[out.is_leak].n_pairs.sum() > 0  # the fixture leaks
+    assert (out.is_leak == (out.split_a != out.split_b)).all()
