@@ -88,6 +88,7 @@ GRADE_WINDOW = [
     "geo_near_pairs",
     "ev_holt_forecast",
     "docs_split_leakage",
+    "docs_cluster_split_assign",
 ]
 
 

@@ -5711,3 +5711,90 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@REGISTRY.register(
+    "docs_cluster_split_assign",
+    oracle=f"""
+    WITH cl AS ({{clusters}}),
+    alldocs AS (SELECT doc_id
+                FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')),
+    grp AS (SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS gkey
+            FROM alldocs a LEFT JOIN cl c ON c.doc_id = a.doc_id),
+    spl AS (SELECT doc_id, gkey,
+                   {_SPLIT_CASE_DUCK.replace("doc_id", "gkey")} AS split
+            FROM grp),
+    pairs AS ({{pairs}}),
+    leaks AS (SELECT CAST(count(*) AS BIGINT) AS n_leak
+              FROM pairs p
+              JOIN spl x ON x.doc_id = p.doc_a
+              JOIN spl y ON y.doc_id = p.doc_b
+              WHERE x.split <> y.split)
+    SELECT s.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.gkey) AS BIGINT) AS n_groups,
+           l.n_leak AS n_cross_split_pairs
+    FROM spl s CROSS JOIN leaks l
+    GROUP BY s.split, l.n_leak
+    ORDER BY s.split""".format(
+        clusters=REGISTRY.oracles()["docs_dup_clusters"],
+        pairs=REGISTRY.oracles()["docs_dup_minhash_pairs"],
+    ),
+    doc="CLUSTER-WISE SPLIT ASSIGNMENT — the fix docs_split_leakage "
+    "proves necessary: the deterministic md5-percentile split rule "
+    "applied to the CONNECTED-COMPONENT key (the cluster's min doc_id "
+    "from the cached CC labels; singletons key by their own id), so "
+    "every near-duplicate family lands in ONE split by construction "
+    "— the same 90/5/5 rule, same hash, one grain up. The entry "
+    "carries its own receipt: the cross-split near-dup pair count "
+    "recomputed under the new assignment ships as a column and is "
+    "STRUCTURALLY zero (pair endpoints share a component, components "
+    "share a key, keys share a split) — pytest pins it against "
+    "docs_split_leakage's nonzero doc-grain count. Intentionally "
+    "UNSALTED: a cluster keeper draws the same split it would get "
+    "alone, so the doc-grain and cluster-grain assignments agree "
+    "wherever dedup finds nothing. Scale shape: one left join onto "
+    "the cached labels, one hash of the group key, bounded 3-row "
+    "output; oracle composes the cluster AND detector SQL verbatim.",
+)
+def docs_cluster_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(
+        os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet")
+    )
+    labels = cached_cc_labels(spark, sf_dir)
+    grp = dup.select("doc_id").join(labels, on="doc_id", how="left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("gkey")
+    )
+    spl = grp.select(
+        "doc_id",
+        "gkey",
+        F.expr(_SPLIT_CASE_SPARK.replace("doc_id", "gkey")).alias("split"),
+    ).persist()  # summary AND the leak audit read it
+    pairs = cached_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    leaks = (
+        pairs.join(
+            spl.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("xa")),
+            on="doc_a",
+        )
+        .join(
+            spl.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("xb")),
+            on="doc_b",
+        )
+        .filter(F.col("xa") != F.col("xb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leak"))
+    )
+    return (
+        spl.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("gkey").cast("long").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            F.col("n_leak").alias("n_cross_split_pairs"),
+        )
+        .orderBy("split")
+    )

@@ -985,3 +985,22 @@ def test_split_leakage_consistent_with_pairs_and_splits(spark, dup_corpus):
     assert abs(out.share_micro.sum() - 1_000_000) <= len(out)
     assert out[out.is_leak].n_pairs.sum() > 0  # the fixture leaks
     assert (out.is_leak == (out.split_a != out.split_b)).all()
+
+
+def test_cluster_split_eliminates_leakage(spark):
+    """The narrative pair pinned: doc-grain splitting leaks near-dup
+    pairs across splits (docs_split_leakage measures > 0), cluster-
+    grain splitting structurally cannot (n_cross_split_pairs == 0),
+    while the doc accounting stays exact (docs sum to the corpus,
+    every pair endpoint shares a component hence a split)."""
+    leak = td.docs_split_leakage(spark, TEST_SF_DIR).toPandas()
+    assert leak[leak.is_leak].n_pairs.sum() > 0
+    out = td.docs_cluster_split_assign(spark, TEST_SF_DIR).toPandas()
+    assert (out.n_cross_split_pairs == 0).all()
+    dup_n = td._docs  # noqa: F841
+    import pandas as pd
+
+    fx = td.fixture_dir_for(TEST_SF_DIR)
+    corpus = pd.read_parquet(f"{fx}/docs_dup.parquet")
+    assert out.n_docs.sum() == len(corpus)
+    assert (out.n_groups <= out.n_docs).all()
