@@ -41,16 +41,20 @@ SF0001 = "/root/testdata/sf0.001"
 # against CORRECTNESS_r01..r07, each containing exactly the first 50
 # keys in order). CORRECTNESS_r07 came back 50/50 green, closing
 # cumulative driver certification at 240 of the 245 entries registered
-# at the close of round 7. The FIVE entries owed to round 8 are the
-# final-commit round-7 additions that were registered after r7's
-# grading ran (emb_knn_mips, docs_heldout_perplexity,
-# docs_bigram_kn_logprob, ev_bot_screen, orders_rfm_migration) — they
-# lead this window; ev_bot_screen additionally changed semantics this
-# round (ADVICE r7: n_events off-by-one fixed on both engines) so its
-# re-grade is substantive, not bookkeeping. Round-8 additions are
-# appended as built. Remaining slots fall through to registration
-# order (already-certified names, harmless re-grades). Everything else
-# keeps registration order after the window; nothing is unregistered.
+# at the close of round 7. Round-8 window arithmetic: slots 1-5 are
+# the FIVE entries owed from round 7 (registered after r7's grading
+# ran; ev_bot_screen additionally changed semantics this round —
+# ADVICE r7's n_events off-by-one fixed on both engines — so its
+# re-grade is substantive); slots 6-8 re-certify the three entries
+# whose plans changed (trained-codebook IVF-PQ recomposition); slots
+# 9-29 are the TWENTY-ONE round-8 additions, appended as built. The
+# remaining 21 graded slots fall through to registration order onto
+# already-certified names (harmless re-grades). A green
+# CORRECTNESS_r08 therefore closes cumulative certification at
+# 266/266: every entry outside this window carries a green row from
+# rounds 2-7. Round 9 owes nothing except whatever r08 flags.
+# Everything keeps registration order after the window; nothing is
+# unregistered.
 GRADE_WINDOW = [
     # late round-7 additions (close cumulative certification at 245/245)
     "emb_knn_mips",
