@@ -290,7 +290,14 @@ def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:
             i += 2
             continue
         seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seglen < 2:
+            # a segment length below 2 cannot even cover its own length
+            # field; advancing 2 bytes would misread following bytes as
+            # markers (ADVICE r8)
+            raise ValueError(f"corrupt JPEG segment length {seglen} at offset {i}")
         if marker in _JPEG_SOF_MARKERS:
+            if i + 9 >= n:  # truncated inside the SOF body (ADVICE r8)
+                raise ValueError("truncated JPEG: SOF segment cut short")
             height = int.from_bytes(payload[i + 5 : i + 7], "big")
             width = int.from_bytes(payload[i + 7 : i + 9], "big")
             ncomp = payload[i + 9]

@@ -1468,6 +1468,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )
         best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).localCheckpoint()
+        if best.isEmpty():
+            # fully-merged vocab before BPE_MERGE_ROUNDS: an empty argmax
+            # cross-joined into `words` would empty the vocab frame and
+            # make every later round emit zero rows (ADVICE r8). Stopping
+            # here is parity-safe — the oracle's b_{t} LIMIT 1 over an
+            # empty pair table likewise contributes zero rows for t and
+            # beyond, so both engines emit the same truncated merge table;
+            # the guard just keeps `words` intact and skips dead rounds.
+            # (isEmpty on the just-localCheckpoint'ed 1-row frame is free.)
+            break
         words = (
             words.crossJoin(F.broadcast(best))
             .select(

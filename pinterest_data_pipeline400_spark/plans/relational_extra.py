@@ -2540,10 +2540,10 @@ _BENFORD_VALUES_DUCK = ", ".join(
                      CAST(round((coalesce(o.n_obs, 0) - nn.n * e.p)
                                 * (coalesce(o.n_obs, 0) - nn.n * e.p)
                                 / (nn.n * e.p) * 1000000) AS BIGINT)
-                       AS term_nano
+                       AS term_micro
               FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN nn),
-    chi AS (SELECT CAST(sum(term_nano) AS BIGINT) AS chi2_nano FROM terms)
-    SELECT t.digit, t.n_obs, t.expected_micro, t.term_nano, c.chi2_nano
+    chi AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro FROM terms)
+    SELECT t.digit, t.n_obs, t.expected_micro, t.term_micro, c.chi2_micro
     FROM terms t CROSS JOIN chi c
     ORDER BY t.digit""",
     doc="BENFORD'S-LAW first-digit screen on order totals — the "
@@ -2601,12 +2601,12 @@ def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_micro"),
             F.round(dev * dev / (F.col("n") * F.col("p")) * 1000000)
             .cast("long")
-            .alias("term_nano"),
+            .alias("term_micro"),
         )
     )
-    chi = terms.agg(F.sum("term_nano").cast("long").alias("chi2_nano"))
+    chi = terms.agg(F.sum("term_micro").cast("long").alias("chi2_micro"))
     return (
         terms.crossJoin(F.broadcast(chi))
-        .select("digit", "n_obs", "expected_micro", "term_nano", "chi2_nano")
+        .select("digit", "n_obs", "expected_micro", "term_micro", "chi2_micro")
         .orderBy("digit")
     )

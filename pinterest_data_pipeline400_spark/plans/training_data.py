@@ -1377,6 +1377,13 @@ def cached_frame(
             # would be served forever (ADVICE r7). Only a _SUCCESS-
             # gated winner is worth yielding to; otherwise clear the
             # stale dir and retry the publish once.
+            # Re-check _SUCCESS IMMEDIATELY before the rmtree (ADVICE
+            # r8): a concurrent builder can complete its rename between
+            # the failed rename above and this branch, and deleting a
+            # just-published valid generation would transiently fail
+            # its readers. The re-check narrows the window to the
+            # rmtree syscall itself; the retry + final gate below make
+            # the worst case a clear error, not a corrupt serve.
             if not os.path.exists(os.path.join(base, "_SUCCESS")):
                 _sh.rmtree(base, ignore_errors=True)
                 try:
@@ -1384,6 +1391,17 @@ def cached_frame(
                 except OSError:
                     pass
             _sh.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(os.path.join(base, "_SUCCESS")):
+                # Both rename attempts lost AND nobody else published a
+                # complete generation: falling through to
+                # spark.read.parquet would surface an opaque
+                # AnalysisException on a missing/partial path (ADVICE
+                # r8). Fail with the actual story instead.
+                raise RuntimeError(
+                    f"cached_frame publish failed for {base}: both rename "
+                    "attempts lost and no complete generation (_SUCCESS) "
+                    "exists; delete the directory and retry"
+                )
     mark_generation_used(base)
     return spark.read.parquet(base)
 

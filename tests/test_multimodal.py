@@ -370,6 +370,15 @@ def test_parse_jpeg_dims_marker_walk():
     with pytest.raises(ValueError):
         # SOS before any SOF: dims are unrecoverable without a codec
         parse_jpeg_dims(b"\xff\xd8" + b"\xff\xda" + (2).to_bytes(2, "big"))
+    with pytest.raises(ValueError):
+        # truncated INSIDE the SOF body (ADVICE r8): must raise the
+        # documented ValueError, not IndexError from payload[i + 9]
+        parse_jpeg_dims(_jpeg_header(640, 480)[:-12])
+    with pytest.raises(ValueError):
+        # corrupt zero segment length (ADVICE r8): reject explicitly
+        # instead of silently advancing 2 bytes and misreading what
+        # follows as markers
+        parse_jpeg_dims(b"\xff\xd8" + b"\xff\xe0" + (0).to_bytes(2, "big") + bytes(8))
 
 
 def test_jpeg_native_walk_agrees_with_pillow():

@@ -370,5 +370,5 @@ def test_benford_screen_arithmetic_and_fires_on_uniform_prices(spark):
     assert list(out.digit) == list(range(1, 10))
     assert out.n_obs.sum() == n
     assert abs(out.expected_micro.sum() - n * 1_000_000) <= 9
-    assert out.chi2_nano.iloc[0] == out.term_nano.sum()
-    assert out.chi2_nano.iloc[0] > 15_507_000  # 15.507 * 1e6: screen fires
+    assert out.chi2_micro.iloc[0] == out.term_micro.sum()
+    assert out.chi2_micro.iloc[0] > 15_507_000  # 15.507 * 1e6: screen fires
