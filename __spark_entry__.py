@@ -57,6 +57,7 @@ GRADE_WINDOW = [
     "orders_benford_screen",
     # round-9 additions (new this round, graded immediately) are
     # appended here as they are built.
+    "ev_pagerank_users",
 ]
 
 

@@ -3826,6 +3826,199 @@ def _pagerank_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# link analysis at node-cardinality scale: PageRank on the USER graph
+# --------------------------------------------------------------------------
+
+
+def _pagerank_users_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB mirror of the user-grain PageRank loop — the
+    _pagerank_oracle_sql arithmetic verbatim (per-edge transfer rounds
+    ONCE to a bigint; teleport+dangling is one correctly-rounded double
+    per node per round), re-grounded on the consecutive-actor user
+    graph instead of the 5-node type graph."""
+    parts = [
+        """edges AS (SELECT from_user, to_user, CAST(count(*) AS BIGINT) AS w
+             FROM (SELECT user_id AS from_user,
+                          lead(user_id) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id)
+                            AS to_user
+                   FROM events)
+             WHERE to_user IS NOT NULL AND to_user <> from_user
+             GROUP BY 1, 2)""",
+        """nodes AS (SELECT DISTINCT user_id AS node FROM events)""",
+        """nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""",
+        """outw AS (SELECT from_user AS node, CAST(sum(w) AS BIGINT) AS ow
+            FROM edges GROUP BY 1)""",
+        f"""pr_0 AS (SELECT node, CAST(round({PR_SCALE}.0 / nn.n) AS BIGINT) AS pr
+            FROM nodes CROSS JOIN nn)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    c_{t} AS (SELECT e.to_user AS node,
+                     CAST(sum(CAST(round(CAST(p.pr AS DOUBLE) * e.w / o.ow)
+                                   AS BIGINT)) AS BIGINT) AS raw
+              FROM edges e JOIN pr_{t - 1} p ON p.node = e.from_user
+                           JOIN outw o ON o.node = e.from_user
+              GROUP BY 1),
+    dang_{t} AS (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dm
+                 FROM pr_{t - 1} p LEFT JOIN outw o ON o.node = p.node
+                 WHERE o.node IS NULL),
+    pr_{t} AS (SELECT n.node,
+                      CAST(round(((1 - {PR_DAMP}) * {PR_SCALE}
+                                  + {PR_DAMP} * d.dm) / nn.n
+                                 + {PR_DAMP} * coalesce(c.raw, 0))
+                           AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN c_{t} c ON c.node = n.node
+               CROSS JOIN dang_{t} d CROSS JOIN nn)""")
+    return ",\n    ".join(parts)
+
+
+@REGISTRY.register(
+    "ev_pagerank_users",
+    oracle=f"""
+    WITH {_pagerank_users_oracle_sql(PR_ROUNDS)}
+    SELECT p1.node AS user_id,
+           p1.pr AS pr_micro_r1, p2.pr AS pr_micro_r2, p3.pr AS pr_micro_r3
+    FROM pr_1 p1 JOIN pr_2 p2 ON p2.node = p1.node
+                 JOIN pr_3 p3 ON p3.node = p1.node
+    ORDER BY user_id""",
+    doc=f"LINK ANALYSIS AT NODE SCALE: damped PageRank (d = {PR_DAMP}, "
+    f"{PR_ROUNDS} rounds) on the directed USER interaction graph — "
+    "nodes are users (cardinality scales with the corpus: 150 at "
+    "sf0.01, 1,500 at sf0.1, millions at production scale), edges "
+    "connect consecutive actors on the same event-type stream "
+    "(lead(user_id) per type ordered by ts — the social-adjacency "
+    "analog of ev_pagerank's type transitions), weight = adjacency "
+    "count, self-loops dropped. This is the entry that exercises the "
+    "iterative machinery at HIGH NODE CARDINALITY (VERDICT r8 task "
+    "#2): unlike the 5-node type graph, the score table here is "
+    "corpus-sized, so the per-round contribution join is a real "
+    "SHUFFLE join on the node key — NO broadcast hint on the score "
+    "side — with the static out-weight folded into the persisted edge "
+    "list once, per-round lineage cut by localCheckpoint, and "
+    "per-round cost = one edge-sized shuffle (scales with |edges|, "
+    "not rounds^2 — the stress test measures exactly that). "
+    "Arithmetic is the proven ev_pagerank discipline: per-edge mass "
+    "transfer rounds ONCE to a bigint (order-free integer sums; the "
+    "score factor casts to double BEFORE the multiply so the product "
+    "never overflows int64 even at 1e12-weight edges), teleport "
+    "(1-d)/N plus uniformly-redistributed dangling mass as one "
+    "correctly-rounded double per node. All three score vectors "
+    "emitted; the solved table disk-caches content-stamped "
+    "(cached_frame) like every trained artifact.",
+)
+def ev_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .training_data import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "pagerank",
+        "user_scores",
+        _os.path.join(sf_dir, "events.parquet"),
+        f"v1-{PR_ROUNDS}-{PR_DAMP}-{PR_SCALE}",
+        lambda: _pagerank_users_train(spark, sf_dir),
+    ).orderBy("user_id")
+
+
+def _pagerank_users_train(
+    spark: SparkSession, sf_dir: str, rounds: int = PR_ROUNDS
+) -> DataFrame:
+    return _pagerank_users_train_on(_events(spark, sf_dir), rounds=rounds)
+
+
+def _pagerank_users_train_on(events: DataFrame, rounds: int = PR_ROUNDS) -> DataFrame:
+    """The user-grain PageRank loop over an arbitrary events frame —
+    split out so the stress test can time the REGISTERED builder on a
+    replicated corpus (edges x N) and at varied round counts."""
+    ev = events.select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("to_user", F.lead("user_id").over(w))
+        .filter(
+            F.col("to_user").isNotNull() & (F.col("to_user") != F.col("user_id"))
+        )
+        .groupBy(F.col("user_id").alias("from_user"), "to_user")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    outw = edges.groupBy(F.col("from_user").alias("node")).agg(
+        F.sum("w").cast("long").alias("ow")
+    )
+    # Fold the STATIC out-weight into the edge list once, outside the
+    # loop (the type-grain entry joins it per round — harmless at 5
+    # nodes, a wasted corpus-sized shuffle per round here), and
+    # pre-partition by the join key so every per-round contribution
+    # join reuses one partitioning instead of re-shuffling the edges.
+    ew = (
+        edges.join(outw.select(F.col("node").alias("from_user"), "ow"), on="from_user")
+        .repartition("from_user")
+        .persist()
+    )
+    nodes = ev.select(F.col("user_id").alias("node")).distinct().localCheckpoint()
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node",
+        F.round(F.lit(float(PR_SCALE)) / F.col("n")).cast("long").alias("pr"),
+    )
+    damp = float(PR_DAMP)
+    per_round = []
+    for _ in range(rounds):
+        pr = pr.localCheckpoint()  # |users| rows; cuts per-round lineage
+        # NO broadcast hint: at production scale the score table is as
+        # large as the user dimension — the join must be a shuffle join
+        # on the node key (AQE still promotes it to broadcast when the
+        # runtime size allows, which is the right call, not ours).
+        contrib = (
+            ew.join(
+                pr.select(F.col("node").alias("from_user"), "pr"), on="from_user"
+            )
+            .select(
+                F.col("to_user").alias("node"),
+                # double BEFORE the multiply: pr * w as int64 overflows
+                # at (1e6 micro) * (1e12-count edge weights); the oracle
+                # mirrors the cast order so both engines do the same two
+                # correctly-rounded IEEE ops
+                F.round(F.col("pr").cast("double") * F.col("w") / F.col("ow"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("raw"))
+        )
+        dang = pr.join(
+            ew.select(F.col("from_user").alias("node")).distinct(),
+            on="node",
+            how="left_anti",
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("dm"))
+        pr = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    (F.lit((1 - damp) * PR_SCALE) + F.lit(damp) * F.col("dm"))
+                    / F.col("n")
+                    + F.lit(damp) * F.coalesce(F.col("raw"), F.lit(0))
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+        per_round.append(pr)
+    out = per_round[0].select("node", F.col("pr").alias("pr_micro_r1"))
+    for i, r in enumerate(per_round[1:], start=2):
+        out = out.join(
+            r.select("node", F.col("pr").alias(f"pr_micro_r{i}")), on="node"
+        )
+    return out.select(F.col("node").alias("user_id"), *[
+        f"pr_micro_r{i}" for i in range(1, rounds + 1)
+    ]).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
 # privacy gate: k-anonymity audit over quasi-identifier groups
 # --------------------------------------------------------------------------
 

@@ -428,6 +428,64 @@ def test_pagerank_per_round_joins_are_broadcast(spark):
             assert "Cross" in line, line
 
 
+def test_pagerank_users_matches_numpy_recompute(spark):
+    """Independent recompute of the USER-grain PageRank (the
+    shared-bug-passes-oracle mitigation): edges, out-weights, dangling
+    mass, and all three rounds rebuilt in pandas/python with the same
+    rounding discipline (half-up via floor(x+0.5) — python round() is
+    banker's, both engines round half away from zero), compared
+    EXACTLY against the registered entry."""
+    import math
+
+    rnd = lambda x: math.floor(x + 0.5)  # noqa: E731 — positive half-away
+    ev = _events_pdf(spark).sort_values(["event_type", "ts", "event_id"])
+    ev["to_user"] = ev.groupby("event_type").user_id.shift(-1)
+    e = ev[(ev.to_user.notna()) & (ev.to_user != ev.user_id)]
+    edges = (
+        e.groupby(["user_id", "to_user"]).size().reset_index(name="w")
+    )
+    edges["to_user"] = edges["to_user"].astype("int64")
+    ow = edges.groupby("user_id").w.sum().to_dict()
+    nodes = sorted(ev.user_id.unique())
+    n = len(nodes)
+    damp = float(eq.PR_DAMP)
+    pr = {u: rnd(float(eq.PR_SCALE) / n) for u in nodes}
+    expected = {}
+    for t in (1, 2, 3):
+        contrib: dict[int, int] = {}
+        for fu, tu, w in edges.itertuples(index=False):
+            c = rnd(float(pr[fu]) * w / ow[fu])
+            contrib[tu] = contrib.get(tu, 0) + c
+        dm = sum(pr[u] for u in nodes if u not in ow)
+        pr = {
+            u: rnd(
+                ((1 - damp) * eq.PR_SCALE + damp * dm) / n
+                + damp * contrib.get(u, 0)
+            )
+            for u in nodes
+        }
+        expected[f"pr_micro_r{t}"] = dict(pr)
+    out = eq.ev_pagerank_users(spark, TEST_SF_DIR).toPandas()
+    assert len(out) == n
+    for col, exp in expected.items():
+        got = dict(zip(out.user_id, out[col]))
+        assert got == exp, col
+
+
+def test_pagerank_users_plan_is_shuffle_not_cartesian(spark):
+    """User-grain power-iteration scale contract: the score table is
+    corpus-sized, so no broadcast HINT is placed on it (AQE may still
+    promote at test sizes — that is the optimizer's call); what the
+    plan must never contain is an unkeyed CartesianProduct, and every
+    BroadcastNestedLoopJoin must be a Cross with a 1-row build side
+    (the scalar dangling-mass / node-count frames)."""
+    plan = _plan(eq._pagerank_users_train(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+
+
 def test_ks_statistic_matches_scipy_style_recompute(spark):
     """Independent recompute of the two-sample KS statistic in pandas
     (max ECDF gap over the pooled support) must equal the exact

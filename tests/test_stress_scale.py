@@ -342,3 +342,93 @@ def test_bm25_postings_scale_linearly(spark):
     assert split_scores == 0, f"{split_scores} base docs got divergent scores"
     assert wall < 120, f"bm25 scoring took {wall:.0f}s at {REPLICAS}x"
     scored.unpersist()
+
+
+def test_pagerank_users_scales_with_edges_not_rounds(spark):
+    """Link-analysis stress datapoint (VERDICT r8 task #2): the
+    user-grain power iteration's per-round cost must scale with the
+    EDGE count, linearly in rounds — not rounds^2 (the lineage-blowup
+    failure mode localCheckpoint exists to prevent). Two measurements
+    on a replicated corpus (per-replica event types keep the streams
+    disjoint, so edges and nodes replicate exactly):
+
+    * edge/node linearity: the replicated graph has exactly REPLICAS x
+      the base edge count and zero cross-replica edges;
+    * rounds linearity: wall(4 rounds) vs wall(2 rounds) on the SAME
+      graph isolates the per-round cost — with per-round lineage cuts
+      the ratio sits near (f + 4c) / (f + 2c) < 2; a re-derive-from-
+      corpus loop compounds per round and blows the ceiling.
+    """
+    from pinterest_data_pipeline400_spark.plans.events_queries import (
+        _events,
+        _pagerank_users_train_on,
+    )
+
+    pr_reps = 8
+    ev = _events(spark, TEST_SF_DIR).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    base_edges = (
+        ev.withColumn(
+            "to_user",
+            F.expr(
+                "lead(user_id) OVER (PARTITION BY event_type"
+                " ORDER BY ts, event_id)"
+            ),
+        )
+        .filter("to_user IS NOT NULL AND to_user != user_id")
+        .select(F.col("user_id").alias("from_user"), "to_user")
+        .distinct()
+        .count()
+    )
+    big = (
+        ev.crossJoin(
+            F.broadcast(spark.range(pr_reps).select(F.col("id").alias("rep")))
+        )
+        .select(
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            "ts",
+            (F.col("event_id") + F.col("rep") * 1_000_000_000).alias("event_id"),
+            F.concat(F.lit("r"), F.col("rep"), F.lit("_"), F.col("event_type")).alias(
+                "event_type"
+            ),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    big.count()  # materialize outside the timers
+
+    edges_big = (
+        big.withColumn(
+            "to_user",
+            F.expr(
+                "lead(user_id) OVER (PARTITION BY event_type"
+                " ORDER BY ts, event_id)"
+            ),
+        )
+        .filter("to_user IS NOT NULL AND to_user != user_id")
+        .select(F.col("user_id").alias("from_user"), "to_user")
+    ).persist()
+    n_cross = edges_big.filter(
+        (F.col("from_user") / 1_000_000).cast("long")
+        != (F.col("to_user") / 1_000_000).cast("long")
+    ).count()
+    n_edges_big = edges_big.distinct().count()
+    assert n_cross == 0, f"{n_cross} cross-replica edges leaked"
+    assert n_edges_big == pr_reps * base_edges, (base_edges, n_edges_big)
+    edges_big.unpersist()
+
+    t0 = time.perf_counter()
+    _pagerank_users_train_on(big, rounds=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    wall2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out4 = _pagerank_users_train_on(big, rounds=4)
+    out4.write.format("noop").mode("overwrite").save()
+    wall4 = time.perf_counter() - t0
+    big.unpersist()
+    # linear-in-rounds: generous 2.6x ceiling (exact lineage blowup
+    # compounds far past this; jitter stays well under it)
+    assert wall4 < 2.6 * wall2 + 2.0, (wall2, wall4)
+    assert wall4 < 120, f"4-round pagerank took {wall4:.0f}s at {pr_reps}x"
