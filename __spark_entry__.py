@@ -58,6 +58,8 @@ GRADE_WINDOW = [
     # round-9 additions (new this round, graded immediately) are
     # appended here as they are built.
     "ev_pagerank_users",
+    "multimodal_image_neardup",
+    "multimodal_image_neardup_recall",
 ]
 
 

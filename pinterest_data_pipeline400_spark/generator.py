@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "9"
+FIXTURE_VERSION = "10"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -374,6 +374,13 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "media_wav.parquet"), index=False
     )
 
+    # PPM corpus with planted brightness-perturbed near-duplicate
+    # images (the perceptual-hash dedup subject —
+    # multimodal_image_neardup)
+    media_ppm_dup(sf_rows(sf_name) // 10).to_parquet(
+        os.path.join(out_dir, "media_ppm_dup.parquet"), index=False
+    )
+
     # JSONL feed with planted corrupt lines (PERMISSIVE-mode ingestion
     # test subject — json_corrupt_tolerant_scan)
     write_dirty_jsonl(sf_rows(sf_name), os.path.join(out_dir, "dirty_events.jsonl"))
@@ -445,6 +452,71 @@ def media_ppm(n: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["media_id", "payload"]).astype(
         {"media_id": "int64"}
     )
+
+
+def media_ppm_dup(n_base: int) -> pd.DataFrame:
+    """PPM corpus with PLANTED brightness-perturbed near-duplicates —
+    the perceptual-hash dedup operator's test subject (the docs_dup
+    idiom for images).
+
+    Closed-form construction (all derivable from ``src_id``/``delta``
+    alone, so the oracle recomputes every perceptual hash WITHOUT
+    parsing payload bytes):
+
+      width    = src_id % 13 + 8          (8..20 — ≥ 8 so the dHash
+      height   = src_id % 7 + 8            8x8 sample grid never
+      maxval   = 255                       repeats a pixel)
+      pixel[i] = ((7 + src%5)*i^2 + (11 + src%97)*i + src*31) % 256
+
+    The per-src QUADRATIC and LINEAR coefficients make distinct base
+    images structurally different pixel streams (a shared pattern
+    merely shifted mod 256 — the media_ppm ramp — collides dHashes en
+    masse; measured: 247 spurious 0-distance base pairs under the
+    linear ramp vs ZERO background pairs within Hamming 6 under this
+    construction at the sf0.01 corpus size).
+
+    ~12% extra rows copy a base image with every sample brightened by
+    a deterministic clamped delta:
+
+      dup pixel[i] = min(255, base pixel[i] + delta),
+      delta = dup_ordinal % 9 + 2                       (2..10)
+
+    Brightening preserves horizontal gray-gradient signs except where
+    the 255 clamp compresses one neighbor more than the other, so
+    planted pairs land at Hamming 0-2 (measured 127/5 at 0/1) — well
+    inside the tau=3 verify band, far from the ~28-bit background.
+    ``src_id``/``delta`` carry the closed form (src_id = media_id,
+    delta = 0 for base rows); ``provenance`` marks planted pairs for
+    the recall gauge."""
+
+    def _pix(src: int, count: int) -> np.ndarray:
+        i = np.arange(count, dtype=np.int64)
+        return ((7 + src % 5) * i * i + (11 + src % 97) * i + src * 31) % 256
+
+    rows = []
+    for mid in range(n_base):
+        w = mid % 13 + 8
+        h = mid % 7 + 8
+        px = _pix(mid, 3 * w * h)
+        comment = f"# synthetic fixture {mid}\n" if mid % 5 == 0 else ""
+        header = f"P6\n{comment}{w} {h}\n255\n".encode("ascii")
+        rows.append((mid, header + px.astype(np.uint8).tobytes(), mid, 0, "base"))
+    next_id = n_base
+    for k in range(max(1, int(n_base * 0.12))):
+        src = (k * 17) % n_base  # deterministic spread over the bases
+        delta = k % 9 + 2
+        w = src % 13 + 8
+        h = src % 7 + 8
+        px = np.minimum(255, _pix(src, 3 * w * h) + delta)
+        header = f"P6\n{w} {h}\n255\n".encode("ascii")
+        rows.append(
+            (next_id, header + px.astype(np.uint8).tobytes(), src, delta,
+             f"bright_of_{src}")
+        )
+        next_id += 1
+    return pd.DataFrame(
+        rows, columns=["media_id", "payload", "src_id", "delta", "provenance"]
+    ).astype({"media_id": "int64", "src_id": "int64", "delta": "int64"})
 
 
 def media_wav(n: int) -> pd.DataFrame:

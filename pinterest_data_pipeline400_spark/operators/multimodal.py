@@ -651,3 +651,114 @@ def decode_ppm_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing: dHash over the real PPM decode
+# ---------------------------------------------------------------------------
+
+#: dHash geometry: an 8x8 nearest-neighbor gray sample grid, 7
+#: horizontal gradient comparisons per row -> a 56-bit fingerprint.
+#: 56 (not the classic 64) keeps the hash strictly positive in an
+#: int64 AND divides evenly into 4 bands of 14 bits — by pigeonhole a
+#: pair within Hamming distance 3 shares at least one intact band, so
+#: the banded candidate join is recall-complete at the verify
+#: threshold (the SimHash 4x15 argument, operators/dedup.py).
+DHASH_GRID = 8
+DHASH_BITS = (DHASH_GRID - 1) * DHASH_GRID  # 56
+DHASH_BANDS = 4
+DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS  # 14
+IMG_HAM_TAU = 3  # near-dup verify threshold (pigeonhole-complete)
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def dhash_ppm(payload: bytes) -> int:
+    """56-bit difference hash over a REAL P6 PPM decode (pure
+    Python/numpy — :func:`_parse_ppm_full` does the byte walk).
+
+    gray(r, c) = R+G+B at the nearest-neighbor sample
+    ``(r*h//8, c*w//8)`` (integer channel SUM, not a luma blend: exact
+    integer arithmetic is what lets the closed-form oracle recompute
+    the hash without parsing bytes); bit ``r*7 + c`` is set iff
+    ``gray(r, c+1) > gray(r, c)`` — the horizontal gradient sign,
+    which survives uniform brightness shifts except where the 255
+    clamp compresses one neighbor more than the other."""
+    import numpy as np
+
+    w, h, _maxval, _s, samples = _parse_ppm_full(payload)
+    px = samples.reshape(h, w, 3).astype(np.int64)
+    gray = px.sum(axis=2)
+    rows = (np.arange(DHASH_GRID) * h) // DHASH_GRID
+    cols = (np.arange(DHASH_GRID) * w) // DHASH_GRID
+    g = gray[np.ix_(rows, cols)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # (8, 7)
+    weights = 1 << (
+        np.arange(DHASH_GRID)[:, None] * (DHASH_GRID - 1)
+        + np.arange(DHASH_GRID - 1)[None, :]
+    )
+    return int((bits * weights).sum())
+
+
+def dhash_features(media: DataFrame) -> DataFrame:
+    """(media_id, dhash) via Arrow-batched mapInPandas — the
+    :func:`decode_ppm_features` boundary shape: bytes cross the JVM
+    boundary once per batch, the stage is shuffle-free, and input
+    splits give the parallelism at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    raise ValueError(f"media_id {mid}: NULL payload")
+                rows.append((mid, dhash_ppm(bytes(p))))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.select("media_id", "payload").mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(media: DataFrame, tau: int = IMG_HAM_TAU) -> DataFrame:
+    """(media_a, media_b, hamming) for image pairs within ``tau`` bits —
+    candidate generation is a banded equi-join on 14-bit hash chunks
+    (never all-pairs; recall-complete at tau ≤ 3 by pigeonhole), verify
+    is a two-column XOR + bit_count. The simhash_near_dup_pairs spine
+    re-grounded on the perceptual hash."""
+    hashes = dhash_features(media).persist()
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(dhash >> {b * DHASH_BAND_BITS})"
+                        f" & {(1 << DHASH_BAND_BITS) - 1}"
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("long"))
+        .filter(F.col("hamming") <= tau)
+        .select("media_a", "media_b", "hamming")
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..generator import ensure_fixtures, fixture_dir_for
 from ..operators.multimodal import (
@@ -154,3 +155,154 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = fixture_dir_for(sf_dir)
     media = spark.read.parquet(os.path.join(fx, "media_ppm.parquet"))
     return decode_ppm_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# round 9: perceptual-hash image near-dup dedup (multimodal x dedup)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_oracle_ctes() -> str:
+    """Shared oracle CTEs computing every image's 56-bit dHash from the
+    media_ppm_dup generator's closed-form construction — the payload is
+    NEVER parsed. Mirrors operators/multimodal.py dhash_ppm exactly:
+    gray = R+G+B at the 8x8 nearest-neighbor sample grid, bit r*7+c set
+    iff gray(r, c+1) > gray(r, c)."""
+    from ..operators.multimodal import DHASH_GRID
+
+    def pix(off: int) -> str:
+        i = f"(i0 + {off})" if off else "i0"
+        return (
+            f"LEAST(255, ((7 + src_id % 5) * {i} * {i}"
+            f" + (11 + src_id % 97) * {i} + src_id * 31) % 256 + delta)"
+        )
+
+    g = DHASH_GRID
+    return f"""m AS (SELECT media_id, src_id, delta,
+                  src_id % 13 + 8 AS w, src_id % 7 + 8 AS h
+           FROM read_parquet('{_ORACLE_FX}/media_ppm_dup.parquet')),
+    rc AS (SELECT r.r, c.c
+           FROM range({g}) AS r(r) CROSS JOIN range({g}) AS c(c)),
+    px AS (SELECT media_id, rc.r, rc.c, src_id, delta,
+                  3 * (((rc.r * h) // {g}) * w + (rc.c * w) // {g}) AS i0
+           FROM m CROSS JOIN rc),
+    g AS (SELECT media_id, r, c,
+                 {pix(0)} + {pix(1)} + {pix(2)} AS gray
+          FROM px),
+    hb AS (SELECT a.media_id,
+                  CAST(sum(CASE WHEN b.gray > a.gray
+                                THEN (CAST(1 AS BIGINT) << (a.r * {g - 1} + a.c))
+                                ELSE 0 END) AS BIGINT) AS dhash
+           FROM g a JOIN g b ON b.media_id = a.media_id
+                            AND b.r = a.r AND b.c = a.c + 1
+           GROUP BY a.media_id)"""
+
+
+def _image_neardup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair list, disk-cached per fixture stamp
+    (the cached_minhash_pairs idiom): BOTH the pair entry and the
+    recall gauge consume it, so the decode + band join materializes
+    once per (fixture generation, code version)."""
+    from ..operators.multimodal import (
+        DHASH_BANDS,
+        DHASH_GRID,
+        IMG_HAM_TAU,
+        dhash_near_dup_pairs,
+    )
+    from .training_data import cached_frame
+
+    fx = fixture_dir_for(sf_dir)
+    src = os.path.join(fx, "media_ppm_dup.parquet")
+
+    def build() -> DataFrame:
+        return dhash_near_dup_pairs(spark.read.parquet(src))
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "imagehash",
+        "neardup_pairs",
+        src,
+        f"v1-{DHASH_GRID}-{DHASH_BANDS}-{IMG_HAM_TAU}",
+        build,
+    )
+
+
+@REGISTRY.register(
+    "multimodal_image_neardup",
+    oracle=f"""
+    WITH {_dhash_oracle_ctes()}
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM hb a JOIN hb b ON b.media_id > a.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ORDER BY media_a, media_b""",
+    doc="IMAGE NEAR-DUP DEDUP — the multimodal x dedup composition "
+    "(VERDICT r8 task #3): every payload is REALLY decoded (P6 PPM "
+    "byte walk through the designed Arrow/mapInPandas boundary), "
+    "reduced to a 56-bit dHash (8x8 nearest-neighbor gray grid, "
+    "horizontal gradient signs — brightness-shift invariant except at "
+    "the 255 clamp), then paired by a BANDED equi-join on 4x14-bit "
+    "hash chunks (pigeonhole recall-complete at the tau=3 verify "
+    "threshold — the SimHash argument) with a two-long XOR+bit_count "
+    "verify. Candidate generation is never all-pairs: bucket join "
+    "only, the 100 TB shape. The oracle recomputes every hash from "
+    "the fixture's closed-form pixel construction WITHOUT parsing "
+    "bytes (brute-force pair scan, provably identical to the banded "
+    "join at tau <= 3), so a decoder that drops a byte or a banding "
+    "bug that loses a candidate cannot match. The pair list "
+    "disk-caches content-stamped; the recall gauge consumes the same "
+    "cache.",
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_neardup_pairs_cached(spark, sf_dir).orderBy("media_a", "media_b")
+
+
+@REGISTRY.register(
+    "multimodal_image_neardup_recall",
+    oracle=f"""
+    WITH {_dhash_oracle_ctes()},
+    pl AS (SELECT src_id AS media_a, media_id AS media_b
+           FROM read_parquet('{_ORACLE_FX}/media_ppm_dup.parquet')
+           WHERE provenance <> 'base'),
+    pairs AS (SELECT a.media_id AS media_a, b.media_id AS media_b
+              FROM hb a JOIN hb b ON b.media_id > a.media_id
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM pl),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+          FROM pl JOIN pairs USING (media_a, media_b))
+    SELECT n.n_planted, f.n_found,
+           round(CAST(f.n_found AS DOUBLE) / n.n_planted, 6) AS recall
+    FROM n CROSS JOIN f""",
+    doc="Measured-recall gauge for the perceptual-hash dedup (every "
+    "similarity family carries one): planted brightness-perturbed "
+    "pairs (generator provenance marks them; src_id < media_id by "
+    "construction) joined against the found pair list — recall = "
+    "found / planted. Measured 1.0 at sf0.01: the clamp-flipped bits "
+    "land at Hamming 0-2, inside the tau=3 band, while background "
+    "pairs sit ~28/56 bits apart (zero within 6). Consumes the "
+    "disk-cached pair frame; the planted side is a metadata-only "
+    "column scan (payloads pruned).",
+)
+def multimodal_image_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = fixture_dir_for(sf_dir)
+    planted = (
+        spark.read.parquet(os.path.join(fx, "media_ppm_dup.parquet"))
+        .filter(F.col("provenance") != "base")
+        .select(F.col("src_id").alias("media_a"), F.col("media_id").alias("media_b"))
+    )
+    pairs = _image_neardup_pairs_cached(spark, sf_dir)
+    n = planted.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    f = planted.join(pairs, on=["media_a", "media_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    return (
+        n.crossJoin(F.broadcast(f))
+        .select(
+            "n_planted",
+            "n_found",
+            F.round(F.col("n_found").cast("double") / F.col("n_planted"), 6).alias(
+                "recall"
+            ),
+        )
+    )

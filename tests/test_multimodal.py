@@ -3,6 +3,9 @@ stubbed decoder contract, and the mapInPandas plan shape."""
 
 from __future__ import annotations
 
+import os
+
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -473,3 +476,85 @@ def test_parse_flac_streaminfo_bitfields():
     }
     with pytest.raises(ValueError):
         parse_flac_streaminfo(b"RIFF not flac")
+
+
+def test_image_neardup_matches_numpy_bruteforce(spark):
+    """Independent recompute of the perceptual-hash dedup (the
+    shared-bug-passes-oracle mitigation): payloads re-parsed with a
+    REGEX header reader (not the engine's byte-walk), dHashes rebuilt
+    with independent numpy indexing, pairs brute-forced over all
+    combinations — compared EXACTLY against the registered banded-join
+    entry, plus the recall row."""
+    import re
+
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from pinterest_data_pipeline400_spark.plans import media_queries as mq
+    from tests.conftest import TEST_SF_DIR
+
+    fx = fixture_dir_for(TEST_SF_DIR)
+    pdf = pd.read_parquet(os.path.join(fx, "media_ppm_dup.parquet"))
+
+    def hash_payload(payload: bytes) -> int:
+        m = re.match(rb"P6\n(?:#[^\n]*\n)?(\d+) (\d+)\n255\n", payload)
+        assert m, "unexpected fixture header shape"
+        w, h = int(m.group(1)), int(m.group(2))
+        px = np.frombuffer(payload[m.end():], dtype=np.uint8).astype(np.int64)
+        assert px.size == 3 * w * h
+        gray = px.reshape(h, w, 3).sum(axis=2)
+        g = gray[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)]
+        bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+        wt = 1 << (np.arange(8)[:, None] * 7 + np.arange(7)[None, :])
+        return int((bits * wt).sum())
+
+    hashes = {int(r.media_id): hash_payload(bytes(r.payload)) for r in pdf.itertuples()}
+    ids = sorted(hashes)
+    expected = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    out = mq.multimodal_image_neardup(spark, TEST_SF_DIR).toPandas()
+    got = {
+        (int(r.media_a), int(r.media_b)): int(r.hamming) for r in out.itertuples()
+    }
+    assert got == expected
+
+    planted = pdf[pdf.provenance != "base"]
+    n_found = sum(
+        1 for r in planted.itertuples() if (int(r.src_id), int(r.media_id)) in expected
+    )
+    rec = mq.multimodal_image_neardup_recall(spark, TEST_SF_DIR).toPandas()
+    assert int(rec.n_planted.iloc[0]) == len(planted)
+    assert int(rec.n_found.iloc[0]) == n_found
+    assert rec.recall.iloc[0] == round(n_found / len(planted), 6)
+    # the fixture is designed separable: the gauge should read ~1.0
+    assert rec.recall.iloc[0] >= 0.95
+
+
+def test_image_neardup_plan_is_banded_join(spark):
+    """Scale contract for the perceptual-hash dedup: candidate
+    generation must be the banded equi-join — never a cartesian
+    product — and the Python boundary is a single Arrow mapInPandas
+    stage (decode+hash), exchange-free before the band shuffle."""
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    fx = fixture_dir_for(TEST_SF_DIR)
+    media = spark.read.parquet(os.path.join(fx, "media_ppm_dup.parquet"))
+    plan = (
+        dhash_near_dup_pairs(media)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    # the decode+hash frame is persisted: both sides of the band
+    # self-join read the cache (the plan text inlines the cached
+    # lineage per alias, but only one Python stage executes)
+    assert plan.count("InMemoryTableScan") >= 2
