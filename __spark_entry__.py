@@ -60,6 +60,7 @@ GRADE_WINDOW = [
     "ev_pagerank_users",
     "multimodal_image_neardup",
     "multimodal_image_neardup_recall",
+    "emb_incremental_index",
 ]
 
 

@@ -2463,7 +2463,25 @@ def _lloyd_oracle_sql(iters: int) -> str:
     "from the Spark rounds.",
 )
 def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    embs = _embs(spark, sf_dir)
+    assigned, _cent = _lloyd_loop(_embs(spark, sf_dir), LLOYD_ITERS)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.round(F.col("cosine") * 1000000).cast("long")).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cosine"),
+    )
+
+
+def _lloyd_loop(embs: DataFrame, iters: int):
+    """The Lloyd assign+update rounds, returning BOTH the final-round
+    assignment (vs cent_{iters-1} — emb_kmeans_lloyd's certified
+    output grain) and the final centroid table cent_{iters} (the
+    trained artifact emb_incremental_index assigns new batches
+    against). Split out of emb_kmeans_lloyd verbatim so the trained
+    centroids can disk-cache without duplicating the loop."""
     cent = embs.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cluster_id"),
         _as_double(F.col("embedding")).alias("cemb"),
@@ -2472,7 +2490,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("cluster_id").asc()
     )
     assigned = None
-    for _ in range(LLOYD_ITERS):
+    for _ in range(iters):
         scored = embs.crossJoin(F.broadcast(cent)).select(
             "vec_id",
             "embedding",
@@ -2506,15 +2524,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()  # 8 rows; cuts the per-round lineage
         )
-    return assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.round(
-            F.sum(F.round(F.col("cosine") * 1000000).cast("long")).cast("double")
-            / 1000000
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_cosine"),
-    )
+    return assigned, cent
 
 
 # --------------------------------------------------------------------------
@@ -5815,4 +5825,168 @@ def docs_cluster_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_leak").alias("n_cross_split_pairs"),
         )
         .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# round 9: incremental ANN index maintenance (VERDICT r8 task #4)
+# --------------------------------------------------------------------------
+
+
+def cached_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd-trained k-means centroid table (cent_{LLOYD_ITERS}),
+    disk-cached per (embeddings stamp, code version) — the MODEL-CACHE
+    rule: the centroids are a deterministic function of the corpus and
+    the incremental-index entry must READ the stored generation, never
+    retrain it."""
+
+    def build() -> DataFrame:
+        _assigned, cent = _lloyd_loop(_embs(spark, sf_dir), LLOYD_ITERS)
+        return cent
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "kmeans",
+        "lloyd_centroids",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"v1-{K_CLUSTERS}-{LLOYD_ITERS}",
+        build,
+    )
+
+
+def _incremental_index_oracle_sql() -> str:
+    """Composes the two trained-artifact oracles — the unrolled Lloyd
+    centroid loop (cent_{LLOYD_ITERS}) and the unrolled per-subspace PQ
+    training (tenc) — with the new-batch assignment/encode/drift logic.
+    The Lloyd CTEs' a_{{t}} names collide with the PQ loop's assignment
+    CTEs, so they are mechanically renamed la_{{t}} (pure rename; both
+    generators stay the single source of truth)."""
+    import re as _re
+
+    lloyd = _lloyd_oracle_sql(LLOYD_ITERS)[len("WITH ") :]
+    lloyd = _re.sub(r"\ba_(\d+)\b", r"la_\1", lloyd)
+    pq = ",".join(_pq_trained_cte_parts(PQ_TRAIN_ITERS))
+    return f"""
+    WITH {lloyd},
+    {pq},
+    cut AS (SELECT quantile_cont(CAST(vec_id AS DOUBLE), {INCR_OLD_FRAC}) AS c
+            FROM embeddings),
+    fa AS (SELECT e.vec_id, c.cluster_id,
+                  round(list_cosine_similarity(
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                      c.cemb), 6) AS cosine
+           FROM embeddings e, cent_{LLOYD_ITERS} c),
+    far AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cosine DESC, cluster_id ASC) AS rn
+            FROM fa),
+    fass AS (SELECT vec_id, cluster_id, cosine FROM far WHERE rn = 1),
+    cm AS (SELECT CAST(round(CAST(sum(CAST(round(cosine * 1000000) AS BIGINT))
+                                  AS DOUBLE) / count(*)) AS BIGINT)
+                    AS corpus_mean_cos_micro
+           FROM fass),
+    bm AS (SELECT CAST(round(CAST(sum(CAST(round(cosine * 1000000) AS BIGINT))
+                                  AS DOUBLE) / count(*)) AS BIGINT)
+                    AS batch_mean_cos_micro
+           FROM fass CROSS JOIN cut WHERE vec_id > cut.c),
+    codes AS (SELECT vec_id,
+                     string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub)
+                       AS code_key
+              FROM tenc GROUP BY vec_id)
+    SELECT f.vec_id, f.cluster_id AS cell_id, f.cosine AS cell_cos,
+           codes.code_key,
+           bm.batch_mean_cos_micro, cm.corpus_mean_cos_micro,
+           bm.batch_mean_cos_micro - cm.corpus_mean_cos_micro AS drift_micro
+    FROM fass f JOIN codes USING (vec_id)
+    CROSS JOIN cut CROSS JOIN bm CROSS JOIN cm
+    WHERE f.vec_id > cut.c
+    ORDER BY f.vec_id"""
+
+
+@REGISTRY.register(
+    "emb_incremental_index",
+    oracle=_incremental_index_oracle_sql(),
+    doc="INCREMENTAL ANN INDEX MAINTENANCE — the vector twin of "
+    "docs_incremental_dedup (VERDICT r8 task #4): a NEW batch of "
+    "embeddings (the newest 40% of vec_ids, cut at a broadcast "
+    "percentile) is assigned into the STORED index state — the "
+    "disk-cached Lloyd-trained k-means centroids "
+    "(cached_lloyd_centroids) and the disk-cached trained PQ codebook "
+    "(cached_pq_trained_codebook), both READ back, never retrained — "
+    "emitting per-vector (cell, cell cosine, PQ code key) plus the "
+    "DRIFT gauge production index maintenance watches: the new "
+    "batch's mean assignment cosine vs the stored generation's "
+    "full-corpus mean (micro ints; a widening gap says the centroids "
+    "no longer describe incoming data and the index needs "
+    "retraining). Determinism: 6-dp rounded cosines with cluster-id "
+    "tiebreaks, means as integer-micro sums divided at the end, PQ "
+    "codes by exact integer d2 with min-id ties. Scale shape: ONE "
+    "pass over the corpus against a broadcast 8-row centroid table "
+    "(the batch slice re-uses it), the PQ encode touches only the "
+    "batch with a broadcast 128-row codebook, and both trained "
+    "artifacts come off content-stamped parquet — at 100 TB the "
+    "caches are the stored index and the batch is the only new I/O. "
+    "Oracle: both training loops' unrolled CTEs composed verbatim "
+    "(Lloyd a_t renamed la_t to avoid colliding with the PQ loop).",
+)
+def emb_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    cent = cached_lloyd_centroids(spark, sf_dir)
+    cut = embs.agg(
+        F.expr(f"percentile(CAST(vec_id AS DOUBLE), {INCR_OLD_FRAC})").alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("cluster_id").asc()
+    )
+    scored = embs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cluster_id",
+        F.round(cosine(_as_double(F.col("embedding")), F.col("cemb")), 6).alias(
+            "cosine"
+        ),
+    )
+    fass = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "cosine")
+        .persist()  # consumed by the corpus mean, the batch mean, and the rows
+    )
+    mean_micro = (
+        F.round(
+            F.sum(F.round(F.col("cosine") * 1000000).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+    )
+    cm = fass.agg(mean_micro.alias("corpus_mean_cos_micro"))
+    batch = fass.crossJoin(F.broadcast(cut)).filter(F.col("vec_id") > F.col("c"))
+    bm = batch.agg(mean_micro.alias("batch_mean_cos_micro"))
+    cb = cached_pq_trained_codebook(spark, sf_dir)
+    batch_embs = embs.crossJoin(F.broadcast(cut)).filter(F.col("vec_id") > F.col("c"))
+    enc = _pq_encode(_pq_subspaces(batch_embs.select("vec_id", "embedding")), cb)
+    codes = enc.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s.getField("code").cast("string"),
+            ),
+        ).alias("code_key")
+    )
+    return (
+        batch.join(codes, on="vec_id")
+        .crossJoin(F.broadcast(bm))
+        .crossJoin(F.broadcast(cm))
+        .select(
+            "vec_id",
+            F.col("cluster_id").alias("cell_id"),
+            F.col("cosine").alias("cell_cos"),
+            "code_key",
+            "batch_mean_cos_micro",
+            "corpus_mean_cos_micro",
+            (F.col("batch_mean_cos_micro") - F.col("corpus_mean_cos_micro")).alias(
+                "drift_micro"
+            ),
+        )
+        .orderBy("vec_id")
     )

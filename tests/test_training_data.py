@@ -1004,3 +1004,139 @@ def test_cluster_split_eliminates_leakage(spark):
     corpus = pd.read_parquet(f"{fx}/docs_dup.parquet")
     assert out.n_docs.sum() == len(corpus)
     assert (out.n_groups <= out.n_docs).all()
+
+
+def test_incremental_index_matches_numpy_recompute(spark):
+    """Independent recompute of emb_incremental_index (the
+    shared-bug-passes-oracle mitigation): the Lloyd centroid loop, the
+    per-subspace PQ training, the new-batch assignment/encode, and the
+    drift means rebuilt in plain numpy/python with the engines'
+    half-away rounding — compared EXACTLY against the registered
+    entry."""
+    import math
+
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+    from tests.conftest import TEST_SF_DIR
+
+    def rnd(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def rnd6(x: float) -> float:
+        return rnd(x * 1e6) / 1e6
+
+    pdf = (
+        td._embs(spark, TEST_SF_DIR)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = pdf.vec_id.to_numpy()
+    X = np.array([np.asarray(e, dtype=np.float64) for e in pdf.embedding])
+
+    def cos(a, b):
+        return rnd6(float(np.dot(a, b)) / (math.sqrt(float(np.dot(a, a)))
+                                           * math.sqrt(float(np.dot(b, b)))))
+
+    # --- Lloyd loop: 3 assign+update rounds, integer-scaled means ----
+    cent = {int(c): X[ids == c][0].copy() for c in range(td.K_CLUSTERS)}
+    for _ in range(td.LLOYD_ITERS):
+        assign = {}
+        for i, v in zip(ids, X):
+            scored = sorted(
+                ((-cos(v, cent[c]), c) for c in cent)
+            )
+            assign[int(i)] = scored[0][1]
+        new_cent = {}
+        for c in cent:
+            members = [X[k] for k, vid in enumerate(ids) if assign[int(vid)] == c]
+            if members:
+                v6 = np.array([[rnd(x * 1e6) for x in m] for m in members],
+                              dtype=np.int64)
+                new_cent[c] = np.array(
+                    [float(s) / 1e6 / len(members) for s in v6.sum(axis=0)]
+                )
+            else:
+                new_cent[c] = cent[c]
+        cent = new_cent
+    # final assignment of EVERY vector against the trained centroids
+    fass = {}
+    for i, v in zip(ids, X):
+        scored = sorted(((-cos(v, cent[c]), c) for c in cent))
+        fass[int(i)] = (scored[0][1], -scored[0][0])
+
+    cut = float(np.percentile(ids.astype(np.float64), 60))
+    all_micro = [rnd(fass[int(i)][1] * 1e6) for i in ids]
+    cm = rnd(float(sum(all_micro)) / len(ids))
+    batch_ids = [int(i) for i in ids if i > cut]
+    bm = rnd(
+        float(sum(rnd(fass[i][1] * 1e6) for i in batch_ids)) / len(batch_ids)
+    )
+
+    # --- per-subspace PQ training: exact integer d2, integer means ---
+    XM = np.array([[rnd(x * 1e6) for x in v] for v in X], dtype=np.int64)
+    nsub, sdim = td.PQ_SUBS, td.PQ_SUB_DIM
+    cb = {int(c): XM[ids == c][0].copy() for c in range(td.PQ_CODEBOOK_N)}
+    for _ in range(td.PQ_TRAIN_ITERS):
+        enc = {}
+        for k, i in enumerate(ids):
+            for s in range(nsub):
+                sl = slice(s * sdim, (s + 1) * sdim)
+                best = min(
+                    (int(((XM[k][sl] - cb[c][sl]) ** 2).sum()), c) for c in cb
+                )
+                enc[(int(i), s)] = best[1]
+        new_cb = {c: cb[c].copy() for c in cb}
+        for c in cb:
+            for s in range(nsub):
+                members = [
+                    XM[k] for k, i in enumerate(ids) if enc[(int(i), s)] == c
+                ]
+                if members:
+                    sl = slice(s * sdim, (s + 1) * sdim)
+                    m = np.array(members, dtype=np.int64)[:, sl]
+                    for j, dsum in enumerate(m.sum(axis=0)):
+                        new_cb[c][s * sdim + j] = rnd(float(dsum) / len(members))
+        cb = new_cb
+    codes = {}
+    for k, i in enumerate(ids):
+        parts = []
+        for s in range(nsub):
+            sl = slice(s * sdim, (s + 1) * sdim)
+            best = min(
+                (int(((XM[k][sl] - cb[c][sl]) ** 2).sum()), c) for c in cb
+            )
+            parts.append(str(best[1]))
+        codes[int(i)] = "-".join(parts)
+
+    out = td.emb_incremental_index(spark, TEST_SF_DIR).toPandas()
+    assert sorted(out.vec_id) == batch_ids
+    for r in out.itertuples():
+        cell, c6 = fass[int(r.vec_id)]
+        assert int(r.cell_id) == cell, r.vec_id
+        assert r.cell_cos == c6, r.vec_id
+        assert r.code_key == codes[int(r.vec_id)], r.vec_id
+    assert int(out.corpus_mean_cos_micro.iloc[0]) == cm
+    assert int(out.batch_mean_cos_micro.iloc[0]) == bm
+    assert int(out.drift_micro.iloc[0]) == bm - cm
+
+
+def test_incremental_index_reads_cached_artifacts(spark):
+    """The stored-state contract: the entry must READ the disk-cached
+    trained centroids and PQ codebook (content-stamped parquet scans
+    in the plan), never retrain them inline — a plan that re-runs
+    either loop would show the posexplode/update aggregates instead of
+    the cache FileScans."""
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+    from tests.conftest import TEST_SF_DIR
+
+    # materialize the caches (first call may build them)
+    td.cached_lloyd_centroids(spark, TEST_SF_DIR).count()
+    td.cached_pq_trained_codebook(spark, TEST_SF_DIR).count()
+    plan = (
+        td.emb_incremental_index(spark, TEST_SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "lloyd_centroids_" in plan
+    assert "trained_cb_" in plan
