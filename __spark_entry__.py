@@ -61,6 +61,8 @@ GRADE_WINDOW = [
     "multimodal_image_neardup",
     "multimodal_image_neardup_recall",
     "emb_incremental_index",
+    "docs_unigram_tokenizer",
+    "docs_unigram_apply",
 ]
 
 

@@ -2558,3 +2558,437 @@ def docs_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slice")
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: unigram-LM (SentencePiece-style) tokenizer training
+# --------------------------------------------------------------------------
+
+UNI_MAX_WLEN = 8    # Viterbi DP depth: words longer than this are skipped
+UNI_PIECE_MAX = 4   # candidate piece length cap (chars)
+UNI_VOCAB_N = 40    # top substring candidates kept (plus ALL single chars)
+UNI_EM_ROUNDS = 2   # Viterbi-EM iterations (E: segment, M: re-estimate)
+
+
+def _unigram_cte_parts(rounds: int) -> list[str]:
+    """CTE strings (no leading WITH) for the unrolled Viterbi-EM
+    unigram-tokenizer training — the _bpe_train_cte_parts idiom: one
+    generator feeds both the trainer entry and the apply entry so the
+    oracles cannot drift structurally. Per EM round the word-position
+    DP unrolls into {UNI_MAX_WLEN} forward and {UNI_MAX_WLEN} backward
+    stages (AS MATERIALIZED — each stage is referenced by its
+    successor AND the membership join, and DuckDB would otherwise
+    inline the chain 2^stages times)."""
+    parts = [
+        f"""uwtok AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+              FROM documents),
+    uwf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM uwtok
+            WHERE regexp_full_match(word, '[a-z]+')
+              AND len(word) <= {UNI_MAX_WLEN}
+            GROUP BY word ORDER BY freq DESC, word ASC
+            LIMIT {BPE_TRAIN_WORDS}),
+    upc AS (SELECT word, freq, i, i + l AS j,
+                   substr(word, CAST(i + 1 AS INT), CAST(l AS INT)) AS piece
+            FROM (SELECT word, freq, unnest(range(0, len(word))) AS i
+                  FROM uwf),
+                 (SELECT unnest(range(1, {UNI_PIECE_MAX + 1})) AS l)
+            WHERE i + l <= len(word)),
+    ucand AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM upc GROUP BY piece),
+    utop AS (SELECT piece FROM ucand
+             ORDER BY cnt DESC, piece ASC LIMIT {UNI_VOCAB_N}),
+    uvoc0c AS (SELECT piece, cnt FROM ucand
+               WHERE len(piece) = 1 OR piece IN (SELECT piece FROM utop)),
+    utot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uvoc0c),
+    unv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uvoc0c),
+    uvoc_0 AS (SELECT piece, cnt,
+                      CAST(round(log10(CAST(cnt AS DOUBLE) / t.total) * 1e9)
+                           AS BIGINT) AS lp
+               FROM uvoc0c CROSS JOIN utot0 t)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    upv_{t} AS (SELECT p.word, p.freq, p.i, p.j, p.piece, v.lp
+              FROM upc p JOIN uvoc_{t - 1} v USING (piece)),
+    udpf_{t}_0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+                          CAST(0 AS BIGINT) AS dp FROM uwf)""")
+        for s in range(1, UNI_MAX_WLEN + 1):
+            parts.append(f"""
+    udpf_{t}_{s} AS MATERIALIZED (
+      SELECT * FROM udpf_{t}_{s - 1}
+      UNION ALL
+      SELECT p.word, p.freq, CAST({s} AS BIGINT) AS pos,
+             CAST(max(d.dp + p.lp * 64 - 1) AS BIGINT) AS dp
+      FROM upv_{t} p JOIN udpf_{t}_{s - 1} d
+        ON d.word = p.word AND d.pos = p.i
+      WHERE p.j = {s}
+      GROUP BY p.word, p.freq)""")
+        parts.append(f"""
+    udpb_{t}_{UNI_MAX_WLEN} AS (SELECT word, freq,
+                          CAST(len(word) AS BIGINT) AS pos,
+                          CAST(0 AS BIGINT) AS dp FROM uwf)""")
+        for s in range(UNI_MAX_WLEN - 1, -1, -1):
+            parts.append(f"""
+    udpb_{t}_{s} AS MATERIALIZED (
+      SELECT * FROM udpb_{t}_{s + 1}
+      UNION ALL
+      SELECT p.word, p.freq, CAST({s} AS BIGINT) AS pos,
+             CAST(max(p.lp * 64 - 1 + d.dp) AS BIGINT) AS dp
+      FROM upv_{t} p JOIN udpb_{t}_{s + 1} d
+        ON d.word = p.word AND d.pos = p.j
+      WHERE p.i = {s} AND len(p.word) > {s}
+      GROUP BY p.word, p.freq)""")
+        parts.append(f"""
+    umem_{t} AS (SELECT p.piece, p.freq
+               FROM upv_{t} p
+               JOIN udpf_{t}_{UNI_MAX_WLEN} f
+                 ON f.word = p.word AND f.pos = p.i
+               JOIN udpb_{t}_0 b ON b.word = p.word AND b.pos = p.j
+               JOIN udpf_{t}_{UNI_MAX_WLEN} o
+                 ON o.word = p.word AND o.pos = len(p.word)
+               WHERE f.dp + p.lp * 64 - 1 + b.dp = o.dp),
+    ucnt_{t} AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM umem_{t} GROUP BY piece),
+    us_{t} AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total
+             FROM ucnt_{t}),
+    uvoc_{t} AS (SELECT v0.piece,
+                        CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+                        CAST(round(log10((coalesce(c.cnt, 0) + 1.0)
+                                         / (s.total + nv.v)) * 1e9)
+                             AS BIGINT) AS lp
+               FROM uvoc_0 v0 LEFT JOIN ucnt_{t} c USING (piece)
+               CROSS JOIN us_{t} s CROSS JOIN unv nv)""")
+    return parts
+
+
+def _unigram_oracle_sql(rounds: int) -> str:
+    parts = _unigram_cte_parts(rounds)
+    selects = [
+        f"""SELECT CAST({t} AS BIGINT) AS step, piece, cnt, lp AS lp_nano
+    FROM uvoc_{t}"""
+        for t in range(0, rounds + 1)
+    ]
+    return (
+        "WITH " + ",".join(parts) + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY step, piece"
+    )
+
+
+def _unigram_apply_oracle_sql(rounds: int) -> str:
+    """Apply the FINAL trained vocab back to the word table: one more
+    forward Viterbi whose combined dp encodes (score, -n_pieces)
+    lexicographically — n_pieces recovers as (-dp) % 64."""
+    parts = _unigram_cte_parts(rounds)
+    parts.append(f"""
+    upva AS (SELECT p.word, p.freq, p.i, p.j, v.lp
+             FROM upc p JOIN uvoc_{rounds} v USING (piece)),
+    udpa_0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+                      CAST(0 AS BIGINT) AS dp FROM uwf)""")
+    for s in range(1, UNI_MAX_WLEN + 1):
+        parts.append(f"""
+    udpa_{s} AS MATERIALIZED (
+      SELECT * FROM udpa_{s - 1}
+      UNION ALL
+      SELECT p.word, p.freq, CAST({s} AS BIGINT) AS pos,
+             CAST(max(d.dp + p.lp * 64 - 1) AS BIGINT) AS dp
+      FROM upva p JOIN udpa_{s - 1} d
+        ON d.word = p.word AND d.pos = p.i
+      WHERE p.j = {s}
+      GROUP BY p.word, p.freq)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT CAST(sum(w.freq) AS BIGINT) AS n_words,
+           CAST(sum(w.freq * ((-o.dp) % 64)) AS BIGINT) AS total_pieces,
+           round(CAST(sum(w.freq * ((-o.dp) % 64)) AS DOUBLE) / sum(w.freq), 6)
+             AS pieces_per_word
+    FROM uwf w JOIN udpa_{UNI_MAX_WLEN} o
+      ON o.word = w.word AND o.pos = len(w.word)"""
+    )
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    return (
+        docs.select(F.explode(ws_tokens(norm_text(F.col("text")))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= UNI_MAX_WLEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(BPE_TRAIN_WORDS)
+    )
+
+
+def _uni_pieces(wf: DataFrame) -> DataFrame:
+    """(word, freq, i, j, piece): every substring occurrence up to
+    UNI_PIECE_MAX chars — the candidate lattice the DP runs over."""
+    return (
+        wf.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(UNI_PIECE_MAX), F.length("word") - F.col("i")),
+                )
+            ).alias("l"),
+        )
+        .select(
+            "word",
+            "freq",
+            F.col("i").cast("long").alias("i"),
+            (F.col("i") + F.col("l")).cast("long").alias("j"),
+            F.expr("substring(word, i + 1, l)").alias("piece"),
+        )
+    )
+
+
+def _uni_dp_frames(upv: DataFrame) -> DataFrame:
+    """Per word: forward and backward Viterbi arrays in ONE JVM-side
+    aggregate fold each (no per-position jobs — the DP over a
+    ≤ UNI_MAX_WLEN-char word folds over sequence(1, wlen) with the
+    piece lattice collected per word). Combined dp = 64*score_nano -
+    n_pieces: score dominates (a 1-nano score gap x64 outweighs any
+    piece-count difference ≤ {UNI_MAX_WLEN}), ties prefer fewer
+    pieces. Single-char pieces are always in vocab, so every position
+    is reachable and array_max never sees an empty array."""
+    wp = (
+        upv.groupBy("word", "freq")
+        .agg(F.collect_list(F.struct("i", "j", "lp")).alias("pieces"))
+        .withColumn("wlen", F.length("word").cast("long"))
+    )
+    dpf = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("wlen")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, j: F.concat(
+            acc,
+            F.array(
+                F.array_max(
+                    F.transform(
+                        F.filter(F.col("pieces"), lambda p: p.getField("j") == j),
+                        lambda p: F.element_at(
+                            acc, (p.getField("i") + 1).cast("int")
+                        )
+                        + p.getField("lp") * 64
+                        - 1,
+                    )
+                )
+            ),
+        ),
+    )
+    dpb = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("wlen")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, s: F.concat(
+            F.array(
+                F.array_max(
+                    F.transform(
+                        F.filter(
+                            F.col("pieces"),
+                            lambda p: p.getField("i") == F.col("wlen") - s,
+                        ),
+                        lambda p: p.getField("lp") * 64
+                        - 1
+                        + F.element_at(
+                            acc,
+                            (
+                                p.getField("j") - (F.col("wlen") - s)
+                            ).cast("int"),
+                        ),
+                    )
+                )
+            ),
+            acc,
+        ),
+    )
+    return wp.select(
+        "word", "freq", "wlen", "pieces", dpf.alias("dpf"), dpb.alias("dpb")
+    )
+
+
+def _unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = _uni_words(spark, sf_dir).localCheckpoint()
+    upc = _uni_pieces(wf).persist()
+    cand = upc.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    top = cand.orderBy(F.desc("cnt"), F.asc("piece")).limit(UNI_VOCAB_N)
+    keep = (
+        top.select("piece")
+        .unionByName(cand.filter(F.length("piece") == 1).select("piece"))
+        .distinct()
+    )
+    voc0c = cand.join(keep, on="piece", how="left_semi")
+    tot0 = voc0c.agg(F.sum("cnt").cast("long").alias("total"))
+    nv = voc0c.agg(F.count(F.lit(1)).cast("long").alias("v")).localCheckpoint()
+    voc = (
+        voc0c.crossJoin(F.broadcast(tot0))
+        .select(
+            "piece",
+            "cnt",
+            F.round(
+                F.log10(F.col("cnt").cast("double") / F.col("total")) * 1e9
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+        .localCheckpoint()  # vocab-sized; cuts the per-round lineage
+    )
+    steps = [
+        voc.select(
+            F.lit(0).cast("long").alias("step"),
+            "piece",
+            "cnt",
+            F.col("lp").alias("lp_nano"),
+        )
+    ]
+    for t in range(1, UNI_EM_ROUNDS + 1):
+        upv = upc.join(F.broadcast(voc.select("piece", "lp")), on="piece")
+        d = _uni_dp_frames(upv)
+        mem = d.select(
+            "word", "freq", "wlen", "dpf", "dpb", F.explode("pieces").alias("p")
+        ).filter(
+            F.element_at("dpf", (F.col("p.i") + 1).cast("int"))
+            + F.col("p.lp") * 64
+            - 1
+            + F.element_at("dpb", (F.col("p.j") + 1).cast("int"))
+            == F.element_at("dpf", (F.col("wlen") + 1).cast("int"))
+        )
+        # membership carries (i, j), not the piece string — re-derive it
+        # from the word; simpler: join back through upc keyed by word+i+j
+        cnt = (
+            mem.select(
+                F.expr("substring(word, p.i + 1, p.j - p.i)").alias("piece"),
+                "freq",
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        total = cnt.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total")
+        )
+        voc = (
+            voc.select("piece")
+            .join(cnt, on="piece", how="left")
+            .crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(nv))
+            .select(
+                "piece",
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+                F.round(
+                    F.log10(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("total") + F.col("v"))
+                    )
+                    * 1e9
+                )
+                .cast("long")
+                .alias("lp"),
+            )
+            .localCheckpoint()
+        )
+        steps.append(
+            voc.select(
+                F.lit(t).cast("long").alias("step"),
+                "piece",
+                "cnt",
+                F.col("lp").alias("lp_nano"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step", "piece")
+
+
+def cached_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram vocab (all EM steps), disk-cached per
+    (documents stamp, code version) — the MODEL-CACHE rule."""
+    from .training_data import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "unigram",
+        "vocab",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v1-{UNI_MAX_WLEN}-{UNI_PIECE_MAX}-{UNI_VOCAB_N}-{UNI_EM_ROUNDS}"
+        f"-{BPE_TRAIN_WORDS}",
+        lambda: _unigram_train(spark, sf_dir),
+    )
+
+
+@REGISTRY.register(
+    "docs_unigram_tokenizer",
+    oracle=_unigram_oracle_sql(UNI_EM_ROUNDS),
+    doc=f"UNIGRAM-LM TOKENIZER TRAINING (SentencePiece-style, Kudo "
+    f"2018) beside the BPE pair — completing the tokenizer family "
+    f"(VERDICT r8 task #5): candidate vocab = the {UNI_VOCAB_N} most "
+    f"frequent substrings (≤ {UNI_PIECE_MAX} chars) of the "
+    f"word-frequency table plus ALL single characters (coverage "
+    f"guarantee), then {UNI_EM_ROUNDS} Viterbi-EM rounds — E-step "
+    "segments every word by max-sum DP over nano-quantized piece "
+    "log-probs (the docs_bigram_lm_logprob integer-log discipline: "
+    "one log10 per piece per round, everything after is EXACT int64 "
+    "arithmetic, so the DP, its tie-handling, and the counts are "
+    "bit-identical on both engines); M-step re-estimates piece "
+    "probabilities add-1-smoothed over the fixed vocab. The combined "
+    "dp value encodes (score, -n_pieces) lexicographically (x64 "
+    "headroom), and a piece counts iff it lies on ANY optimal "
+    "segmentation (forward dp + piece + backward dp = optimum — no "
+    "backtrace pass needed). All steps emitted so the output shows EM "
+    "moving. Spark runs each word's DP as ONE JVM-side aggregate fold "
+    "over the collected piece lattice (no per-position jobs); the "
+    "oracle unrolls the same DP into MATERIALIZED per-position CTEs. "
+    "Scale shape: the corpus is touched once for the word table; "
+    "everything after is vocab-bounded with broadcast piece tables; "
+    "the trained vocab disk-caches content-stamped (MODEL-CACHE "
+    "rule) and docs_unigram_apply reads it back.",
+)
+def docs_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cached_unigram_vocab(spark, sf_dir).orderBy("step", "piece")
+
+
+@REGISTRY.register(
+    "docs_unigram_apply",
+    oracle=_unigram_apply_oracle_sql(UNI_EM_ROUNDS),
+    doc="UNIGRAM TOKENIZER APPLICATION — the train-then-apply "
+    "composition (docs_bpe_apply's twin): the final EM round's vocab "
+    "(read back from the content-stamped disk cache, NOT retrained) "
+    "Viterbi-segments the word table one more time; per-word piece "
+    "counts recover from the combined dp as (-dp) % 64 (the "
+    "lexicographic (score, -n_pieces) encoding), and the entry ships "
+    "the corpus fertility report: words, total pieces, pieces per "
+    "word. pytest pins this fertility against the BPE baseline on "
+    "the SAME corpus — the two tokenizer families become directly "
+    "comparable. Scale shape: one corpus pass for the word table, "
+    "one broadcast vocab join, one fold per word, one 1-row "
+    "aggregate.",
+)
+def docs_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    voc = (
+        cached_unigram_vocab(spark, sf_dir)
+        .filter(F.col("step") == UNI_EM_ROUNDS)
+        .select("piece", F.col("lp_nano").alias("lp"))
+    )
+    wf = _uni_words(spark, sf_dir)
+    upv = _uni_pieces(wf).join(F.broadcast(voc), on="piece")
+    d = _uni_dp_frames(upv)
+    per_word = d.select(
+        "freq",
+        (
+            (-F.element_at("dpf", (F.col("wlen") + 1).cast("int"))) % 64
+        ).alias("np"),
+    )
+    return per_word.agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.col("np")).cast("long").alias("total_pieces"),
+        F.round(
+            F.sum(F.col("freq") * F.col("np")).cast("double") / F.sum("freq"), 6
+        ).alias("pieces_per_word"),
+    )

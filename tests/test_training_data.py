@@ -1140,3 +1140,111 @@ def test_incremental_index_reads_cached_artifacts(spark):
     )
     assert "lloyd_centroids_" in plan
     assert "trained_cb_" in plan
+
+
+def test_unigram_tokenizer_matches_python_recompute(spark):
+    """Independent recompute of the Viterbi-EM unigram trainer (the
+    shared-bug-passes-oracle mitigation): word table, candidate vocab,
+    both DPs, tie-inclusive membership counts, and the smoothed
+    M-step rebuilt in plain python dicts with the engines' half-away
+    rounding — the final vocab table compared EXACTLY."""
+    import math
+    import re
+
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+    from tests.conftest import TEST_SF_DIR
+
+    def rnd(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    docs = td._docs(spark, TEST_SF_DIR).select("text").toPandas()
+    freq: dict[str, int] = {}
+    for t in docs.text:
+        for w in re.sub(r"\s+", " ", t).strip().lower().split(" "):
+            if re.fullmatch(r"[a-z]+", w) and len(w) <= cu.UNI_MAX_WLEN:
+                freq[w] = freq.get(w, 0) + 1
+    wf = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[: cu.BPE_TRAIN_WORDS]
+
+    occ = []  # (word, freq, i, j, piece)
+    for w, f in wf:
+        for i in range(len(w)):
+            for l in range(1, min(cu.UNI_PIECE_MAX, len(w) - i) + 1):
+                occ.append((w, f, i, i + l, w[i : i + l]))
+    cand: dict[str, int] = {}
+    for _w, f, _i, _j, p in occ:
+        cand[p] = cand.get(p, 0) + f
+    top = {
+        p
+        for p, _c in sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : cu.UNI_VOCAB_N
+        ]
+    }
+    voc = {p: c for p, c in cand.items() if len(p) == 1 or p in top}
+    total0 = sum(voc.values())
+    nv = len(voc)
+    lp = {p: rnd(math.log10(c / total0) * 1e9) for p, c in voc.items()}
+    expected = {(0, p): (voc[p], lp[p]) for p in voc}
+
+    for t in range(1, cu.UNI_EM_ROUNDS + 1):
+        cnts: dict[str, int] = {}
+        for w, f in wf:
+            n = len(w)
+            pieces = [
+                (i, j, lp[w[i:j]])
+                for (_w, _f, i, j, p) in occ
+                if _w == w and p in lp
+            ]
+            dpf = [0] + [None] * n
+            for j in range(1, n + 1):
+                dpf[j] = max(
+                    dpf[i] + q * 64 - 1 for (i, jj, q) in pieces if jj == j
+                )
+            dpb = [None] * n + [0]
+            for i in range(n - 1, -1, -1):
+                dpb[i] = max(
+                    q * 64 - 1 + dpb[j] for (ii, j, q) in pieces if ii == i
+                )
+            for (i, j, q) in pieces:
+                if dpf[i] + q * 64 - 1 + dpb[j] == dpf[n]:
+                    p = w[i:j]
+                    cnts[p] = cnts.get(p, 0) + f
+        total = sum(cnts.values())
+        newlp = {}
+        for p in voc:
+            c = cnts.get(p, 0)
+            newlp[p] = rnd(math.log10((c + 1.0) / (total + nv)) * 1e9)
+            expected[(t, p)] = (c, newlp[p])
+        lp = newlp
+
+    out = cu.docs_unigram_tokenizer(spark, TEST_SF_DIR).toPandas()
+    got = {
+        (int(r.step), r.piece): (int(r.cnt), int(r.lp_nano))
+        for r in out.itertuples()
+    }
+    assert got == expected
+
+
+def test_unigram_fertility_vs_bpe_baseline(spark):
+    """The tokenizer-family comparison the unigram entry exists for:
+    on the SAME corpus, unigram fertility (pieces per word over the
+    trained word table) must land strictly below character fertility
+    (the vocab's multi-char pieces must actually be used) and within
+    a sane band of the BPE baseline's corpus-wide fertility."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    uni = cu.docs_unigram_apply(spark, TEST_SF_DIR).toPandas()
+    assert int(uni.n_words.iloc[0]) > 0
+    fert_uni = float(uni.pieces_per_word.iloc[0])
+    # character fertility over the same word table
+    wf = cu._uni_words(spark, TEST_SF_DIR).toPandas()
+    fert_char = (wf.word.str.len() * wf.freq).sum() / wf.freq.sum()
+    assert fert_uni < fert_char, (fert_uni, fert_char)
+    # BPE baseline on the same corpus (corpus-wide fertility after all
+    # merges, from the cached merge table's final round)
+    merges = cu.cached_bpe_merges(spark, TEST_SF_DIR).toPandas()
+    fert_bpe = float(
+        merges.sort_values("step").tokens_per_word.iloc[-1]
+    )
+    # the two tokenizers answer the same question; neither should be
+    # wildly off the other on a 31-word synthetic vocabulary
+    assert abs(fert_uni - fert_bpe) < 2.5, (fert_uni, fert_bpe)
