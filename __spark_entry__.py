@@ -63,6 +63,7 @@ GRADE_WINDOW = [
     "emb_incremental_index",
     "docs_unigram_tokenizer",
     "docs_unigram_apply",
+    "ev_holt_winters_forecast",
 ]
 
 

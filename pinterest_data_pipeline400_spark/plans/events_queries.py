@@ -4991,3 +4991,221 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return obs.unionByName(fc).orderBy("day_epoch")
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters: additive hour-of-week seasonality over the hourly series
+# --------------------------------------------------------------------------
+
+HW_ALPHA = "0.3"   # level smoothing (literal: same double both engines)
+HW_BETA = "0.1"    # trend smoothing
+HW_GAMMA = "0.2"   # seasonal smoothing
+HW_PERIOD = 168    # hour-of-week: 7 * 24
+HW_HORIZON = 24    # hours forecast beyond the observed spine
+
+
+def _hw_oracle_sql() -> str:
+    """Unrolled DuckDB mirror of the Holt-Winters recurrence. The
+    lag-168 seasonal reference breaks a plain linear recursion (the
+    recursive CTE only sees the previous row), so the recursion
+    carries the next {HW_PERIOD} seasonal references as a LIST queue:
+    sref = q[1], each step pops the head and appends the freshly
+    updated s (which becomes the reference one period later). The
+    Spark fold indexes the accumulated history instead — same values,
+    pinned by the independent pandas recompute in pytest."""
+    a, b, g, per = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    lnew = f"CAST(round({a} * (nh.y * 1000 - r.q[1]) + (1 - {a}) * (r.l + r.b)) AS BIGINT)"
+    bnew = f"CAST(round({b} * ({lnew} - r.l) + (1 - {b}) * r.b) AS BIGINT)"
+    snew = f"CAST(round({g} * (nh.y * 1000 - {lnew}) + (1 - {g}) * r.q[1]) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE hourly AS (
+                   SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS e,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    bounds AS (SELECT CAST(min(e) AS BIGINT) AS lo, CAST(max(e) AS BIGINT) AS hi
+               FROM hourly),
+    spine AS (SELECT lo + CAST(gs.g AS BIGINT) AS e, CAST(gs.g AS BIGINT) AS i
+              FROM bounds CROSS JOIN
+                   (SELECT unnest(range(0, 1000000)) AS g) gs
+              WHERE lo + gs.g <= hi),
+    hours AS MATERIALIZED (SELECT s.i, s.e, CAST(coalesce(h.y, 0) AS BIGINT) AS y
+              FROM spine s LEFT JOIN hourly h ON h.e = s.e),
+    ovm AS (SELECT CAST(sum(y) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS na
+            FROM hours),
+    sg AS (SELECT e % {per} AS k, CAST(sum(y) AS BIGINT) AS sk,
+                  CAST(count(*) AS BIGINT) AS nk
+           FROM hours GROUP BY 1),
+    s0 AS MATERIALIZED (SELECT k, CAST(round(CAST(sk AS DOUBLE) * 1000 / nk
+                                - CAST(sa AS DOUBLE) * 1000 / na) AS BIGINT) AS s
+           FROM sg CROSS JOIN ovm),
+    h0 AS (SELECT * FROM hours WHERE i = 0),
+    q0 AS MATERIALIZED (SELECT list(s0.s ORDER BY t.t) AS q
+           FROM (SELECT unnest(range(1, {per})) AS t) t
+           CROSS JOIN h0 JOIN s0 ON s0.k = (h0.e + t.t) % {per}),
+    hwrec AS (
+      SELECT h0.i, h0.e, h0.y,
+             CAST(h0.y * 1000 - s0.s AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b,
+             s0.s AS s,
+             CAST(h0.y * 1000 AS BIGINT) AS f,
+             q0.q || [s0.s] AS q
+      FROM h0 JOIN s0 ON s0.k = h0.e % {per} CROSS JOIN q0
+      UNION ALL
+      SELECT nh.i, nh.e, nh.y,
+             {lnew},
+             {bnew},
+             {snew},
+             CAST(r.l + r.b + r.q[1] AS BIGINT),
+             r.q[2:] || [{snew}]
+      FROM hwrec r JOIN hours nh ON nh.i = r.i + 1),
+    last AS (SELECT i, e, l, b FROM hwrec ORDER BY i DESC LIMIT 1),
+    fc AS (SELECT last.e + CAST(h.h AS BIGINT) AS e,
+                  CAST(NULL AS BIGINT) AS y,
+                  last.l, last.b, sh.s,
+                  CAST(last.l + h.h * last.b + sh.s AS BIGINT) AS f
+           FROM last CROSS JOIN
+                (SELECT unnest(range(1, {HW_HORIZON + 1})) AS h) h
+           JOIN hwrec sh ON sh.i = last.i + h.h - {per})
+    SELECT e AS hour_epoch, 'obs' AS kind, y,
+           l AS level_milli, b AS trend_milli, s AS season_milli,
+           f AS fitted_milli
+    FROM hwrec
+    UNION ALL
+    SELECT e, 'forecast', y, l, b, s, f FROM fc
+    ORDER BY hour_epoch"""
+
+
+@REGISTRY.register(
+    "ev_holt_winters_forecast",
+    oracle=_hw_oracle_sql(),
+    doc="FORECASTING WITH SEASONALITY: additive Holt-Winters (triple "
+    f"exponential smoothing, alpha={HW_ALPHA} beta={HW_BETA} "
+    f"gamma={HW_GAMMA}) over the zero-filled HOURLY event series with "
+    f"hour-of-week period {HW_PERIOD} — the seasonal extension of "
+    "ev_holt_forecast (VERDICT r8 task #7): the "
+    "ev_seasonality_hourweek grid (per hour-of-week mean deviation "
+    "from the overall mean, milli-quantized integer means) seeds the "
+    "initial seasonal component, then every step updates level/trend/"
+    "season in MILLI-INTEGER state (each smoothing expression rounds "
+    "once to int64, so the genuinely sequential recurrence is "
+    "bit-identical on both engines), with the lag-168 seasonal "
+    f"reference and a {HW_HORIZON}-hour-ahead forecast l + h*b + "
+    "s_(matching hour-of-week). Spark folds the bounded hourly spine "
+    "in ONE row-local aggregate() (history-indexed seasonal lag); the "
+    "oracle's recursive CTE carries the next-period seasonal "
+    "references as a list queue — two mechanically different "
+    "realizations of the same integer recurrence, additionally pinned "
+    "by an independent pandas recompute in pytest. Scale shape: the "
+    "corpus-sized work ends at the hourly aggregate; the fold costs "
+    "O(span), not O(rows).",
+)
+def ev_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, bta, gma, per = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(F.expr("unix_micros(ts) DIV 3600000000").alias("e"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = hourly.agg(
+        F.min("e").cast("long").alias("lo"), F.max("e").cast("long").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("e")
+    )
+    hours = spine.join(hourly, on="e", how="left").select(
+        "e", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    ov = hours.agg(
+        F.sum("y").cast("long").alias("sa"), F.count(F.lit(1)).cast("long").alias("na")
+    )
+    s0 = (
+        hours.groupBy((F.col("e") % per).alias("k"))
+        .agg(
+            F.sum("y").cast("long").alias("sk"),
+            F.count(F.lit(1)).cast("long").alias("nk"),
+        )
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "k",
+            F.round(
+                F.col("sk").cast("double") * 1000 / F.col("nk")
+                - F.col("sa").cast("double") * 1000 / F.col("na")
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    row = hours.agg(
+        F.array_sort(F.collect_list(F.struct("e", "y"))).alias("ds")
+    ).crossJoin(
+        F.broadcast(
+            s0.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "s"))),
+                    lambda x: x.getField("s"),
+                ).alias("s0arr")
+            )
+        )
+    )
+    sref = (
+        f"IF(size(acc) >= {per}, element_at(acc, size(acc) - {per - 1}).s, "
+        f"element_at(s0arr, CAST(x.e % {per} AS INT) + 1))"
+    )
+    lnew = (
+        f"CAST(round({a} * (x.y * 1000 - {sref}) + (1 - {a}) * (p.l + p.b)) AS BIGINT)"
+    )
+    bnew = f"CAST(round({bta} * ({lnew} - p.l) + (1 - {bta}) * p.b) AS BIGINT)"
+    snew = (
+        f"CAST(round({gma} * (x.y * 1000 - {lnew}) + (1 - {gma}) * {sref}) AS BIGINT)"
+    )
+    fold = f"""
+      aggregate(
+        slice(ds, 2, size(ds) - 1),
+        array(struct(ds[0].e AS e, ds[0].y AS y,
+                     CAST(ds[0].y * 1000
+                          - element_at(s0arr, CAST(ds[0].e % {per} AS INT) + 1)
+                          AS BIGINT) AS l,
+                     CAST(0 AS BIGINT) AS b,
+                     element_at(s0arr, CAST(ds[0].e % {per} AS INT) + 1) AS s,
+                     CAST(ds[0].y * 1000 AS BIGINT) AS f)),
+        (acc, x) -> concat(acc, transform(slice(acc, size(acc), 1), p ->
+          struct(x.e AS e, x.y AS y,
+                 {lnew} AS l,
+                 {bnew} AS b,
+                 {snew} AS s,
+                 CAST(p.l + p.b + {sref} AS BIGINT) AS f))))
+    """
+    hw = row.select(F.expr(fold).alias("hw"))
+    obs = hw.select(F.explode("hw").alias("r")).select(
+        F.col("r.e").alias("hour_epoch"),
+        F.lit("obs").alias("kind"),
+        F.col("r.y").alias("y"),
+        F.col("r.l").alias("level_milli"),
+        F.col("r.b").alias("trend_milli"),
+        F.col("r.s").alias("season_milli"),
+        F.col("r.f").alias("fitted_milli"),
+    )
+    fc = (
+        hw.select("hw", F.expr("element_at(hw, -1)").alias("p"))
+        .select(
+            "hw",
+            "p",
+            F.explode(F.sequence(F.lit(1), F.lit(HW_HORIZON))).alias("h"),
+        )
+        .select(
+            (F.col("p.e") + F.col("h")).cast("long").alias("hour_epoch"),
+            F.lit("forecast").alias("kind"),
+            F.lit(None).cast("long").alias("y"),
+            F.col("p.l").alias("level_milli"),
+            F.col("p.b").alias("trend_milli"),
+            F.expr(f"element_at(hw, size(hw) + h - {per}).s").alias("season_milli"),
+            (
+                F.col("p.l")
+                + F.col("h") * F.col("p.b")
+                + F.expr(f"element_at(hw, size(hw) + h - {per}).s")
+            )
+            .cast("long")
+            .alias("fitted_milli"),
+        )
+    )
+    return obs.unionByName(fc).orderBy("hour_epoch")

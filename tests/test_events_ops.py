@@ -606,3 +606,80 @@ def test_holt_forecast_matches_python_recurrence(spark):
         assert r.day_epoch == hi + h
         assert r.fitted_milli == l + h * t
         assert pd.isna(r.y)
+
+
+def test_holt_winters_matches_pandas_recurrence(spark):
+    """Independent recompute of the Holt-Winters entry (the
+    shared-bug-passes-oracle mitigation): hourly spine, seasonal-grid
+    init, the full triple recurrence with lag-168 references, and the
+    24-hour forecast rebuilt in plain python with half-away rounding,
+    compared EXACTLY row by row."""
+    import math
+
+    rnd = lambda x: math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)  # noqa: E731
+    ev = _events_pdf(spark)
+    e = (ev.ts.astype("int64") // (3_600_000_000 * 1000)).to_numpy()
+    import collections
+
+    cnt = collections.Counter(e.tolist())
+    lo, hi = min(cnt), max(cnt)
+    es = list(range(lo, hi + 1))
+    ys = [cnt.get(x, 0) for x in es]
+    per = eq.HW_PERIOD
+    sa, na = sum(ys), len(ys)
+    sk: dict[int, int] = {}
+    nk: dict[int, int] = {}
+    for x, y in zip(es, ys):
+        k = x % per
+        sk[k] = sk.get(k, 0) + y
+        nk[k] = nk.get(k, 0) + 1
+    s0 = {k: rnd(sk[k] * 1000.0 / nk[k] - sa * 1000.0 / na) for k in sk}
+    # the smoothing literals are DECIMAL on both engines (SQL `0.3` is
+    # DECIMAL, not double), so the recurrence is EXACT rational
+    # arithmetic — recompute with Fraction, not float
+    from fractions import Fraction as Fr
+
+    def rndf(x: Fr) -> int:
+        half = Fr(1, 2)
+        import math as _m
+
+        return _m.floor(x + half) if x >= 0 else _m.ceil(x - half)
+
+    a, b, g = (Fr(eq.HW_ALPHA), Fr(eq.HW_BETA), Fr(eq.HW_GAMMA))
+    rows = []
+    l = ys[0] * 1000 - s0[es[0] % per]
+    tr = 0
+    s_hist = [s0[es[0] % per]]
+    rows.append((es[0], ys[0], l, tr, s_hist[0], ys[0] * 1000))
+    for t in range(1, len(es)):
+        sref = s_hist[t - per] if t >= per else s0[es[t] % per]
+        f = l + tr + sref
+        lnew = rndf(a * (ys[t] * 1000 - sref) + (1 - a) * (l + tr))
+        bnew = rndf(b * (lnew - l) + (1 - b) * tr)
+        snew = rndf(g * (ys[t] * 1000 - lnew) + (1 - g) * sref)
+        rows.append((es[t], ys[t], lnew, bnew, snew, f))
+        l, tr = lnew, bnew
+        s_hist.append(snew)
+    T = len(es) - 1
+    fc = []
+    for h in range(1, eq.HW_HORIZON + 1):
+        sref = s_hist[T + h - per]
+        fc.append((es[T] + h, None, l, tr, sref, l + h * tr + sref))
+
+    out = eq.ev_holt_winters_forecast(spark, TEST_SF_DIR).toPandas()
+    obs = out[out.kind == "obs"].sort_values("hour_epoch")
+    assert len(obs) == len(rows)
+    for got, exp in zip(obs.itertuples(), rows):
+        assert (
+            int(got.hour_epoch), int(got.y), int(got.level_milli),
+            int(got.trend_milli), int(got.season_milli),
+            int(got.fitted_milli),
+        ) == exp
+    fco = out[out.kind == "forecast"].sort_values("hour_epoch")
+    assert len(fco) == len(fc)
+    for got, exp in zip(fco.itertuples(), fc):
+        assert (
+            int(got.hour_epoch), int(got.level_milli), int(got.trend_milli),
+            int(got.season_milli), int(got.fitted_milli),
+        ) == (exp[0], exp[2], exp[3], exp[4], exp[5])
+        assert got.y is None or (got.y != got.y)  # null y on forecast rows
