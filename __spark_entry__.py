@@ -64,6 +64,7 @@ GRADE_WINDOW = [
     "docs_unigram_tokenizer",
     "docs_unigram_apply",
     "ev_holt_winters_forecast",
+    "stream_neardup_dedup",
 ]
 
 

@@ -675,9 +675,12 @@ def embedding_near_dup_oracle_sql(parquet_path: str, tau: float = DEFAULT_COSINE
     SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {tau}"""
 
 
-def minhash_oracle_sql(parquet_path: str, norm_sql: str, tau: float = DEFAULT_TAU) -> str:
-    """DuckDB mirror of :func:`minhash_near_dup_pairs` — generated from
-    the same constants so the two can't drift."""
+def minhash_band_ctes(parquet_path: str, norm_sql: str) -> str:
+    """CTE string (no leading WITH) ending in ``bands(doc_id,
+    band_key)`` — the shared shingle→signature→band-key mirror of the
+    Spark pipeline, generated from the same constants. Consumed by
+    :func:`minhash_oracle_sql` AND the streaming band-owner dedup
+    oracle so the two cannot drift structurally."""
     sigs = ",\n             ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS s{i}"
         for i in range(NUM_HASHES)
@@ -689,8 +692,7 @@ def minhash_oracle_sql(parquet_path: str, norm_sql: str, tau: float = DEFAULT_TA
         )
         for b in range(BANDS)
     )
-    return f"""
-    WITH src AS (SELECT doc_id, {norm_sql} AS norm
+    return f"""src AS (SELECT doc_id, {norm_sql} AS norm
                  FROM read_parquet('{parquet_path}')),
     toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
     shingled AS (SELECT doc_id,
@@ -701,7 +703,14 @@ def minhash_oracle_sql(parquet_path: str, norm_sql: str, tau: float = DEFAULT_TA
     sigs AS (SELECT doc_id, sh,
              {sigs}
       FROM shingled),
-    bands AS (SELECT doc_id, unnest([{keys}]) AS band_key FROM sigs),
+    bands AS (SELECT doc_id, unnest([{keys}]) AS band_key FROM sigs)"""
+
+
+def minhash_oracle_sql(parquet_path: str, norm_sql: str, tau: float = DEFAULT_TAU) -> str:
+    """DuckDB mirror of :func:`minhash_near_dup_pairs` — generated from
+    the same constants so the two can't drift."""
+    return f"""
+    WITH {minhash_band_ctes(parquet_path, norm_sql)},
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b USING (band_key)
              WHERE a.doc_id < b.doc_id),

@@ -252,3 +252,65 @@ def fresh_dirs(base: str) -> tuple[str, str]:
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
     return sink, ckpt
+
+
+def band_rows_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows from a streaming docs frame — the
+    MinHash LSH front half (norm → word shingles → 12 seeded-md5
+    minima → 6 band keys) as PURE ROW-LOCAL column expressions, so it
+    runs unchanged on a stream: no shuffle, no state, just a
+    projection + explode per micro-batch."""
+    from .operators.dedup import band_keys, minhash_signature, word_shingles
+    from .plans.training_data import norm_text
+
+    normed = docs.select(
+        "doc_id",
+        norm_text(F.col("text")).alias("__norm"),
+        F.split(norm_text(F.col("text")), " ").alias("__tokens"),
+    )
+    shingled = normed.select(
+        "doc_id",
+        word_shingles(F.col("__tokens"), F.col("__norm")).alias("sh"),
+    )
+    return shingled.select(
+        "doc_id", F.explode(band_keys(minhash_signature(F.col("sh")))).alias("band_key")
+    )
+
+
+def stateful_band_owner(stream: DataFrame) -> DataFrame:
+    """Streaming NEAR-DUP dedup state (``applyInPandasWithState``
+    keyed by LSH band key): the state store IS the incremental band
+    index — one bigint (owner = min doc_id ever seen) per band key.
+    Each incoming (doc, band) row is emitted with the band's owner
+    AFTER folding the current batch, so a document re-delivered as a
+    light paraphrase (same band keys, different bytes) resolves
+    against the stored owner instead of re-scanning any corpus.
+
+    DETERMINISM CONTRACT: delivery follows doc_id order (the harness
+    feeds ascending-id phases), so first-arrival == min-id and the
+    emitted owner equals the band group's overall minimum — an
+    order-free value both a batch recompute and the DuckDB oracle
+    reproduce exactly. State is one long per band key; at scale it
+    partitions across executors and a production deployment bounds it
+    with a watermark/TTL eviction exactly like the exact-key
+    ``dropDuplicatesWithinWatermark`` path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, batches, state: GroupState):
+        owner = state.get[0] if state.exists else None
+        docs: list[int] = []
+        for pdf in batches:
+            docs.extend(int(d) for d in pdf["doc_id"])
+        m = min(docs)
+        owner = m if owner is None else min(owner, m)
+        state.update((owner,))
+        yield pd.DataFrame({"doc_id": docs, "owner": [owner] * len(docs)})
+
+    return stream.groupBy(F.col("band_key")).applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, owner long",
+        stateStructType="owner long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

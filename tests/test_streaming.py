@@ -304,3 +304,66 @@ def test_e2e_pq1_survives_pin_restart(spark, fx_dir, tmp_path):
     got = pq1_over(pin_restarted, geo, user)
     want = pq1_over(pin_one_pass, geo, user)
     assert got.equals(want), (len(got), len(want))
+
+
+def test_stream_neardup_dedup_matches_batch_and_recovers_state(spark):
+    """Restart + equivalence contract for the streaming band-owner
+    dedup: (a) the two-phase checkpointed run's verdicts equal an
+    independent BATCH recompute of the band-owner rule over the same
+    corpus (band group min-id), and (b) phase 2 rows really resolved
+    against phase-1 state — at least one planted near-dup pair
+    straddles the phase cut, and the later doc's verdict is 'dup'
+    with an owner learned before the restart."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from pinterest_data_pipeline400_spark.plans import streaming_queries as sq
+    from pinterest_data_pipeline400_spark.streaming import band_rows_stream
+    from tests.conftest import TEST_SF_DIR
+
+    out = sq.stream_neardup_dedup(spark, TEST_SF_DIR).toPandas()
+
+    fx = fixture_dir_for(TEST_SF_DIR)
+    docs = spark.read.parquet(os.path.join(fx, "docs_dup.parquet")).select(
+        "doc_id", "text"
+    )
+    # batch recompute of the same rule through the SAME row-local
+    # band projection (batch DF, not a stream)
+    bands = band_rows_stream(docs)
+    owners = bands.groupBy("band_key").agg(F.min("doc_id").alias("owner"))
+    exp = (
+        bands.join(owners, on="band_key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.sum(F.when(F.col("owner") < F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_dup_bands"
+            ),
+            F.when(F.min("owner") < F.col("doc_id"), "dup")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+        .toPandas()
+    )
+    m = out.merge(exp, on="doc_id", suffixes=("", "_exp"))
+    assert len(m) == len(out) == len(exp)
+    assert (m.n_bands == m.n_bands_exp).all()
+    assert (m.n_dup_bands == m.n_dup_bands_exp).all()
+    assert (m.verdict == m.verdict_exp).all()
+
+    # cross-phase recovery: a planted near-dup whose source sits in
+    # phase 1 (id < split) and whose copy streams in phase 2
+    pdf = pd.read_parquet(os.path.join(fx, "docs_dup.parquet"))
+    split = (pdf.doc_id.max() + 1) // 2
+    planted = pdf[pdf.provenance.str.contains("_of_", na=False)].copy()
+    planted["src"] = (
+        planted.provenance.str.rsplit("_", n=1).str[-1].astype("int64")
+    )
+    straddle = planted[(planted.src < split) & (planted.doc_id >= split)]
+    assert len(straddle) > 0, "fixture has no cross-phase planted pair"
+    verdicts = out.set_index("doc_id").verdict
+    # near-dups share bands with their source with high probability at
+    # jaccard 0.6-0.9; require that the band index caught most of them
+    caught = sum(verdicts.get(d, "keep") == "dup" for d in straddle.doc_id)
+    assert caught / len(straddle) >= 0.7, (caught, len(straddle))
