@@ -1,0 +1,160 @@
+"""Scale-lane bench: measure the spine families at sf0.1 AND sf1 (a
+real 10x data jump) in one session and report per-family wall growth.
+
+The per-round driver bench (bench.py) proves correctness-era speed at
+sf0.1; THIS lane measures the one claim that run cannot — that the
+plans' linearity survives a 10x scale factor outside the stress tests'
+replicated corpora (VERDICT r8 task #1). Families:
+
+  * dedup_minhash_pairs / dedup_cc     — the near-dup spine (banded
+    equi-join candidates; Pregel CC), measured COLD on the registered
+    operators (not the disk-cached entry fronts — cache reads would
+    measure parquet, not the algorithm);
+  * ann_lsh_topk / ann_bruteforce_topk — banded and exact ANN;
+  * rollup_pricing / rollup_top_priority — fact-table aggregation;
+  * window_rolling_90d / window_sessionization — windowed analytics;
+  * corpus_pipeline                     — dedup+quality+split composed.
+
+Growth = t(sf1) / t(sf0.1). The pinned expectation is <= ~12x for 10x
+data (linear + constant overheads); entries exceeding it are listed in
+the JSON and triaged in PERF.md. Run:
+
+    python bench_scale.py          # writes BENCH_SF1.json
+
+sf1 inputs materialize on first use: driver tables via
+scale_fixtures.ensure_sf1 (10x key-offset replication, salted docs),
+pinterest-side fixtures via the ordinary sf-named generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("SPARK_GRAFT_PERCENTILE_MODE", "approx")
+os.environ.setdefault("SPARK_GRAFT_DISTINCT_MODE", "approx")
+os.environ.setdefault("SPARK_GRAFT_TOPK_MODE", "approx")
+
+GROWTH_CEILING = 12.0
+SF01 = "/root/testdata/sf0.1"
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    try:
+        la_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        la_start = None
+    from pinterest_data_pipeline400_spark.generator import (
+        ensure_fixtures,
+        fixture_dir_for,
+    )
+    from pinterest_data_pipeline400_spark.scale_fixtures import ensure_sf1
+    from pinterest_data_pipeline400_spark.session import build_session
+
+    sf1 = ensure_sf1()
+    ensure_fixtures("sf0.1")
+    ensure_fixtures("sf1")  # one-time synthesis outside the timers
+
+    spark = build_session(app_name="bench_scale")
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline400_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+    from pinterest_data_pipeline400_spark.plans.training_data import norm_text
+
+    qfns = entrymod.queries()
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 2)
+
+    def docs_normed(sf_dir: str):
+        dup = spark.read.parquet(
+            os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet")
+        )
+        return dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+
+    state: dict[str, object] = {}
+
+    def family_runs(sf_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        spark.catalog.clearCache()
+        pairs = minhash_near_dup_pairs(docs_normed(sf_dir)).persist()
+        out["dedup_minhash_pairs"] = timed(pairs.count)
+        out["dedup_cc"] = timed(
+            lambda: connected_components(pairs.select("doc_a", "doc_b")).count()
+        )
+        pairs.unpersist()
+        for fam, entry in [
+            ("ann_lsh_topk", "emb_knn_lsh"),
+            ("ann_bruteforce_topk", "emb_knn_bruteforce"),
+            ("rollup_pricing", "q_pricing_summary"),
+            ("rollup_top_priority", "q1_top_priority_per_nation"),
+            ("window_rolling_90d", "orders_rolling_90d_spend"),
+            ("window_sessionization", "ev_sessionization"),
+            ("corpus_pipeline", "docs_corpus_pipeline"),
+        ]:
+            out[fam] = timed(lambda e=entry: _materialize(qfns[e](spark, sf_dir)))
+        return out
+
+    # untimed warm-up (JVM, codegen, Python workers)
+    _materialize(qfns["q1_top_priority_per_nation"](spark, SF01))
+    _materialize(spark.range(1).mapInPandas(lambda it: it, "id long"))
+
+    t01 = family_runs(SF01)
+    t1 = family_runs(sf1)
+
+    families = {
+        fam: {
+            "sf0.1": t01[fam],
+            "sf1": t1[fam],
+            "growth": round(t1[fam] / t01[fam], 2) if t01[fam] > 0 else None,
+        }
+        for fam in t01
+    }
+    over = sorted(
+        fam
+        for fam, v in families.items()
+        if v["growth"] is not None and v["growth"] > GROWTH_CEILING
+    )
+    try:
+        la_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        la_end = None
+    out = {
+        "metric": "sf1_family_growth",
+        "replicas": 10,
+        "growth_ceiling": GROWTH_CEILING,
+        "families": families,
+        "over_ceiling": over,
+        "context": {
+            "loadavg_start_1m": la_start,
+            "loadavg_end_1m": la_end,
+            "cpus": os.cpu_count(),
+        },
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
