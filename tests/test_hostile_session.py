@@ -60,6 +60,15 @@ SENSITIVE = [
     # the z-ordered copy derives its day strings (and the Morton key)
     # from ts at WRITE time and caches the layout across sessions
     "ev_zorder_pruned_scan",
+    # round-9 additions touching event time or streaming state: the
+    # hourly HW spine derives epoch hours from ts (unix_micros is
+    # TZ-free by construction — this pins that), user PageRank orders
+    # the transition window by ts, and the band-owner dedup is a
+    # stateful streaming pipeline whose state partition count must
+    # pin against the hostile 200-partition session
+    "ev_holt_winters_forecast",
+    "ev_pagerank_users",
+    "stream_neardup_dedup",
 ]
 
 
