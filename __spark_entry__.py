@@ -65,6 +65,7 @@ GRADE_WINDOW = [
     "docs_unigram_apply",
     "ev_holt_winters_forecast",
     "stream_neardup_dedup",
+    "docs_cms_token_counts",
 ]
 
 

@@ -2992,3 +2992,114 @@ def docs_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("freq") * F.col("np")).cast("double") / F.sum("freq"), 6
         ).alias("pieces_per_word"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: Count-Min sketch — the frequency member of the sketch family
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4     # independent hash rows (error probability ~ e^-depth)
+CMS_WIDTH = 256   # counters per row (overestimate ~ n_tokens / width)
+CMS_TOPK = 15     # heavy hitters probed against the sketch
+
+
+def _cms_bucket_spark(jref: str, col: str) -> str:
+    """Row-j bucket: first 8 md5 hex chars of 'j:token' as int % width —
+    md5 is byte-identical across engines (the MinHash discipline), so
+    the sketch itself is deterministic and oracle-checkable. ``jref``
+    is a COLUMN reference (the depth row id), not a literal."""
+    return (
+        f"CAST(conv(substr(md5(encode(concat(CAST({jref} AS STRING), ':', {col}),"
+        f" 'UTF-8')), 1, 8), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def _cms_bucket_duck(jref: str, col: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({jref} AS VARCHAR) || ':' || {col}),"
+        f" 1, 8)) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+@REGISTRY.register(
+    "docs_cms_token_counts",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
+            FROM tok WHERE token <> '' GROUP BY token),
+    cells AS (SELECT j.j AS j, {_cms_bucket_duck("j.j", "token")} AS bucket,
+                     CAST(sum(true_count) AS BIGINT) AS c
+              FROM cnt CROSS JOIN
+                   (SELECT unnest(range({CMS_DEPTH})) AS j) j
+              GROUP BY 1, 2),
+    top AS (SELECT token, true_count FROM cnt
+            ORDER BY true_count DESC, token ASC LIMIT {CMS_TOPK}),
+    probe AS (SELECT t.token, t.true_count, j.j AS j,
+                     {_cms_bucket_duck("j.j", "t.token")} AS bucket
+              FROM top t CROSS JOIN
+                   (SELECT unnest(range({CMS_DEPTH})) AS j) j),
+    est AS (SELECT p.token, p.true_count,
+                   CAST(min(c.c) AS BIGINT) AS cms_est
+            FROM probe p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+            GROUP BY 1, 2)
+    SELECT token, true_count, cms_est,
+           cms_est - true_count AS overestimate
+    FROM est ORDER BY true_count DESC, token ASC""",
+    doc=f"COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) — the "
+    "FREQUENCY member completing the mergeable-sketch family "
+    "(HLL distinct / KLL quantiles / Theta set algebra are already "
+    f"first-class): a {CMS_DEPTH}x{CMS_WIDTH} counter grid over the "
+    "corpus token stream, rows hashed by seeded md5 (the MinHash "
+    "determinism discipline — the sketch is bit-identical on both "
+    "engines), estimate = min over rows of the hashed cell. The entry "
+    f"probes the top-{CMS_TOPK} TRUE heavy hitters against the sketch "
+    "and ships true count, estimate, and overestimate — which is "
+    "PROVABLY ≥ 0 (CMS never undercounts; pytest pins it and an "
+    "independent python recompute pins the whole grid). Scale shape: "
+    "the sketch is ONE map-side-combinable aggregate to "
+    f"{CMS_DEPTH * CMS_WIDTH} rows — partial aggregation IS the "
+    "sketch merge, so per-partition/per-day sketches roll up by "
+    "addition without rescanning (the HLL re-aggregation story for "
+    "counts); estimation joins a bounded probe set against the tiny "
+    "grid. The 100 TB use: approximate per-token counts where the "
+    "exact vocabulary no longer fits anywhere.",
+)
+def docs_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, spread=True)
+    cnt = (
+        docs.select(F.explode(ws_tokens(norm_text(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .persist()  # feeds the sketch build AND the probe side
+    )
+    depth = spark.range(CMS_DEPTH).select(F.col("id").cast("long").alias("j"))
+    cells = (
+        cnt.crossJoin(F.broadcast(depth))
+        .select(
+            "j",
+            F.expr(_cms_bucket_spark("j", "token")).alias("bucket"),
+            "true_count",
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("true_count").cast("long").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("true_count"), F.asc("token")).limit(CMS_TOPK)
+    probe = top.crossJoin(F.broadcast(depth)).select(
+        "token",
+        "true_count",
+        "j",
+        F.expr(_cms_bucket_spark("j", "token")).alias("bucket"),
+    )
+    est = (
+        probe.join(cells, on=["j", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).alias("overestimate"),
+    ).orderBy(F.desc("true_count"), F.asc("token"))

@@ -1248,3 +1248,42 @@ def test_unigram_fertility_vs_bpe_baseline(spark):
     # the two tokenizers answer the same question; neither should be
     # wildly off the other on a 31-word synthetic vocabulary
     assert abs(fert_uni - fert_bpe) < 2.5, (fert_uni, fert_bpe)
+
+
+def test_cms_never_undercounts_and_matches_python_recompute(spark):
+    """CMS contracts: the estimate is >= the true count for EVERY
+    probed heavy hitter (the one-sided Count-Min guarantee), and the
+    whole counter grid + probe estimates match an independent python
+    recompute (hashlib md5, dict counters)."""
+    import hashlib
+    import re
+
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+    from tests.conftest import TEST_SF_DIR
+
+    out = cu.docs_cms_token_counts(spark, TEST_SF_DIR).toPandas()
+    assert len(out) == cu.CMS_TOPK
+    assert (out.cms_est >= out.true_count).all()
+    assert (out.overestimate == out.cms_est - out.true_count).all()
+
+    docs = td._docs(spark, TEST_SF_DIR).select("text").toPandas()
+    cnt: dict[str, int] = {}
+    for t in docs.text:
+        for w in re.sub(r"\s+", " ", t).strip().lower().split(" "):
+            if w:
+                cnt[w] = cnt.get(w, 0) + 1
+
+    def bucket(j: int, tok: str) -> int:
+        return int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:8], 16) % cu.CMS_WIDTH
+
+    cells: dict[tuple[int, int], int] = {}
+    for tok, c in cnt.items():
+        for j in range(cu.CMS_DEPTH):
+            k = (j, bucket(j, tok))
+            cells[k] = cells.get(k, 0) + c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: cu.CMS_TOPK]
+    for r in out.itertuples():
+        assert cnt[r.token] == r.true_count
+        est = min(cells[(j, bucket(j, r.token))] for j in range(cu.CMS_DEPTH))
+        assert est == r.cms_est, r.token
+    assert sorted(out.token) == sorted(t for t, _ in top)
