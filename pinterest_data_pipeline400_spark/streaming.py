@@ -263,6 +263,11 @@ def band_rows_stream(docs: DataFrame) -> DataFrame:
     from .operators.dedup import band_keys, minhash_signature, word_shingles
     from .plans.training_data import norm_text
 
+    # the seeded-md5 signature lambdas are INTERPRETED (HOFs never
+    # whole-stage-codegen): spread them across cores first — a
+    # single-file micro-batch otherwise serializes ~3M md5 calls onto
+    # one task (measured 12-17 s per drain at sf0.1)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     normed = docs.select(
         "doc_id",
         norm_text(F.col("text")).alias("__norm"),
@@ -277,40 +282,28 @@ def band_rows_stream(docs: DataFrame) -> DataFrame:
     )
 
 
-def stateful_band_owner(stream: DataFrame) -> DataFrame:
-    """Streaming NEAR-DUP dedup state (``applyInPandasWithState``
-    keyed by LSH band key): the state store IS the incremental band
-    index — one bigint (owner = min doc_id ever seen) per band key.
-    Each incoming (doc, band) row is emitted with the band's owner
-    AFTER folding the current batch, so a document re-delivered as a
-    light paraphrase (same band keys, different bytes) resolves
-    against the stored owner instead of re-scanning any corpus.
+def band_owner_stream(stream: DataFrame) -> DataFrame:
+    """Streaming NEAR-DUP dedup state as a BUILT-IN stateful
+    aggregation: ``groupBy(band_key).agg(min(doc_id))`` in update mode
+    — the state store IS the incremental band index (one bigint owner
+    per band key), maintained entirely JVM-side.
 
-    DETERMINISM CONTRACT: delivery follows doc_id order (the harness
-    feeds ascending-id phases), so first-arrival == min-id and the
-    emitted owner equals the band group's overall minimum — an
-    order-free value both a batch recompute and the DuckDB oracle
-    reproduce exactly. State is one long per band key; at scale it
-    partitions across executors and a production deployment bounds it
-    with a watermark/TTL eviction exactly like the exact-key
-    ``dropDuplicatesWithinWatermark`` path."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    This was first built on ``applyInPandasWithState`` (the custom-op
+    API stream_stateful_user_counts showcases), which was semantically
+    identical but 10x slower here: the LSH keyspace is ~6 tiny groups
+    per document (75k groups at sf0.1), and the per-group Python/Arrow
+    round-trip costs dominate (measured 30 s vs ~3 s). UDFs are the
+    slow path — a built-in min aggregate keeps the whole state update
+    inside whole-stage codegen and the state store, which is exactly
+    the production shape for a high-cardinality key space.
 
-    def update(key: tuple, batches, state: GroupState):
-        owner = state.get[0] if state.exists else None
-        docs: list[int] = []
-        for pdf in batches:
-            docs.extend(int(d) for d in pdf["doc_id"])
-        m = min(docs)
-        owner = m if owner is None else min(owner, m)
-        state.update((owner,))
-        yield pd.DataFrame({"doc_id": docs, "owner": [owner] * len(docs)})
-
-    return stream.groupBy(F.col("band_key")).applyInPandasWithState(
-        update,
-        outputStructType="doc_id long, owner long",
-        stateStructType="owner long",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    DETERMINISM: delivery follows doc_id order (the harness feeds
+    ascending-id phases), so first-arrival == min-id and the LATEST
+    emitted owner per band equals the band group's overall minimum —
+    an order-free value both a batch recompute and the DuckDB oracle
+    reproduce exactly. State is one long per band key; a production
+    deployment bounds it with watermark/TTL eviction exactly like the
+    exact-key ``dropDuplicatesWithinWatermark`` path."""
+    return stream.groupBy(F.col("band_key")).agg(
+        F.min("doc_id").cast("long").alias("owner")
     )
