@@ -66,6 +66,7 @@ GRADE_WINDOW = [
     "ev_holt_winters_forecast",
     "stream_neardup_dedup",
     "docs_cms_token_counts",
+    "docs_unigram_prune",
 ]
 
 

@@ -3103,3 +3103,176 @@ def docs_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("true_count")).alias("overestimate"),
     ).orderBy(F.desc("true_count"), F.asc("token"))
+
+
+# --------------------------------------------------------------------------
+# round 9 (cont.): unigram vocab PRUNING — the SentencePiece prune step
+# --------------------------------------------------------------------------
+
+UNI_PRUNE_KEEP = 20  # multi-char pieces kept (single chars always survive)
+
+
+def _uni_dp_round_ctes(tag: str, vocab_cte: str) -> list[str]:
+    """One Viterbi E-step as CTE strings: piece lattice joined to
+    ``vocab_cte``'s log-probs, forward/backward DP stages (MATERIALIZED
+    — the _unigram_cte_parts argument), tie-inclusive membership, and
+    counts — name-suffixed by ``tag`` so the training loop and the
+    prune round share ONE emitter."""
+    parts = [f"""
+    upv_{tag} AS (SELECT p.word, p.freq, p.i, p.j, p.piece, v.lp
+              FROM upc p JOIN {vocab_cte} v USING (piece)),
+    udpf_{tag}_0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+                          CAST(0 AS BIGINT) AS dp FROM uwf)"""]
+    for s in range(1, UNI_MAX_WLEN + 1):
+        parts.append(f"""
+    udpf_{tag}_{s} AS MATERIALIZED (
+      SELECT * FROM udpf_{tag}_{s - 1}
+      UNION ALL
+      SELECT p.word, p.freq, CAST({s} AS BIGINT) AS pos,
+             CAST(max(d.dp + p.lp * 64 - 1) AS BIGINT) AS dp
+      FROM upv_{tag} p JOIN udpf_{tag}_{s - 1} d
+        ON d.word = p.word AND d.pos = p.i
+      WHERE p.j = {s}
+      GROUP BY p.word, p.freq)""")
+    parts.append(f"""
+    udpb_{tag}_{UNI_MAX_WLEN} AS (SELECT word, freq,
+                          CAST(len(word) AS BIGINT) AS pos,
+                          CAST(0 AS BIGINT) AS dp FROM uwf)""")
+    for s in range(UNI_MAX_WLEN - 1, -1, -1):
+        parts.append(f"""
+    udpb_{tag}_{s} AS MATERIALIZED (
+      SELECT * FROM udpb_{tag}_{s + 1}
+      UNION ALL
+      SELECT p.word, p.freq, CAST({s} AS BIGINT) AS pos,
+             CAST(max(p.lp * 64 - 1 + d.dp) AS BIGINT) AS dp
+      FROM upv_{tag} p JOIN udpb_{tag}_{s + 1} d
+        ON d.word = p.word AND d.pos = p.j
+      WHERE p.i = {s} AND len(p.word) > {s}
+      GROUP BY p.word, p.freq)""")
+    parts.append(f"""
+    umem_{tag} AS (SELECT p.piece, p.freq
+               FROM upv_{tag} p
+               JOIN udpf_{tag}_{UNI_MAX_WLEN} f
+                 ON f.word = p.word AND f.pos = p.i
+               JOIN udpb_{tag}_0 b ON b.word = p.word AND b.pos = p.j
+               JOIN udpf_{tag}_{UNI_MAX_WLEN} o
+                 ON o.word = p.word AND o.pos = len(p.word)
+               WHERE f.dp + p.lp * 64 - 1 + b.dp = o.dp),
+    ucnt_{tag} AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM umem_{tag} GROUP BY piece)""")
+    return parts
+
+
+def _unigram_prune_oracle_sql() -> str:
+    """Training CTEs + the prune step: keep ALL single chars plus the
+    top multi-char pieces of the final EM round, one more Viterbi
+    E-step restricted to the pruned set, add-1 M-step over it."""
+    parts = _unigram_cte_parts(UNI_EM_ROUNDS)
+    r = UNI_EM_ROUNDS
+    parts.append(f"""
+    upkeep AS (SELECT piece FROM uvoc_{r} WHERE len(piece) = 1
+               UNION ALL
+               SELECT piece FROM (SELECT piece FROM uvoc_{r}
+                                  WHERE len(piece) > 1
+                                  ORDER BY cnt DESC, piece ASC
+                                  LIMIT {UNI_PRUNE_KEEP})),
+    uvp AS (SELECT v.piece, v.lp FROM uvoc_{r} v JOIN upkeep USING (piece)),
+    upnv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uvp)""")
+    parts.extend(_uni_dp_round_ctes("p", "uvp"))
+    parts.append("""
+    us_p AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total
+             FROM ucnt_p)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT v.piece,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+           CAST(round(log10((coalesce(c.cnt, 0) + 1.0)
+                            / (s.total + nv.v)) * 1e9)
+                AS BIGINT) AS lp_nano
+    FROM uvp v LEFT JOIN ucnt_p c USING (piece)
+    CROSS JOIN us_p s CROSS JOIN upnv nv
+    ORDER BY v.piece"""
+    )
+
+
+@REGISTRY.register(
+    "docs_unigram_prune",
+    oracle=_unigram_prune_oracle_sql(),
+    doc=f"UNIGRAM VOCAB PRUNING — the step that makes the EM loop the "
+    "actual SentencePiece algorithm (Kudo 2018 alternates EM with "
+    "pruning the lowest-contribution pieces until the target vocab "
+    f"size): all single characters (coverage guarantee) plus the top "
+    f"{UNI_PRUNE_KEEP} multi-char pieces by final-round count survive; "
+    "one more Viterbi E-step runs RESTRICTED to the pruned set (the "
+    "dropped pieces' probability mass re-distributes through the "
+    "segmentations that remain), and the add-1 M-step re-estimates "
+    "over the smaller vocabulary. Same integer-log DP discipline as "
+    "the trainer (exact int64 end-to-end after one log10 per piece); "
+    "the oracle shares the trainer's generated CTEs plus a "
+    "tag-parameterized DP-round emitter, so the three unigram oracles "
+    "cannot drift structurally. pytest pins the prune contracts: the "
+    "kept set is exactly singles + top-K, counts conserve the corpus "
+    "token mass bound, and fertility under the pruned vocab degrades "
+    "by at most a bounded amount vs the full vocab (pruning trades "
+    "vocab size for fertility — the measured tradeoff).",
+)
+def docs_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    voc_final = (
+        cached_unigram_vocab(spark, sf_dir)
+        .filter(F.col("step") == UNI_EM_ROUNDS)
+        .select("piece", "cnt", F.col("lp_nano").alias("lp"))
+    )
+    keep = (
+        voc_final.filter(F.length("piece") == 1)
+        .select("piece")
+        .unionByName(
+            voc_final.filter(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(UNI_PRUNE_KEEP)
+            .select("piece")
+        )
+    )
+    uvp = voc_final.join(keep, on="piece", how="left_semi").select(
+        "piece", "lp"
+    ).localCheckpoint()
+    nv = uvp.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    wf = _uni_words(spark, sf_dir)
+    upv = _uni_pieces(wf).join(F.broadcast(uvp), on="piece")
+    d = _uni_dp_frames(upv)
+    mem = d.select(
+        "word", "freq", "wlen", "dpf", "dpb", F.explode("pieces").alias("p")
+    ).filter(
+        F.element_at("dpf", (F.col("p.i") + 1).cast("int"))
+        + F.col("p.lp") * 64
+        - 1
+        + F.element_at("dpb", (F.col("p.j") + 1).cast("int"))
+        == F.element_at("dpf", (F.col("wlen") + 1).cast("int"))
+    )
+    cnt = (
+        mem.select(
+            F.expr("substring(word, p.i + 1, p.j - p.i)").alias("piece"), "freq"
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    total = cnt.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total"))
+    return (
+        uvp.select("piece")
+        .join(cnt, on="piece", how="left")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "piece",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            F.round(
+                F.log10(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("total") + F.col("v"))
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("lp_nano"),
+        )
+        .orderBy("piece")
+    )

@@ -1287,3 +1287,55 @@ def test_cms_never_undercounts_and_matches_python_recompute(spark):
         est = min(cells[(j, bucket(j, r.token))] for j in range(cu.CMS_DEPTH))
         assert est == r.cms_est, r.token
     assert sorted(out.token) == sorted(t for t, _ in top)
+
+
+def test_unigram_prune_contracts_and_fertility_tradeoff(spark):
+    """Prune contracts: the kept set is exactly (all single chars ∪
+    top-K multi-char pieces by final-round count), zero-count pieces
+    can only be pieces the restricted Viterbi no longer uses, and
+    fertility under the pruned vocab (python Viterbi recompute)
+    degrades by a bounded amount vs the full final vocab — pruning
+    trades vocab size for fertility, never correctness."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+    from tests.conftest import TEST_SF_DIR
+
+    full = (
+        cu.docs_unigram_tokenizer(spark, TEST_SF_DIR)
+        .filter(f"step = {cu.UNI_EM_ROUNDS}")
+        .toPandas()
+    )
+    pruned = cu.docs_unigram_prune(spark, TEST_SF_DIR).toPandas()
+    singles = set(full[full.piece.str.len() == 1].piece)
+    multi = full[full.piece.str.len() > 1].sort_values(
+        ["cnt", "piece"], ascending=[False, True]
+    )
+    expected_keep = singles | set(multi.piece.head(cu.UNI_PRUNE_KEEP))
+    assert set(pruned.piece) == expected_keep
+    assert (pruned.cnt >= 0).all()
+
+    # python Viterbi fertility under both vocabs over the same words
+    import math
+
+    def fertility(lp: dict[str, int]) -> float:
+        wf = cu._uni_words(spark, TEST_SF_DIR).toPandas()
+        tot_p = tot_w = 0
+        for w, f in zip(wf.word, wf.freq):
+            n = len(w)
+            dp = [0] + [None] * n
+            for j in range(1, n + 1):
+                dp[j] = max(
+                    dp[i] + lp[w[i:j]] * 64 - 1
+                    for i in range(max(0, j - cu.UNI_PIECE_MAX), j)
+                    if w[i:j] in lp and dp[i] is not None
+                )
+            tot_p += f * ((-dp[n]) % 64)
+            tot_w += f
+        return tot_p / tot_w
+
+    f_full = fertility(dict(zip(full.piece, full.lp_nano)))
+    f_pruned = fertility(dict(zip(pruned.piece, pruned.lp_nano)))
+    assert f_pruned >= f_full - 1e-9  # a smaller vocab can't segment finer... coarser
+    assert f_pruned - f_full < 2.0, (f_full, f_pruned)
+    # and the registered apply entry agrees with the python full-vocab one
+    app = cu.docs_unigram_apply(spark, TEST_SF_DIR).toPandas()
+    assert abs(float(app.pieces_per_word.iloc[0]) - round(f_full, 6)) < 1e-6
