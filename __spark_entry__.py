@@ -67,6 +67,8 @@ GRADE_WINDOW = [
     "stream_neardup_dedup",
     "docs_cms_token_counts",
     "docs_unigram_prune",
+    "emb_neardup_pairs_capped",
+    "emb_neardup_pairs_wide",
 ]
 
 

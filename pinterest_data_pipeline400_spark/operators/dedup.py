@@ -600,11 +600,37 @@ def _emb_band_keys(
     return keys
 
 
+#: hot-bucket cap for the CAPPED near-dup variant: dropping band
+#: buckets with more than this many members bounds the candidate join
+#: at cap * n per band — a PROVABLE linear bound (sum of occ^2 with
+#: occ <= cap is <= cap * n). 64 is a no-op at oracle scale (mean
+#: occupancy ~0.3 at sf0.01). NOTE the measured division of labor at
+#: sf1 (550k vectors): occupancy there is UNIFORM (~37.6 mean, max
+#: 69), so the cap prunes almost nothing — the cap is the defense
+#: against SKEWED template clusters (the synthetic hot-bucket pytest
+#: proves it); uniform densification needs the GEOMETRY knob instead
+#: (EMB_BAND_BITS_WIDE below: more sign bits per band shrink
+#: occupancy multiplicatively).
+EMB_BUCKET_CAP = 64
+
+#: scale-geometry banding: 18 sign bits per band instead of 14 — 16x
+#: more buckets per band, so bucket occupancy (and with it the
+#: candidate join) shrinks ~16x at fixed corpus size. The recall
+#: price is analytic and deterministic: P(band match) for a
+#: cosine-0.99 pair is (1 - acos(.99)/pi)^bits = 0.955^18 = 0.44/band
+#: vs 0.53 at 14 bits (OR over 3 bands: 0.82 vs 0.89) — identical
+#: misses on both engines, so parity holds at any geometry.
+EMB_BAND_BITS_WIDE = 18
+
+
 def embedding_near_dup_pairs(
     embs: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = DEFAULT_COSINE_TAU,
+    bucket_cap: int | None = None,
+    band_bits: int = EMB_BAND_BITS,
+    split_verify: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cosine) for pairs with cosine ≥ tau that share at
     least one hyperplane-sign band (EMB_BANDS bands of EMB_BAND_BITS
@@ -620,8 +646,61 @@ def embedding_near_dup_pairs(
     keyed = embs.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        F.explode(F.array(*_emb_band_keys(vec_col))).alias("band_key"),
+        F.explode(F.array(*_emb_band_keys(vec_col, bits=band_bits))).alias(
+            "band_key"
+        ),
     )
+    if bucket_cap is not None:
+        # production hot-bucket cap: a band bucket holding > cap
+        # members is a near-certain template cluster whose occ^2
+        # candidate blow-up drowns the join at scale; dropping it
+        # bounds candidates at cap * n per band. Exact count per key —
+        # deterministic, mirrored by the oracle's QUALIFY.
+        from pyspark.sql import Window as _W
+
+        occ = _W.partitionBy("band_key")
+        keyed = (
+            keyed.withColumn("__occ", F.count(F.lit(1)).over(occ))
+            .filter(F.col("__occ") <= bucket_cap)
+            .drop("__occ")
+        )
+    if split_verify:
+        # candidate-verify split: the band self-join moves (id,
+        # band_key) rows only; candidates dedupe to (id_a, id_b), then
+        # each pair fetches its two vectors by id and verifies exactly
+        # once. WORTH IT only when candidate volume is modest relative
+        # to corpus size (the wide-band geometry: measured 28 → 16 s at
+        # sf1's 2.3M candidates); at the default geometry's 35M sf1
+        # candidates the extra distinct + two fetch shuffles LOSE to
+        # the inline form (measured 47 → 79 s) — so the split is
+        # opt-in, not the default. Same pair set, same cosines.
+        ids = keyed.select("vid", "band_key")
+        cand = (
+            ids.select(F.col("vid").alias("id_a"), "band_key")
+            .join(
+                ids.select(F.col("vid").alias("id_b"), "band_key"), on="band_key"
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        v = embs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        return (
+            cand.join(
+                v.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")),
+                on="id_a",
+            )
+            .join(
+                v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")),
+                on="id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= tau)
+        )
     a = keyed.select(
         F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "band_key"
     )
@@ -659,18 +738,33 @@ def emb_band_keys_sql(
     )
 
 
-def embedding_near_dup_oracle_sql(parquet_path: str, tau: float = DEFAULT_COSINE_TAU) -> str:
+def embedding_near_dup_oracle_sql(
+    parquet_path: str,
+    tau: float = DEFAULT_COSINE_TAU,
+    bucket_cap: int | None = None,
+    band_bits: int | None = None,
+) -> str:
     """DuckDB mirror of :func:`embedding_near_dup_pairs` — generated
     from the same EMB_BANDS/EMB_BAND_BITS constants so the band layout
-    can't drift."""
-    band_keys = emb_band_keys_sql()
+    can't drift; ``bucket_cap`` mirrors the capped variant's QUALIFY."""
+    band_keys = emb_band_keys_sql(
+        bits=band_bits if band_bits is not None else EMB_BAND_BITS
+    )
+    cap_sql = (
+        f"""
+    kept AS (SELECT * FROM keyed
+             QUALIFY count(*) OVER (PARTITION BY band_key) <= {bucket_cap}),"""
+        if bucket_cap is not None
+        else """
+    kept AS (SELECT * FROM keyed),"""
+    )
     return f"""
     WITH keyed AS (SELECT vec_id, embedding,
                           unnest([{band_keys}]) AS band_key
-                   FROM read_parquet('{parquet_path}')),
+                   FROM read_parquet('{parquet_path}')),{cap_sql}
     pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                      round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
-              FROM keyed a JOIN keyed b USING (band_key)
+              FROM kept a JOIN kept b USING (band_key)
               WHERE a.vec_id < b.vec_id)
     SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {tau}"""
 

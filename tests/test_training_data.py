@@ -1339,3 +1339,57 @@ def test_unigram_prune_contracts_and_fertility_tradeoff(spark):
     # and the registered apply entry agrees with the python full-vocab one
     app = cu.docs_unigram_apply(spark, TEST_SF_DIR).toPandas()
     assert abs(float(app.pieces_per_word.iloc[0]) - round(f_full, 6)) < 1e-6
+
+
+def test_capped_neardup_equals_uncapped_at_low_occupancy_and_prunes_hot(spark):
+    """Hot-bucket cap contracts: (a) at fixture occupancy (~0.3 mean)
+    the cap is a no-op — capped pairs == uncapped pairs exactly; (b) on
+    a synthetic hot-bucket corpus (one shared all-positive block keying
+    every vector into the same bucket) the cap actually prunes: the
+    uncapped join produces quadratic candidates, the capped one drops
+    the template bucket entirely."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline400_spark.operators.dedup import (
+        EMB_BANDS,
+        EMB_BUCKET_CAP,
+        embedding_near_dup_pairs,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    a = td.emb_neardup_pairs(spark, TEST_SF_DIR).toPandas()
+    b = td.emb_neardup_pairs_capped(spark, TEST_SF_DIR).toPandas()
+    key = lambda df: set(map(tuple, df[["id_a", "id_b", "cosine"]].values))  # noqa: E731
+    assert key(a) == key(b)
+
+    # synthetic template cluster: EMB_BUCKET_CAP+20 identical vectors
+    n = EMB_BUCKET_CAP + 20
+    hot = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 64).alias("embedding"),
+    )
+    uncapped = embedding_near_dup_pairs(hot).count()
+    capped = embedding_near_dup_pairs(hot, bucket_cap=EMB_BUCKET_CAP).count()
+    assert uncapped == n * (n - 1) // 2  # the quadratic blow-up
+    assert capped == 0  # the template bucket (> cap in EVERY band) drops
+    assert EMB_BANDS >= 1
+
+
+def test_wide_band_neardup_tracks_default_recall(spark):
+    """Scale-geometry contract: the 18-bit bands regroup coordinates
+    (0..17 vs 0..13 etc.), so the two pair sets are NOT nested — each
+    can catch sign patterns the other misses. What must hold: every
+    pair either emits carries a correct >= tau cosine (parity pins the
+    values), and the wide geometry's recall stays in the analytic band
+    — |wide| within [0.6, 1.4] of |default| on this fixture (theory:
+    band-match 0.44 vs 0.53 for cosine-0.99 pairs, OR-3 0.82 vs
+    0.89 → expected ratio ~0.92)."""
+    from tests.conftest import TEST_SF_DIR
+
+    a = td.emb_neardup_pairs(spark, TEST_SF_DIR).toPandas()
+    w = td.emb_neardup_pairs_wide(spark, TEST_SF_DIR).toPandas()
+    key = lambda df: set(map(tuple, df[["id_a", "id_b"]].values))  # noqa: E731
+    if len(a):
+        overlap = len(key(w) & key(a)) / len(a)
+        assert overlap >= 0.5, overlap
+        assert 0.6 * len(a) <= len(w) <= 1.4 * len(a), (len(w), len(a))
