@@ -69,6 +69,7 @@ GRADE_WINDOW = [
     "docs_unigram_prune",
     "emb_neardup_pairs_capped",
     "emb_neardup_pairs_wide",
+    "q_customer_value_deciles",
 ]
 
 

@@ -2610,3 +2610,52 @@ def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digit", "n_obs", "expected_micro", "term_micro", "chi2_micro")
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: ranking-function window surface (ntile / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    "q_customer_value_deciles",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    ORDER BY c_mktsegment, c_custkey""",
+    doc="RANKING-FUNCTION window surface — the one classic window "
+    "family the registry had not yet exercised end-to-end: per market "
+    "segment, customers rank by account balance through ntile(10) "
+    "(equi-depth decile assignment — the value-banding primitive "
+    "behind every 'top decile' business cut), percent_rank "
+    "((rank-1)/(n-1)) and cume_dist (rows ≤ current / n). "
+    "Determinism: the window ORDER BY carries the custkey tiebreak, "
+    "so ranks are total and all three functions are engine-exact; "
+    "monies ride as integer cents. Scale shape: one hash partition "
+    "per segment + one sort — the same single-shuffle window plan as "
+    "every top-k entry; ntile needs no second pass (Spark computes "
+    "bucket boundaries from the partition row count during the "
+    "window evaluation).",
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            F.ntile(10).over(w).cast("long").alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )

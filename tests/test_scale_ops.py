@@ -372,3 +372,33 @@ def test_benford_screen_arithmetic_and_fires_on_uniform_prices(spark):
     assert abs(out.expected_micro.sum() - n * 1_000_000) <= 9
     assert out.chi2_micro.iloc[0] == out.term_micro.sum()
     assert out.chi2_micro.iloc[0] > 15_507_000  # 15.507 * 1e6: screen fires
+
+
+def test_customer_deciles_match_pandas_recompute(spark):
+    """Independent recompute of the ranking-function entry: ntile's
+    equi-depth rule (first n%10 buckets take the extra row),
+    percent_rank = (rn-1)/(n-1), cume_dist = rn/n — rebuilt in pandas
+    over the same total order and compared exactly."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+
+    out = rx.q_customer_value_deciles(spark, TEST_SF_DIR).toPandas()
+    cust = rx._t(spark, TEST_SF_DIR, "customer").toPandas()
+    for seg, grp in cust.groupby("c_mktsegment"):
+        g = grp.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(g)
+        base, extra = n // 10, n % 10
+        got = out[out.c_mktsegment == seg].set_index("c_custkey")
+        for rn, row in enumerate(g.itertuples(), start=1):
+            if extra:
+                cut = extra * (base + 1)
+                dec = (rn - 1) // (base + 1) + 1 if rn <= cut else \
+                    extra + (rn - cut - 1) // base + 1
+            else:
+                dec = (rn - 1) // base + 1
+            r = got.loc[row.c_custkey]
+            assert int(r.decile) == dec, (seg, row.c_custkey)
+            assert r.pct_rank == round((rn - 1) / (n - 1), 6)
+            assert r.cume == round(rn / n, 6)
+            assert int(r.acctbal_cents) == round(row.c_acctbal * 100)
