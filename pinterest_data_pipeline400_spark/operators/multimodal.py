@@ -723,12 +723,22 @@ def dhash_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, DHASH_SCHEMA)
 
 
-def dhash_near_dup_pairs(media: DataFrame, tau: int = IMG_HAM_TAU) -> DataFrame:
+def dhash_near_dup_pairs(
+    media: DataFrame, tau: int = IMG_HAM_TAU, eager: bool = True
+) -> DataFrame:
     """(media_a, media_b, hamming) for image pairs within ``tau`` bits —
     candidate generation is a banded equi-join on 14-bit hash chunks
     (never all-pairs; recall-complete at tau ≤ 3 by pigeonhole), verify
     is a two-column XOR + bit_count. The simhash_near_dup_pairs spine
-    re-grounded on the perceptual hash."""
+    re-grounded on the perceptual hash.
+
+    With ``eager`` (the default) the hash frame is persisted only for
+    the duration of the build: the (small) verified pair list is
+    materialized via localCheckpoint and the cache released before
+    returning, so callers (sf1 sweeps, notebooks, the registered
+    entry's one-time disk-cache build) don't leak one InMemory cache
+    per invocation (ADVICE r9). ``eager=False`` returns the lazy plan
+    with the persist still held — for plan inspection only."""
     hashes = dhash_features(media).persist()
     bands = hashes.select(
         "media_id",
@@ -757,8 +767,12 @@ def dhash_near_dup_pairs(media: DataFrame, tau: int = IMG_HAM_TAU) -> DataFrame:
         )
         .distinct()
     )
-    return (
+    pairs = (
         cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("long"))
         .filter(F.col("hamming") <= tau)
         .select("media_a", "media_b", "hamming")
     )
+    if eager:
+        pairs = pairs.localCheckpoint()  # computed while hashes cached
+        hashes.unpersist()
+    return pairs

@@ -5035,9 +5035,15 @@ def _hw_oracle_sql() -> str:
     sg AS (SELECT e % {per} AS k, CAST(sum(y) AS BIGINT) AS sk,
                   CAST(count(*) AS BIGINT) AS nk
            FROM hours GROUP BY 1),
-    s0 AS MATERIALIZED (SELECT k, CAST(round(CAST(sk AS DOUBLE) * 1000 / nk
+    dev AS (SELECT k, CAST(round(CAST(sk AS DOUBLE) * 1000 / nk
                                 - CAST(sa AS DOUBLE) * 1000 / na) AS BIGINT) AS s
            FROM sg CROSS JOIN ovm),
+    -- full 168-slot seed grid: unobserved hour-of-week keys seed at 0
+    -- (short spans, ADVICE r9); identical to dev on spans >= 168 h
+    s0 AS MATERIALIZED (SELECT CAST(g.k AS BIGINT) AS k,
+                               CAST(coalesce(d.s, 0) AS BIGINT) AS s
+           FROM (SELECT unnest(range(0, {per})) AS k) g
+           LEFT JOIN dev d ON d.k = g.k),
     h0 AS (SELECT * FROM hours WHERE i = 0),
     q0 AS MATERIALIZED (SELECT list(s0.s ORDER BY t.t) AS q
            FROM (SELECT unnest(range(1, {per})) AS t) t
@@ -5059,13 +5065,18 @@ def _hw_oracle_sql() -> str:
              r.q[2:] || [{snew}]
       FROM hwrec r JOIN hours nh ON nh.i = r.i + 1),
     last AS (SELECT i, e, l, b FROM hwrec ORDER BY i DESC LIMIT 1),
+    -- lag-168 seasonal reference from history when the span allows;
+    -- LEFT JOIN + s0 fallback mirrors the Spark IF() guard for spans
+    -- shorter than one period (ADVICE r9)
     fc AS (SELECT last.e + CAST(h.h AS BIGINT) AS e,
                   CAST(NULL AS BIGINT) AS y,
-                  last.l, last.b, sh.s,
-                  CAST(last.l + h.h * last.b + sh.s AS BIGINT) AS f
+                  last.l, last.b, coalesce(sh.s, s0.s) AS s,
+                  CAST(last.l + h.h * last.b + coalesce(sh.s, s0.s)
+                       AS BIGINT) AS f
            FROM last CROSS JOIN
                 (SELECT unnest(range(1, {HW_HORIZON + 1})) AS h) h
-           JOIN hwrec sh ON sh.i = last.i + h.h - {per})
+           LEFT JOIN hwrec sh ON sh.i = last.i + h.h - {per}
+           JOIN s0 ON s0.k = (last.e + h.h) % {per})
     SELECT e AS hour_epoch, 'obs' AS kind, y,
            l AS level_milli, b AS trend_milli, s AS season_milli,
            f AS fitted_milli
@@ -5118,7 +5129,7 @@ def ev_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ov = hours.agg(
         F.sum("y").cast("long").alias("sa"), F.count(F.lit(1)).cast("long").alias("na")
     )
-    s0 = (
+    dev = (
         hours.groupBy((F.col("e") % per).alias("k"))
         .agg(
             F.sum("y").cast("long").alias("sk"),
@@ -5134,6 +5145,16 @@ def ev_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("s"),
         )
+    )
+    # Full 168-slot seed grid: hour-of-week keys with no observations
+    # (spans shorter than one period, ADVICE r9) seed at deviation 0
+    # instead of leaving holes that break positional s0arr indexing.
+    # No-op on spans >= 168 h, where every key is observed.
+    s0 = (
+        ov.select(F.explode(F.sequence(F.lit(0), F.lit(per - 1))).alias("k"))
+        .select(F.col("k").cast("long").alias("k"))
+        .join(dev, on="k", how="left")
+        .select("k", F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"))
     )
     row = hours.agg(
         F.array_sort(F.collect_list(F.struct("e", "y"))).alias("ds")
@@ -5175,7 +5196,7 @@ def ev_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                  {snew} AS s,
                  CAST(p.l + p.b + {sref} AS BIGINT) AS f))))
     """
-    hw = row.select(F.expr(fold).alias("hw"))
+    hw = row.select(F.expr(fold).alias("hw"), "s0arr")
     obs = hw.select(F.explode("hw").alias("r")).select(
         F.col("r.e").alias("hour_epoch"),
         F.lit("obs").alias("kind"),
@@ -5185,10 +5206,24 @@ def ev_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.s").alias("season_milli"),
         F.col("r.f").alias("fitted_milli"),
     )
+    # Forecast seasonal reference: lag-168 from the observed history
+    # when the spine is long enough; on spans shorter than one period
+    # the history index size(hw)+h-168 goes non-positive (Spark would
+    # silently index from the array END — a wrong season — while the
+    # oracle's inner join would just drop the row), so both engines
+    # fall back to the s0 seed grid at the forecast hour's
+    # hour-of-week key (ADVICE r9). No-op on the shipped fixtures
+    # (~720 h spans), identical-by-construction on short ones.
+    sfc = (
+        f"IF(size(hw) + h - {per} >= 1, "
+        f"element_at(hw, size(hw) + h - {per}).s, "
+        f"element_at(s0arr, CAST((p.e + h) % {per} AS INT) + 1))"
+    )
     fc = (
-        hw.select("hw", F.expr("element_at(hw, -1)").alias("p"))
+        hw.select("hw", "s0arr", F.expr("element_at(hw, -1)").alias("p"))
         .select(
             "hw",
+            "s0arr",
             "p",
             F.explode(F.sequence(F.lit(1), F.lit(HW_HORIZON))).alias("h"),
         )
@@ -5198,12 +5233,8 @@ def ev_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("y"),
             F.col("p.l").alias("level_milli"),
             F.col("p.b").alias("trend_milli"),
-            F.expr(f"element_at(hw, size(hw) + h - {per}).s").alias("season_milli"),
-            (
-                F.col("p.l")
-                + F.col("h") * F.col("p.b")
-                + F.expr(f"element_at(hw, size(hw) + h - {per}).s")
-            )
+            F.expr(sfc).alias("season_milli"),
+            (F.col("p.l") + F.col("h") * F.col("p.b") + F.expr(sfc))
             .cast("long")
             .alias("fitted_milli"),
         )

@@ -6041,8 +6041,10 @@ def emb_neardup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deduped pair), measured 47 s → 16 s at sf1. The recall price is analytic, deterministic, "
     "and identical on both engines: P(band match | cosine 0.99) = "
     "0.955^18 = 0.44 vs 0.53 per band (OR over 3 bands 0.82 vs "
-    "0.89) — pytest pins the wide pair set to a subset of the "
-    "default's with a bounded deficit. Production reading: band bits "
+    "0.89) — NOTE the 18-bit regrouping reshuffles which coordinate "
+    "blocks form each band, so the wide pair set is NOT nested inside "
+    "the default's; pytest pins overlap >= 0.5 and a [0.6, 1.4] "
+    "size-ratio band instead (ADVICE r9). Production reading: band bits "
     "scale with log(corpus) to hold occupancy constant; both "
     "geometries ship as first-class, oracle-checked entries.",
 )

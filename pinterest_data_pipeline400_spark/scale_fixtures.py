@@ -97,8 +97,20 @@ def ensure_sf1(src_sf: str = SRC_SF, root: str = SF1_ROOT) -> str:
         pd.concat(reps, ignore_index=True).to_parquet(
             os.path.join(staging, f"{t}.parquet"), index=False
         )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.rename(staging, out_dir)
-    with open(marker, "w") as fh:
+    # Atomic publish (ADVICE r9): the marker is written INTO the staging
+    # dir first, so the os.rename below is the single publish point — a
+    # concurrent reader either sees the complete marked generation or
+    # none at all, never a renamed-but-unmarked dir. If the rename loses
+    # to a concurrent builder, re-check their marker and yield (the
+    # cached_frame idiom) instead of interleaving rmtree/rename.
+    with open(os.path.join(staging, "_DONE"), "w") as fh:
         fh.write(SF1_VERSION)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(staging, out_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(marker) as fh:
+            if fh.read().strip() != SF1_VERSION:
+                raise
     return out_dir

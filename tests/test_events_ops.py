@@ -683,3 +683,85 @@ def test_holt_winters_matches_pandas_recurrence(spark):
             int(got.season_milli), int(got.fitted_milli),
         ) == (exp[0], exp[2], exp[3], exp[4], exp[5])
         assert got.y is None or (got.y != got.y)  # null y on forecast rows
+
+
+def test_holt_winters_short_span_falls_back_to_s0(spark, tmp_path):
+    """ADVICE r9 guard: on an observed span SHORTER than one seasonal
+    period (168 h) the forecast's lag-168 history index goes
+    non-positive — pre-guard, Spark silently indexed from the array
+    END (wrong season) while the oracle's inner join dropped the row.
+    Both engines must now fall back to the s0 seed grid at the
+    forecast hour's hour-of-week key: run the entry AND its oracle on
+    a 40-hour synthetic events table and compare exactly, then pin the
+    forecast season values to an independently recomputed s0 grid."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import assert_frames_match
+
+    rnd = lambda x: math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)  # noqa: E731
+    rng = np.random.default_rng(7)
+    hours = 40
+    base = 1_700_000_400_000_000  # micros, NOT hour-aligned
+    rows = []
+    for i in range(400):
+        h = int(rng.integers(0, hours))
+        rows.append(
+            (
+                i,
+                pd.Timestamp(base + h * 3_600_000_000 + int(rng.integers(0, 3_600_000_000)), unit="us"),
+                int(rng.integers(0, 50)),
+                "view",
+                float(rng.random()),
+                "{}",
+            )
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf.ts.astype("datetime64[us]")  # Spark can't scan NANOS
+    sf_dir = str(tmp_path / "sfshort")
+    import os
+
+    os.makedirs(sf_dir)
+    pdf.to_parquet(os.path.join(sf_dir, "events.parquet"), index=False)
+
+    out = eq.ev_holt_winters_forecast(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+    )
+    oracle = con.execute(eq._hw_oracle_sql()).fetchdf()
+    con.close()
+    assert_frames_match(out, oracle, "hw_short_span")
+
+    # fallback branch really taken: every forecast row exists (the old
+    # oracle inner join dropped all 24) and its season equals the s0
+    # grid at that hour-of-week, recomputed independently
+    per = eq.HW_PERIOD
+    e = (pdf.ts.astype("int64") // (3_600_000_000 * 1000)).to_numpy()
+    import collections
+
+    cnt = collections.Counter(e.tolist())
+    lo, hi = min(cnt), max(cnt)
+    es = list(range(lo, hi + 1))
+    ys = [cnt.get(x, 0) for x in es]
+    assert len(es) < per  # the short-span premise
+    sa, na = sum(ys), len(ys)
+    sk: dict[int, int] = {}
+    nk: dict[int, int] = {}
+    for x, y in zip(es, ys):
+        k = x % per
+        sk[k] = sk.get(k, 0) + y
+        nk[k] = nk.get(k, 0) + 1
+    s0 = {k: rnd(sk[k] * 1000.0 / nk[k] - sa * 1000.0 / na) for k in sk}
+    fco = out[out.kind == "forecast"].sort_values("hour_epoch")
+    assert len(fco) == eq.HW_HORIZON
+    for h, r in enumerate(fco.itertuples(), start=1):
+        k = (es[-1] + h) % per
+        # unobserved hour-of-week keys seed at deviation 0
+        assert int(r.season_milli) == s0.get(k, 0)

@@ -548,7 +548,7 @@ def test_image_neardup_plan_is_banded_join(spark):
     fx = fixture_dir_for(TEST_SF_DIR)
     media = spark.read.parquet(os.path.join(fx, "media_ppm_dup.parquet"))
     plan = (
-        dhash_near_dup_pairs(media)
+        dhash_near_dup_pairs(media, eager=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
