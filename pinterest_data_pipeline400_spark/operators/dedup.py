@@ -622,6 +622,94 @@ EMB_BUCKET_CAP = 64
 #: misses on both engines, so parity holds at any geometry.
 EMB_BAND_BITS_WIDE = 18
 
+#: AUTO band geometry (VERDICT r9 task #2): the default near-dup entry
+#: derives its band bits from the CORPUS COUNT instead of a constant,
+#: holding expected bucket occupancy n / 2^bits at ~AUTO_TARGET_OCC —
+#: the rule PERF.md stated and the wide twin proved (47 s -> 16 s at
+#: sf1 by hand; auto picks the same 18 bits there). bits = smallest
+#: b in [14, 21] with TARGET_OCC * 2^b >= n — integer comparisons
+#: only, so the Spark plan and the DuckDB oracle (which computes the
+#: same count in SQL) can never round differently. The 21-bit ceiling
+#: is the coordinate budget (3 bands x 21 signs = 63 <= dim 64);
+#: beyond ~6M vectors the next knob is random-projection hyperplanes
+#: instead of coordinate signs (documented, not needed at any shipped
+#: scale). Band keys namespace at << 22 so bands stay disjoint at any
+#: geometry.
+AUTO_BITS_MIN = 14
+AUTO_BITS_MAX = 21
+AUTO_TARGET_OCC = 3
+AUTO_BAND_SHIFT = 22
+
+
+def auto_band_bits(n: int) -> int:
+    """The shared geometry rule, driver-side form (used by tests and
+    docs; the plan computes the identical CASE chain JVM-side)."""
+    bits = AUTO_BITS_MIN
+    while bits < AUTO_BITS_MAX and n > AUTO_TARGET_OCC * (1 << bits):
+        bits += 1
+    return bits
+
+
+def _auto_bits_col(n_col: Column) -> Column:
+    """bits as a COLUMN over a count column — the same thresholds as
+    :func:`auto_band_bits`, expressed declaratively so geometry
+    selection rides the broadcast stats join (no driver action)."""
+    bits = F.lit(AUTO_BITS_MIN)
+    for b in range(AUTO_BITS_MIN, AUTO_BITS_MAX):
+        bits = bits + F.when(
+            n_col > AUTO_TARGET_OCC * (1 << b), F.lit(1)
+        ).otherwise(F.lit(0))
+    return bits
+
+
+def _emb_auto_band_keys(vec_col: str, bits_col: Column, bands: int = EMB_BANDS) -> list:
+    """Band keys with RUNTIME bits: term i contributes 2^i only while
+    i < bits; coordinate index bits*j + i + 1 stays within dim 64 for
+    every (j <= 2, bits <= 21, i <= 20)."""
+    keys = []
+    for j in range(bands):
+        key = F.lit(j << AUTO_BAND_SHIFT).cast("long")
+        for i in range(AUTO_BITS_MAX):
+            key = key + F.when(
+                (F.lit(i) < bits_col)
+                & (
+                    F.element_at(
+                        F.col(vec_col), (bits_col * j + F.lit(i + 1)).cast("int")
+                    )
+                    > 0
+                ),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        keys.append(key)
+    return keys
+
+
+def emb_auto_band_keys_sql(
+    vec_col: str = "embedding", bands: int = EMB_BANDS, bits_col: str = "b"
+) -> str:
+    """DuckDB twin of :func:`_emb_auto_band_keys` — same namespace
+    shift, same gated terms, same 1-based coordinate arithmetic."""
+    return ", ".join(
+        str(j << AUTO_BAND_SHIFT)
+        + " + "
+        + " + ".join(
+            f"(CASE WHEN {i} < {bits_col} AND "
+            f"{vec_col}[{bits_col} * {j} + {i + 1}] > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(AUTO_BITS_MAX)
+        )
+        for j in range(bands)
+    )
+
+
+def auto_bits_sql(n_col: str = "n") -> str:
+    """The geometry rule as a SQL expression over a count column."""
+    terms = " + ".join(
+        f"(CASE WHEN {n_col} > {AUTO_TARGET_OCC * (1 << b)} THEN 1 ELSE 0 END)"
+        for b in range(AUTO_BITS_MIN, AUTO_BITS_MAX)
+    )
+    return f"{AUTO_BITS_MIN} + {terms}"
+
 
 def embedding_near_dup_pairs(
     embs: DataFrame,
@@ -629,27 +717,59 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     tau: float = DEFAULT_COSINE_TAU,
     bucket_cap: int | None = None,
-    band_bits: int = EMB_BAND_BITS,
-    split_verify: bool = False,
+    band_bits: int | None = None,
+    split_verify: bool | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) for pairs with cosine ≥ tau that share at
-    least one hyperplane-sign band (EMB_BANDS bands of EMB_BAND_BITS
+    least one hyperplane-sign band (EMB_BANDS bands of
     leading-coordinate signs; standard LSH OR-amplification). Candidates
     come from an equi-join on the band key — never an all-pairs product;
     pairs matching in several bands are collapsed by a distinct on the
     (ids, cosine) triple, which is deterministic per pair. Sign-flip
     misses (a near-dup whose perturbation crosses a hyperplane in every
     band) are identical on both engines, so oracle parity holds.
+
+    ``band_bits=None`` (the default since VERDICT r9 task #2) derives
+    the band width from the corpus count at plan time — a one-row
+    count aggregate broadcast onto the key projection (the repo's
+    global-stat crossJoin idiom, no driver action), holding expected
+    bucket occupancy ~constant so candidate volume stays ~linear in
+    the corpus instead of quadratic at fixed geometry (the measured
+    29x sf1 degeneration). An explicit int pins the geometry (the
+    fixed-geometry knob entries and tests).
+
+    ``split_verify=None`` resolves to the geometry mode: auto geometry
+    holds candidate volume low, which is exactly the regime where the
+    candidate-verify split wins (measured at sf1: 21.5 s split vs
+    37.2 s inline at the auto-picked 18 bits, vs 47 s for the old
+    fixed-14 inline default); fixed geometry keeps the r9-measured
+    inline default (the split LOSES at the 35M-candidate volume the
+    14-bit geometry produces at sf1).
     """
     from ..plans.training_data import cosine  # local import, avoids cycle
 
-    keyed = embs.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.explode(F.array(*_emb_band_keys(vec_col, bits=band_bits))).alias(
-            "band_key"
-        ),
-    )
+    if split_verify is None:
+        split_verify = band_bits is None
+
+    if band_bits is None:
+        stats = embs.agg(F.count(F.lit(1)).cast("long").alias("__n")).select(
+            _auto_bits_col(F.col("__n")).alias("__bits")
+        )
+        keyed = embs.crossJoin(F.broadcast(stats)).select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.explode(
+                F.array(*_emb_auto_band_keys(vec_col, F.col("__bits")))
+            ).alias("band_key"),
+        )
+    else:
+        keyed = embs.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.explode(F.array(*_emb_band_keys(vec_col, bits=band_bits))).alias(
+                "band_key"
+            ),
+        )
     if bucket_cap is not None:
         # production hot-bucket cap: a band bucket holding > cap
         # members is a near-certain template cluster whose occ^2
@@ -670,10 +790,12 @@ def embedding_near_dup_pairs(
         # each pair fetches its two vectors by id and verifies exactly
         # once. WORTH IT only when candidate volume is modest relative
         # to corpus size (the wide-band geometry: measured 28 → 16 s at
-        # sf1's 2.3M candidates); at the default geometry's 35M sf1
-        # candidates the extra distinct + two fetch shuffles LOSE to
-        # the inline form (measured 47 → 79 s) — so the split is
-        # opt-in, not the default. Same pair set, same cosines.
+        # sf1's 2.3M candidates); at the FIXED 14-bit geometry's 35M
+        # sf1 candidates the extra distinct + two fetch shuffles LOSE
+        # to the inline form (measured 47 → 79 s) — hence the
+        # mode-resolved default: split under auto geometry (which
+        # holds candidates low by construction), inline under pinned
+        # bits. Same pair set, same cosines either way.
         ids = keyed.select("vid", "band_key")
         cand = (
             ids.select(F.col("vid").alias("id_a"), "band_key")
@@ -745,11 +867,11 @@ def embedding_near_dup_oracle_sql(
     band_bits: int | None = None,
 ) -> str:
     """DuckDB mirror of :func:`embedding_near_dup_pairs` — generated
-    from the same EMB_BANDS/EMB_BAND_BITS constants so the band layout
-    can't drift; ``bucket_cap`` mirrors the capped variant's QUALIFY."""
-    band_keys = emb_band_keys_sql(
-        bits=band_bits if band_bits is not None else EMB_BAND_BITS
-    )
+    from the same EMB_BANDS constants so the band layout can't drift;
+    ``bucket_cap`` mirrors the capped variant's QUALIFY.
+    ``band_bits=None`` mirrors the auto geometry: the oracle computes
+    the corpus count and the identical integer-threshold bits rule in
+    SQL, so both engines always pick the same width at any sf."""
     cap_sql = (
         f"""
     kept AS (SELECT * FROM keyed
@@ -758,10 +880,19 @@ def embedding_near_dup_oracle_sql(
         else """
     kept AS (SELECT * FROM keyed),"""
     )
+    if band_bits is None:
+        keyed_sql = f"""bits AS (SELECT {auto_bits_sql("n")} AS b
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n
+                       FROM read_parquet('{parquet_path}'))),
+    keyed AS (SELECT vec_id, embedding,
+                          unnest([{emb_auto_band_keys_sql()}]) AS band_key
+                   FROM read_parquet('{parquet_path}') CROSS JOIN bits),"""
+    else:
+        keyed_sql = f"""keyed AS (SELECT vec_id, embedding,
+                          unnest([{emb_band_keys_sql(bits=band_bits)}]) AS band_key
+                   FROM read_parquet('{parquet_path}')),"""
     return f"""
-    WITH keyed AS (SELECT vec_id, embedding,
-                          unnest([{band_keys}]) AS band_key
-                   FROM read_parquet('{parquet_path}')),{cap_sql}
+    WITH {keyed_sql}{cap_sql}
     pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                      round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
               FROM kept a JOIN kept b USING (band_key)
@@ -1178,3 +1309,385 @@ def containment_oracle_sql(
     JOIN sizes sa ON sa.doc_id = shared.doc_a
     JOIN sizes sb ON sb.doc_id = shared.doc_b
     WHERE round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) >= {tau}"""
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sketch pair banding: the SIGNATURE-based candidate generator
+# for containment / exact-Jaccard near-dup (VERDICT r9 task #1)
+# --------------------------------------------------------------------------
+#
+# The posting-list detectors (ngram_jaccard_pairs / containment_pairs)
+# join on the shingle itself, so their candidate volume is
+# sum_s df(s)^2 — on a saturated shingle space (every shingle common,
+# the measured sf1 fixture regime: all 27k trigrams at df 110+) that
+# degenerates quadratically: 30x/23x wall growth for 10x data in
+# BENCH_SF1_FULL r9. Signatures fix this the way minhash banding fixed
+# it for Jaccard LSH: hash the SET, not the postings.
+#
+# Sketch: bottom-k (k-min-wise, Cohen's k-mins sketch) — the k
+# lexicographically smallest md5(shingle) values per document. Key
+# property (containment-friendly, unlike plain minhash banding): if
+# x ∈ A and x is among the k smallest of B ⊇-ish A, then x is among
+# the k smallest of A too — shared small-hash elements are GUARANTEED
+# to appear in both sketches. Candidates = equi-join on md5-compressed
+# PAIRS of bottom-k values (r=2 banding over the sketch):
+#
+#   * Recall for a pair with containment C and size ratio R = n_b/n_a:
+#     each of B's bottom-k lands in A∩B with probability ~C/R, so
+#     P(candidate) = P(Binom(k, C/R) >= 2) — with k=12: ~1.0 at R<=2,
+#     0.84 at R=4, 0.44 at R=8 (verbatim containment C=1). Same-size
+#     near-dups (J >= 0.5): P ~ 1.0. Misses are identical md5
+#     arithmetic on both engines, so oracle parity is exact.
+#   * Collision safety (the scale property): two UNRELATED documents
+#     collide only if they share two specific small-ranked shingles —
+#     P ~ (k * shingles_per_doc / vocab)^2 / 2, the r=2 discipline that
+#     held minhash banding at 2.0x on the same corpus where the
+#     posting join hit 30x. Per-doc work is O(shingles log shingles)
+#     (one JVM array_sort) + C(k,2) = 66 fixed-width keys.
+#   * 100 TB reading: candidates still scale as n^2 * p with constant
+#     p; when corpus growth outpaces vocabulary growth, escalate to
+#     r=3 triples (p ~ lambda^3/6) exactly as the embedding banding
+#     derives its band bits from the corpus count.
+#
+# Verification is exact and shared: candidates fetch both shingle
+# ARRAYS by id and compute |A∩B| with a JVM array_intersect — no
+# second pass over the postings, no df cap (the sketch never sees
+# document frequency), so the measures are the pure set ratios.
+
+BOTTOMK_K = 12
+
+
+def bottomk_signatures(
+    docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm", k: int = BOTTOMK_K
+) -> DataFrame:
+    """(doc_id, sh, n, bk): distinct word-3-shingle array, its size, and
+    the bottom-k sketch (k smallest md5(shingle) hex strings, ascending).
+    Callers repartition upstream — the md5 transform is an interpreted
+    HOF that must not run on a single input split."""
+    return shingle_docs(docs, id_col, norm_col).select(
+        "doc_id",
+        "sh",
+        F.size("sh").cast("long").alias("n"),
+        F.slice(
+            F.array_sort(F.transform(F.col("sh"), lambda s: _md5(s))), 1, k
+        ).alias("bk"),
+    )
+
+
+def bottomk_pair_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, pk): one row per unordered pair of bottom-k values,
+    md5-compressed to a fixed-width join key (identical in DuckDB, so
+    the candidate sets cannot drift between engines). Docs with a
+    single shingle emit no keys — a one-shingle doc has no r=2
+    signature evidence (documented boundary; the posting-join twin
+    keeps recall 1.0 there)."""
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("bk") - 1),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), F.size("bk")),
+                lambda j: F.md5(
+                    F.encode(
+                        F.concat(
+                            F.element_at(F.col("bk"), i),
+                            F.lit("|"),
+                            F.element_at(F.col("bk"), j),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+            ),
+        )
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("bk") >= 2, pairs).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pk"),
+    )
+
+
+def bottomk_verified_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    k: int = BOTTOMK_K,
+    eager: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, c, n_a, n_b): candidate pairs from bottom-k pair
+    banding with their EXACT shingle-set intersection and sizes — the
+    shared spine for the signature containment and signature Jaccard
+    detectors; each derives its ratio and threshold from these counts.
+
+    Plan shape: signature build (narrow, one array_sort per doc) →
+    key explode (66 fixed keys/doc) → hash self-join on pk → distinct
+    pair ids → two id-joins to fetch shingle arrays → JVM
+    array_intersect. Never all-pairs. With ``eager`` (default) the
+    signature cache is released after the (small) verified frame
+    materializes — the dhash_near_dup_pairs discipline (ADVICE r9);
+    ``eager=False`` keeps the lazy plan for shape assertions."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sigs = bottomk_signatures(docs, id_col, norm_col, k).persist()
+    keys = bottomk_pair_keys(sigs)
+    cand = (
+        keys.select(F.col("doc_id").alias("doc_a"), "pk")
+        .join(keys.select(F.col("doc_id").alias("doc_b"), "pk"), on="pk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    out = (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("c"),
+            "n_a",
+            "n_b",
+        )
+    )
+    if eager:
+        out = out.localCheckpoint()
+        sigs.unpersist()
+    return out
+
+
+def containment_sig_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    tau: float = DEFAULT_TAU_CONTAINMENT,
+    k: int = BOTTOMK_K,
+    eager: bool = True,
+) -> DataFrame:
+    """Signature-based asymmetric containment: same output contract as
+    :func:`containment_pairs` (doc_a, doc_b, containment, jaccard at
+    containment >= tau) but candidates come from bottom-k pair banding
+    instead of the posting-list self-join — the scale-safe form on
+    dense/saturated shingle spaces. No df cap: the exact verify sees
+    the full shingle sets."""
+    v = bottomk_verified_pairs(docs, id_col, norm_col, k, eager=eager)
+    return (
+        v.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+            F.round(
+                F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= tau)
+    )
+
+
+def ngram_jaccard_sig_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    tau: float = DEFAULT_TAU,
+    k: int = BOTTOMK_K,
+    eager: bool = True,
+) -> DataFrame:
+    """Signature-candidate EXACT word-3-gram Jaccard: same output
+    contract as :func:`ngram_jaccard_pairs` (doc_a, doc_b, jaccard at
+    jaccard >= tau) with bottom-k pair-banding candidates. The Jaccard
+    values that survive are exact set ratios (no sketch estimate, no
+    df cap); only candidate RECALL is probabilistic, and identically
+    so on both engines."""
+    v = bottomk_verified_pairs(docs, id_col, norm_col, k, eager=eager)
+    return (
+        v.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def bottomk_cand_ctes(parquet_path: str, norm_sql: str, k: int = BOTTOMK_K) -> str:
+    """CTE string (no leading WITH) ending in ``verified(doc_a, doc_b,
+    c, n_a, n_b)`` — the DuckDB mirror of the bottom-k spine, generated
+    from the same k so sketch geometry cannot drift between engines."""
+    return f"""src AS (SELECT doc_id, {norm_sql} AS norm
+                 FROM read_parquet('{parquet_path}')),
+    toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
+    shingled AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(t) < {SHINGLE_WORDS} THEN [norm]
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+      FROM toks),
+    sigs AS (SELECT doc_id, sh, len(sh) AS n,
+                    list_sort(list_transform(sh, s -> md5(s)))[1:{k}] AS bk
+             FROM shingled),
+    keys AS (SELECT doc_id,
+                    unnest(flatten(list_transform(range(1, len(bk)), i ->
+                      list_transform(range(i + 1, len(bk) + 1), j ->
+                        md5(bk[i] || '|' || bk[j]))))) AS pk
+             FROM sigs WHERE len(bk) >= 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM keys a JOIN keys b USING (pk)
+             WHERE a.doc_id < b.doc_id),
+    verified AS (SELECT c.doc_a, c.doc_b,
+                        CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS c,
+                        CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+                 FROM cand c
+                 JOIN sigs sa ON sa.doc_id = c.doc_a
+                 JOIN sigs sb ON sb.doc_id = c.doc_b)"""
+
+
+def containment_sig_oracle_sql(
+    parquet_path: str,
+    norm_sql: str,
+    tau: float = DEFAULT_TAU_CONTAINMENT,
+    k: int = BOTTOMK_K,
+) -> str:
+    """DuckDB mirror of :func:`containment_sig_pairs`."""
+    return f"""
+    WITH {bottomk_cand_ctes(parquet_path, norm_sql, k)}
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / least(n_a, n_b), 6) AS containment,
+           round(CAST(c AS DOUBLE) / (n_a + n_b - c), 6) AS jaccard
+    FROM verified
+    WHERE round(CAST(c AS DOUBLE) / least(n_a, n_b), 6) >= {tau}"""
+
+
+def ngram_jaccard_sig_oracle_sql(
+    parquet_path: str,
+    norm_sql: str,
+    tau: float = DEFAULT_TAU,
+    k: int = BOTTOMK_K,
+) -> str:
+    """DuckDB mirror of :func:`ngram_jaccard_sig_pairs`."""
+    return f"""
+    WITH {bottomk_cand_ctes(parquet_path, norm_sql, k)}
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (n_a + n_b - c), 6) AS jaccard
+    FROM verified
+    WHERE round(CAST(c AS DOUBLE) / (n_a + n_b - c), 6) >= {tau}"""
+
+
+# --------------------------------------------------------------------------
+# Substring-grain exact dedup: repeated token spans within/across docs
+# (VERDICT r9 task #4 — the Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better" modality: verbatim runs shorter
+# than a document, which document-grain dedup structurally misses)
+# --------------------------------------------------------------------------
+#
+# Suffix arrays are the single-machine tool for this; the Spark shape
+# is window fingerprinting: every SPAN_WINDOW-token window (stride 1)
+# hashes to md5(window text); a window occurring >= 2 times GLOBALLY
+# (across documents or repeated within one) is duplicated; per
+# document, runs of consecutive duplicated window positions merge into
+# maximal spans (gaps-and-islands over the position sequence). A
+# planted span of len >= SPAN_WINDOW tokens shared by >= 2 docs is
+# recovered EXACTLY: its len - SPAN_WINDOW + 1 interior windows are
+# all global dups, its boundary-crossing windows are not (fresh
+# neighbors), so the island is [pos, pos + len) to the token.
+#
+# Scale shape — NO pair join anywhere: the duplicated-window test is a
+# map-side-combinable count >= 2 per fingerprint (a boilerplate window
+# at df 10^6 costs one count row, never df^2 candidates), the merge is
+# a per-document window function. Work is O(tokens * SPAN_WINDOW)
+# hashing + two shuffles (fingerprint count, document regroup).
+
+SPAN_WINDOW = 8
+
+
+def window_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm", w: int = SPAN_WINDOW
+) -> DataFrame:
+    """(doc_id, p, fp): md5 fingerprint of the w-token window starting
+    at 0-based token position p, one row per position. Docs shorter
+    than w tokens emit nothing (no w-window exists). The generator
+    input stays an inline expression over the materialized token
+    column (the exploded_shingles discipline)."""
+    wins = F.expr(
+        f"transform(sequence(0, size(__tokens) - {w}), p -> "
+        f"struct(CAST(p AS BIGINT) AS p, "
+        f"md5(concat_ws(' ', slice(__tokens, p + 1, {w}))) AS fp))"
+    )
+    return (
+        _tokens_projection(docs, id_col, norm_col)
+        .filter(F.size("__tokens") >= w)
+        .select("doc_id", F.explode(wins).alias("wx"))
+        .select("doc_id", F.col("wx.p").alias("p"), F.col("wx.fp").alias("fp"))
+    )
+
+
+def repeated_spans(
+    docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm", w: int = SPAN_WINDOW
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_windows): maximal
+    token intervals whose every w-window occurs >= 2 times in the
+    corpus (counting within-document repeats — a doc that quotes
+    itself twice is two hits). span_end is exclusive; span_tokens =
+    span_end - span_start >= w always."""
+    from pyspark.sql import Window
+
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    wins = window_fingerprints(docs, id_col, norm_col, w)
+    dup = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("fp")
+    )
+    hits = wins.join(dup, on="fp").select("doc_id", "p")
+    isl = hits.withColumn(
+        "grp",
+        F.col("p")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + w).cast("long").alias("span_end"),
+            (F.max("p") + w - F.min("p")).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
+def repeated_spans_oracle_sql(
+    parquet_path: str, norm_sql: str, w: int = SPAN_WINDOW
+) -> str:
+    """DuckDB mirror of :func:`repeated_spans` — same window width,
+    same md5 window text, same gaps-and-islands merge."""
+    return f"""
+    WITH src AS (SELECT doc_id, {norm_sql} AS norm
+                 FROM read_parquet('{parquet_path}')),
+    toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM src),
+    pos AS (SELECT doc_id, t, unnest(range(0, len(t) - {w} + 1)) AS p
+            FROM toks WHERE len(t) >= {w}),
+    wins AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                    md5(array_to_string(t[p + 1 : p + {w}], ' ')) AS fp
+             FROM pos),
+    dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, p FROM wins JOIN dup USING (fp)),
+    isl AS (SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+            FROM hits)
+    SELECT doc_id,
+           CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + {w} AS BIGINT) AS span_end,
+           CAST(max(p) + {w} - min(p) AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp"""
