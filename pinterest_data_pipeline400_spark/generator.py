@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "10"
+FIXTURE_VERSION = "13"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -357,6 +357,23 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "emb_dup.parquet"), index=False
     )
 
+    # planted doc-in-doc containment corpus at known size ratios (the
+    # signature-containment recall gauge's test subject)
+    docs_contain(sf_rows(sf_name) // 10, seed=SEED + 4).to_parquet(
+        os.path.join(out_dir, "docs_contain.parquet"), index=False
+    )
+
+    # planted repeated-span corpus (substring-grain dedup test subject)
+    docs_spans(sf_rows(sf_name) // 10, seed=SEED + 5).to_parquet(
+        os.path.join(out_dir, "docs_spans.parquet"), index=False
+    )
+
+    # WAV corpus with planted volume-scaled near-duplicate audio (the
+    # audio-fingerprint dedup subject — multimodal_audio_neardup)
+    media_wav_dup(sf_rows(sf_name) // 10).to_parquet(
+        os.path.join(out_dir, "media_wav_dup.parquet"), index=False
+    )
+
     # planted-PII corpus (the PII-scrub operator's test subject)
     docs_pii(sf_rows(sf_name) // 10, seed=SEED + 3).to_parquet(
         os.path.join(out_dir, "docs_pii.parquet"), index=False
@@ -519,6 +536,103 @@ def media_ppm_dup(n_base: int) -> pd.DataFrame:
     ).astype({"media_id": "int64", "src_id": "int64", "delta": "int64"})
 
 
+#: audio-dup fixture geometry: 57 frames -> 56 energy-delta bits (the
+#: dHash bit budget: background pairs sit ~28 bits apart, so even at
+#: sf1's ~10^10 pair space the expected count within any small tau is
+#: << 1 — the margin a 32-bit fingerprint measurably lacked)
+WAV_DUP_NFRAMES = 57
+#: volume-scale factors for planted dups (numerator, denominator):
+#: exact integer floor-division scaling, no clipping (max |s| * 2 fits
+#: int16), so frame-energy ORDER is preserved up to the bounded
+#: flooring loss
+WAV_DUP_GAINS = [(2, 1), (3, 2), (3, 4)]
+
+
+def _wav_dup_env(src: int, f: int) -> int:
+    """Frame loudness 3..31, md5-derived so envelope sequences of
+    distinct sources are independent (an algebraic envelope collides
+    whole fingerprint classes: any polynomial-mod construction is
+    linear in (src, f), so ~n/period sources share every delta sign —
+    measured hamming-0 background pairs at 60 docs). md5 is identical
+    in python/Spark/DuckDB, which keeps the oracle byte-free."""
+    import hashlib
+
+    return int(hashlib.md5(f"{src}:{f}".encode()).hexdigest()[:4], 16) % 29 + 3
+
+
+def _wav_dup_samples(src: int, gnum: int, gden: int) -> np.ndarray:
+    """Closed-form PCM16 samples for the audio near-dup fixture — the
+    media_ppm_dup discipline: everything derivable from (src, gain)
+    alone so the fingerprint oracle recomputes WITHOUT parsing bytes.
+
+      L        = src % 9 + 8                     (frame length, 8..16)
+      total    = 57 * L                          (57 frames)
+      env(f)   = md5("src:f")[:4 hex] % 29 + 3   (frame loudness 3..31)
+      tone(i)  = (src*37 + 11*i) % 64 + 1
+      mag(i)   = env(i // L) * tone(i)             (<= 31*64 = 1984)
+      s[i]     = (-1)^i * ((gnum * mag(i)) // gden)   (gain 1/1 on base)
+
+    The gain divides the POSITIVE magnitude and applies the sign
+    after: integer division is then truncation == floor on both
+    numpy and DuckDB (they disagree on negatives), and |s[i]| =
+    (gnum*mag)//gden drops straight into the oracle's abs-energy sum.
+
+    The strong per-frame envelope makes adjacent frame-energy gaps
+    >> the flooring loss, so volume scaling preserves the
+    energy-delta signs except at the rare env ties — planted pairs
+    land at Hamming 0-2 of 56 while unrelated fingerprints sit ~28
+    apart (the media_ppm_dup margin story, transposed to audio)."""
+    L = src % 9 + 8
+    i = np.arange(WAV_DUP_NFRAMES * L, dtype=np.int64)
+    f = i // L
+    env = np.array([_wav_dup_env(src, int(x)) for x in range(WAV_DUP_NFRAMES)])[f]
+    tone = (src * 37 + 11 * i) % 64 + 1
+    mag = (gnum * env * tone) // gden
+    return np.where(i % 2 == 0, 1, -1) * mag
+
+
+def _wav_payload(samples: np.ndarray, channels: int = 1, sr: int = 16000) -> bytes:
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sr, sr * channels * 2, channels * 2, 16
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def media_wav_dup(n_base: int) -> pd.DataFrame:
+    """Mono RIFF/WAVE PCM16 corpus with PLANTED volume-scaled
+    near-duplicates — the audio twin of media_ppm_dup (multimodal x
+    dedup, VERDICT r9 task #5). Base payloads carry the closed-form
+    samples of :func:`_wav_dup_samples` (gain 1/1); ~12% extra rows
+    re-encode a base signal scaled by a deterministic gain from
+    WAV_DUP_GAINS. Columns ``src_id``/``gnum``/``gden`` carry the
+    closed form (gain 1/1 on base rows); ``provenance`` marks planted
+    pairs for the recall gauge."""
+    rows = []
+    for mid in range(n_base):
+        s = _wav_dup_samples(mid, 1, 1)
+        rows.append((mid, _wav_payload(s), mid, 1, 1, "base"))
+    next_id = n_base
+    for k in range(max(1, int(n_base * 0.12))):
+        src = (k * 17) % n_base  # deterministic spread over the bases
+        gnum, gden = WAV_DUP_GAINS[k % len(WAV_DUP_GAINS)]
+        s = _wav_dup_samples(src, gnum, gden)
+        rows.append(
+            (next_id, _wav_payload(s), src, gnum, gden, f"vol_of_{src}")
+        )
+        next_id += 1
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "payload", "src_id", "gnum", "gden", "provenance"],
+    ).astype(
+        {"media_id": "int64", "src_id": "int64", "gnum": "int64", "gden": "int64"}
+    )
+
+
 def media_wav(n: int) -> pd.DataFrame:
     """Valid little-endian RIFF/WAVE files with 16-bit integer PCM, one
     per media_id, built from closed-form fields so the decode oracle can
@@ -667,6 +781,84 @@ def docs_dup(n_base: int, seed: int) -> pd.DataFrame:
         rows.append((next_id, " ".join(toks), f"near_of_{src}"))
         next_id += 1
     return pd.DataFrame(rows, columns=["doc_id", "text", "provenance"])
+
+
+def docs_contain(n_base: int, seed: int) -> pd.DataFrame:
+    """Corpus with planted DOC-IN-DOC containment pairs at known size
+    ratios — the asymmetric fixture the signature-containment recall
+    gauge measures against. Base docs are 20-60 tokens; ~8% wrapper
+    docs embed one base doc VERBATIM (contiguous token copy, so every
+    source 3-shingle appears in the wrapper: shingle containment
+    exactly 1.0) inside (R-1)x fresh filler, R cycling through
+    {2, 3, 4, 6, 8}. Jaccard(src, wrapper) ~ 1/R, which is why every
+    symmetric Jaccard detector structurally misses these and the
+    asymmetric measure exists. src_id = -1 and ratio = 0 mark base
+    rows; wrapper ids sort after every base id, so planted pairs are
+    (src_id < doc_id) in the detectors' pair orientation."""
+    rng = np.random.default_rng(seed)
+    n_base = max(n_base, 200)
+    lengths = rng.integers(20, 60, n_base)
+    texts = [" ".join(rng.choice(WORDS, size=lengths[i])) for i in range(n_base)]
+    rows: list[tuple[int, str, str, int, int]] = [
+        (i, texts[i], "base", -1, 0) for i in range(n_base)
+    ]
+    next_id = n_base
+    ratios = [2, 3, 4, 6, 8]
+    for j in range(max(1, int(n_base * 0.08))):
+        src = int(rng.integers(0, n_base))
+        ratio = ratios[j % len(ratios)]
+        src_toks = texts[src].split(" ")
+        filler_n = (ratio - 1) * len(src_toks)
+        pre = int(rng.integers(0, filler_n + 1))
+        filler = list(rng.choice(WORDS, size=filler_n))
+        toks = filler[:pre] + src_toks + filler[pre:]
+        rows.append(
+            (next_id, " ".join(toks), f"wrap{ratio}_of_{src}", src, ratio)
+        )
+        next_id += 1
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "provenance", "src_id", "ratio"]
+    )
+
+
+def docs_spans(n_base: int, seed: int) -> pd.DataFrame:
+    """Corpus with planted REPEATED SPANS — the substring-grain dedup
+    fixture (the Lee et al. 2022 modality: verbatim token runs repeated
+    across documents, shorter than a document). Base docs are 40-80
+    tokens. A pool of shared spans (12-20 tokens each) is planted into
+    HOST docs (~10% extra rows): host = filler_pre + span + filler_post
+    with 30-60 filler tokens split at a random point; every span lands
+    in at least 2 hosts, so each of its 8-token windows occurs >= 2
+    times globally and the detector must recover the exact token
+    interval. Ground truth per host row: span_id, span_pos (0-based
+    token index of the span's first token), span_len (tokens); base
+    rows carry (-1, -1, -1)."""
+    rng = np.random.default_rng(seed)
+    n_base = max(n_base, 200)
+    lengths = rng.integers(40, 80, n_base)
+    texts = [" ".join(rng.choice(WORDS, size=lengths[i])) for i in range(n_base)]
+    rows: list[tuple[int, str, int, int, int]] = [
+        (i, texts[i], -1, -1, -1) for i in range(n_base)
+    ]
+    n_hosts = max(2, int(n_base * 0.10))
+    n_spans = max(1, n_hosts // 3)  # ~3 hosts per span on average
+    spans = [
+        " ".join(rng.choice(WORDS, size=int(rng.integers(12, 21))))
+        for _ in range(n_spans)
+    ]
+    next_id = n_base
+    for j in range(n_hosts):
+        sid = j % n_spans  # round-robin: every span gets >= 2 hosts
+        span_toks = spans[sid].split(" ")
+        filler_n = int(rng.integers(30, 61))
+        pre = int(rng.integers(0, filler_n + 1))
+        filler = list(rng.choice(WORDS, size=filler_n))
+        toks = filler[:pre] + span_toks + filler[pre:]
+        rows.append((next_id, " ".join(toks), sid, pre, len(span_toks)))
+        next_id += 1
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "span_id", "span_pos", "span_len"]
+    )
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:

@@ -739,31 +739,49 @@ def dhash_near_dup_pairs(
     entry's one-time disk-cache build) don't leak one InMemory cache
     per invocation (ADVICE r9). ``eager=False`` returns the lazy plan
     with the persist still held — for plan inspection only."""
-    hashes = dhash_features(media).persist()
-    bands = hashes.select(
+    return banded_hamming_pairs(
+        dhash_features(media), "dhash", DHASH_BANDS, DHASH_BAND_BITS, tau, eager
+    )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    bands: int,
+    band_bits: int,
+    tau: int,
+    eager: bool = True,
+) -> DataFrame:
+    """(media_a, media_b, hamming) for (media_id, <hash_col>) frames:
+    banded equi-join on band_bits-wide hash chunks (never all-pairs;
+    recall-complete at tau <= bands - 1 by pigeonhole), two-long
+    XOR + bit_count verify — the shared candidate spine of the image
+    dHash and audio energy-hash dedup entries."""
+    hashes = hashes.persist()
+    keyed = hashes.select(
         "media_id",
-        "dhash",
+        F.col(hash_col).alias("__h"),
         F.posexplode(
             F.array(
                 *[
                     F.expr(
-                        f"(dhash >> {b * DHASH_BAND_BITS})"
-                        f" & {(1 << DHASH_BAND_BITS) - 1}"
+                        f"({hash_col} >> {b * band_bits})"
+                        f" & {(1 << band_bits) - 1}"
                     )
-                    for b in range(DHASH_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("band_idx", "band_val"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(b, on=["band_idx", "band_val"])
         .filter(F.col("a.media_id") < F.col("b.media_id"))
         .select(
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
+            F.col("a.__h").alias("ha"),
+            F.col("b.__h").alias("hb"),
         )
         .distinct()
     )
@@ -776,3 +794,78 @@ def dhash_near_dup_pairs(
         pairs = pairs.localCheckpoint()  # computed while hashes cached
         hashes.unpersist()
     return pairs
+
+
+# --------------------------------------------------------------------------
+# Audio energy-delta fingerprint: the dHash discipline on PCM frames
+# (VERDICT r9 task #5 — multimodal x dedup symmetry for audio)
+# --------------------------------------------------------------------------
+
+#: 57 equal frames over the decoded PCM stream -> 56 energy-delta sign
+#: bits, banded 4 x 14 exactly like the image dHash: pigeonhole
+#: recall-complete at the tau=3 verify threshold. Sign-of-energy-delta
+#: is VOLUME-INVARIANT (a gain scales every frame energy together),
+#: the audio analog of dHash's brightness invariance.
+AUDIO_FP_FRAMES = 57
+AUDIO_FP_BITS = AUDIO_FP_FRAMES - 1  # 56
+AUDIO_HAM_TAU = 3
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), False),
+    ]
+)
+
+
+def ahash_wav(payload: bytes) -> int:
+    """56-bit audio fingerprint from a REAL RIFF/WAVE PCM16 decode:
+    partition the sample stream into AUDIO_FP_FRAMES equal frames
+    (integer frame length, trailing remainder ignored), exact int64
+    abs-energy per frame, bit f = [energy(f+1) > energy(f)]. All
+    integer arithmetic after the byte walk, so the fixture oracle can
+    recompute every bit from its closed-form sample construction
+    without parsing bytes (the dhash_ppm discipline)."""
+    import numpy as np
+
+    _c, _sr, _frames, _s, samples = _parse_wav_full(payload)
+    s64 = samples.astype(np.int64)
+    L = s64.size // AUDIO_FP_FRAMES
+    if L == 0:
+        raise ValueError(
+            f"payload too short for {AUDIO_FP_FRAMES}-frame fingerprint: "
+            f"{s64.size} samples"
+        )
+    e = np.abs(s64[: AUDIO_FP_FRAMES * L]).reshape(AUDIO_FP_FRAMES, L).sum(axis=1)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    return int((bits * (1 << np.arange(AUDIO_FP_BITS, dtype=np.int64))).sum())
+
+
+def ahash_features(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) via Arrow-batched mapInPandas — the
+    decode_wav_features boundary shape: bytes cross the JVM boundary
+    once per batch, the stage is shuffle-free."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    raise ValueError(f"media_id {mid}: NULL payload")
+                rows.append((mid, ahash_wav(bytes(p))))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    media: DataFrame, tau: int = AUDIO_HAM_TAU, eager: bool = True
+) -> DataFrame:
+    """(media_a, media_b, hamming) for audio pairs within ``tau`` bits
+    of the 56-bit energy-delta fingerprint — the audio twin of
+    :func:`dhash_near_dup_pairs`, sharing its banded candidate spine
+    (4 x 14-bit chunks, pigeonhole-complete at tau <= 3) and its
+    eager cache-release discipline."""
+    return banded_hamming_pairs(
+        ahash_features(media), "ahash", DHASH_BANDS, DHASH_BAND_BITS, tau, eager
+    )

@@ -306,3 +306,156 @@ def multimodal_image_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: audio energy-hash near-dup (multimodal x dedup, audio side)
+# ---------------------------------------------------------------------------
+
+
+def _ahash_oracle_ctes() -> str:
+    """Shared oracle CTEs computing every payload's 56-bit audio
+    fingerprint from the media_wav_dup generator's closed-form sample
+    construction — the WAV bytes are NEVER parsed (the dHash oracle
+    discipline). Mirrors operators/multimodal.py ahash_wav exactly:
+    57 equal frames, exact integer abs-energy per frame (the sign
+    alternation vanishes under abs, so energy = sum of magnitudes
+    (gnum * env * tone) // gden), bit f set iff e(f+1) > e(f)."""
+    from ..generator import WAV_DUP_NFRAMES
+    from ..operators.multimodal import AUDIO_FP_BITS
+
+    nf = WAV_DUP_NFRAMES
+    env = (
+        "(CAST(('0x' || substr(md5(CAST(src_id AS VARCHAR) || ':' || "
+        "CAST((i // L) AS VARCHAR)), 1, 4)) AS BIGINT) % 29 + 3)"
+    )
+    tone = "((src_id * 37 + 11 * i) % 64 + 1)"
+    return f"""m AS (SELECT media_id, src_id, gnum, gden,
+                  src_id % 9 + 8 AS L
+           FROM read_parquet('{_ORACLE_FX}/media_wav_dup.parquet')),
+    pos AS (SELECT media_id, src_id, gnum, gden, L,
+                   CAST(gs.i AS BIGINT) AS i
+            FROM m CROSS JOIN range({nf} * 16) AS gs(i)
+            WHERE gs.i < {nf} * L),
+    en AS (SELECT media_id, i // L AS f,
+                  sum((gnum * {env} * {tone}) // gden) AS e
+           FROM pos GROUP BY 1, 2),
+    ed AS (SELECT media_id, f, e,
+                  lead(e) OVER (PARTITION BY media_id ORDER BY f) AS e2
+           FROM en),
+    hb AS (SELECT media_id,
+                  CAST(sum(CASE WHEN e2 > e
+                                THEN (CAST(1 AS BIGINT) << CAST(f AS INT))
+                                ELSE 0 END) AS BIGINT) AS ahash
+           FROM ed WHERE f < {AUDIO_FP_BITS}
+           GROUP BY media_id)"""
+
+
+def _audio_neardup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified audio near-dup pair list, disk-cached per fixture
+    stamp — the _image_neardup_pairs_cached idiom: the pair entry and
+    the recall gauge share one decode + band join per generation."""
+    from ..operators.multimodal import (
+        AUDIO_FP_FRAMES,
+        AUDIO_HAM_TAU,
+        DHASH_BANDS,
+        ahash_near_dup_pairs,
+    )
+    from .training_data import cached_frame
+
+    fx = fixture_dir_for(sf_dir)
+    src = os.path.join(fx, "media_wav_dup.parquet")
+
+    def build() -> DataFrame:
+        return ahash_near_dup_pairs(spark.read.parquet(src))
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "audiohash",
+        "neardup_pairs",
+        src,
+        f"v1-{AUDIO_FP_FRAMES}-{DHASH_BANDS}-{AUDIO_HAM_TAU}",
+        build,
+    )
+
+
+@REGISTRY.register(
+    "multimodal_audio_neardup",
+    oracle=f"""
+    WITH {_ahash_oracle_ctes()}
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM hb a JOIN hb b ON b.media_id > a.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ORDER BY media_a, media_b""",
+    doc="AUDIO NEAR-DUP DEDUP (VERDICT r9 task #5 — the multimodal x "
+    "dedup symmetry closed on the audio side): every payload is "
+    "REALLY decoded (RIFF/WAVE PCM16 chunk walk through the Arrow/"
+    "mapInPandas boundary), reduced to a 56-bit energy-delta "
+    "fingerprint (57 equal frames, exact int64 abs-energy, sign of "
+    "each adjacent delta — VOLUME-invariant the way dHash is "
+    "brightness-invariant, since a gain scales all frame energies "
+    "together), then paired by the SHARED banded Hamming spine "
+    "(4x14-bit chunks, pigeonhole recall-complete at the tau=3 "
+    "verify). Candidate generation is never all-pairs: bucket join "
+    "only, the 100 TB shape. The oracle recomputes every fingerprint "
+    "from the fixture's closed-form sample construction (md5-derived "
+    "frame envelope, integer magnitudes) WITHOUT parsing bytes, so a "
+    "decoder that drops a chunk or a banding bug that loses a "
+    "candidate cannot match. Planted volume-scaled dups land at "
+    "Hamming 0-1; unrelated fingerprints sit ~28/56 apart "
+    "(measured background minimum 11). The pair list disk-caches "
+    "content-stamped; the recall gauge consumes the same cache.",
+)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _audio_neardup_pairs_cached(spark, sf_dir).orderBy("media_a", "media_b")
+
+
+@REGISTRY.register(
+    "multimodal_audio_neardup_recall",
+    oracle=f"""
+    WITH {_ahash_oracle_ctes()},
+    pl AS (SELECT src_id AS media_a, media_id AS media_b
+           FROM read_parquet('{_ORACLE_FX}/media_wav_dup.parquet')
+           WHERE provenance <> 'base'),
+    pairs AS (SELECT a.media_id AS media_a, b.media_id AS media_b
+              FROM hb a JOIN hb b ON b.media_id > a.media_id
+              WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM pl),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+          FROM pl JOIN pairs USING (media_a, media_b))
+    SELECT n.n_planted, f.n_found,
+           round(CAST(f.n_found AS DOUBLE) / n.n_planted, 6) AS recall
+    FROM n CROSS JOIN f""",
+    doc="Measured-recall gauge for the audio-fingerprint dedup (every "
+    "similarity family carries one): planted volume-scaled pairs "
+    "(generator provenance marks them; src_id < media_id by "
+    "construction) joined against the found pair list — recall = "
+    "found / planted. The flooring loss of the integer gain shifts "
+    "frame energies by < frame length while adjacent-energy gaps are "
+    "~tone-sum sized, so planted pairs land at Hamming 0-1, inside "
+    "the tau=3 band (measured recall 1.0 at sf0.01); background "
+    "pairs sit ~28/56 bits apart (minimum 11). Consumes the "
+    "disk-cached pair frame; the planted side is a metadata-only "
+    "column scan (payloads pruned).",
+)
+def multimodal_audio_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = fixture_dir_for(sf_dir)
+    planted = (
+        spark.read.parquet(os.path.join(fx, "media_wav_dup.parquet"))
+        .filter(F.col("provenance") != "base")
+        .select(F.col("src_id").alias("media_a"), F.col("media_id").alias("media_b"))
+    )
+    pairs = _audio_neardup_pairs_cached(spark, sf_dir)
+    n = planted.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    f = planted.join(pairs, on=["media_a", "media_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    return n.crossJoin(F.broadcast(f)).select(
+        "n_planted",
+        "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_planted"), 6).alias(
+            "recall"
+        ),
+    )

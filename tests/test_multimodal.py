@@ -558,3 +558,98 @@ def test_image_neardup_plan_is_banded_join(spark):
     # self-join read the cache (the plan text inlines the cached
     # lineage per alias, but only one Python stage executes)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_ahash_wav_matches_closed_form_recompute():
+    """Independent recompute of the audio fingerprint (the
+    shared-bug-passes-oracle mitigation): build the WAV payload, run
+    the REAL byte-walk decode + fingerprint, and compare against bits
+    derived straight from the generator's closed form (hashlib md5
+    envelope, integer magnitudes) without touching the payload."""
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import (
+        WAV_DUP_GAINS,
+        WAV_DUP_NFRAMES,
+        _wav_dup_env,
+        _wav_dup_samples,
+        _wav_payload,
+    )
+    from pinterest_data_pipeline400_spark.operators.multimodal import ahash_wav
+
+    for src in range(25):
+        for gnum, gden in [(1, 1)] + WAV_DUP_GAINS:
+            payload = _wav_payload(_wav_dup_samples(src, gnum, gden))
+            got = ahash_wav(payload)
+            # closed form: e_f = sum over frame of (gnum*env*tone)//gden
+            L = src % 9 + 8
+            want = 0
+            es = []
+            for f in range(WAV_DUP_NFRAMES):
+                env = _wav_dup_env(src, f)
+                e = sum(
+                    (gnum * env * ((src * 37 + 11 * i) % 64 + 1)) // gden
+                    for i in range(f * L, (f + 1) * L)
+                )
+                es.append(e)
+            for f in range(WAV_DUP_NFRAMES - 1):
+                if es[f + 1] > es[f]:
+                    want |= 1 << f
+            assert got == want, (src, gnum, gden)
+
+
+def test_ahash_margins_and_volume_invariance():
+    """Fingerprint contract: planted volume-scaled dups land within
+    Hamming 1 (inside the tau=3 banded verify), unrelated sources sit
+    far outside it (background minimum ~11, mean ~28 of 56)."""
+    from pinterest_data_pipeline400_spark.generator import (
+        WAV_DUP_GAINS,
+        _wav_dup_samples,
+        _wav_payload,
+    )
+    from pinterest_data_pipeline400_spark.operators.multimodal import ahash_wav
+
+    base = [ahash_wav(_wav_payload(_wav_dup_samples(s, 1, 1))) for s in range(60)]
+    for s in range(60):
+        for gnum, gden in WAV_DUP_GAINS:
+            d = ahash_wav(_wav_payload(_wav_dup_samples(s, gnum, gden)))
+            assert bin(base[s] ^ d).count("1") <= 1, (s, gnum, gden)
+    bg = [
+        bin(base[a] ^ base[b]).count("1")
+        for a in range(60)
+        for b in range(a + 1, 60)
+    ]
+    assert min(bg) > 6, min(bg)
+
+
+def test_audio_neardup_plan_is_banded_join(spark):
+    """Scale contract for the audio-fingerprint dedup: banded equi-join
+    candidates (never cartesian), one Arrow mapInPandas decode stage."""
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    fx = fixture_dir_for(TEST_SF_DIR)
+    media = spark.read.parquet(os.path.join(fx, "media_wav_dup.parquet"))
+    plan = (
+        ahash_near_dup_pairs(media, eager=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_audio_neardup_recall_is_perfect(spark):
+    """All planted volume-dups found at sf test scale (they sit at
+    Hamming 0-1, pigeonhole-guaranteed a shared band at tau=3)."""
+    from pinterest_data_pipeline400_spark.plans import media_queries as mq
+    from tests.conftest import TEST_SF_DIR
+
+    out = mq.multimodal_audio_neardup_recall(spark, TEST_SF_DIR).toPandas()
+    assert len(out) == 1
+    assert out.recall.iloc[0] == 1.0
+    assert out.n_planted.iloc[0] > 0
