@@ -65,6 +65,8 @@ GRADE_WINDOW = [
     "docs_substring_spans_recall",
     "multimodal_audio_neardup",
     "multimodal_audio_neardup_recall",
+    "docs_substring_dup_rate",
+    "docs_substring_scrub",
 ]
 
 

@@ -3015,6 +3015,141 @@ def docs_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(normed)
 
 
+_SPANS_ORACLE = repeated_spans_oracle_sql(f"{_ORACLE_FX}/docs_spans.parquet", _NORM_SQL)
+
+
+@REGISTRY.register(
+    "docs_substring_dup_rate",
+    oracle=f"""
+    WITH spans AS ({_SPANS_ORACLE}),
+    n AS (SELECT doc_id,
+                 CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+          FROM read_parquet('{_ORACLE_FX}/docs_spans.parquet')),
+    per AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+    SELECT n.doc_id, n.n_tokens,
+           CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / n.n_tokens, 6)
+             AS dup_rate
+    FROM n LEFT JOIN per ON per.doc_id = n.doc_id""",
+    doc="Per-document DUPLICATED-TOKEN RATE — the curation screen the "
+    "span detector feeds (the Lee et al. policy is usually 'drop or "
+    "scrub documents whose duplicated fraction exceeds a threshold'): "
+    "dup_tokens = total tokens covered by detected repeated spans "
+    "(spans are maximal and therefore disjoint per doc, so the sum is "
+    "exact coverage, never double-counted), over the doc's token "
+    "count. Every doc reports (0.0 for clean docs), so the downstream "
+    "threshold filter is one predicate. Same no-pair-join spine as "
+    "docs_dup_substring_spans.",
+)
+def docs_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_spans.parquet"))
+    normed = sp.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    n = normed.select(
+        "doc_id", F.size(F.split("norm", " ")).cast("long").alias("n_tokens")
+    )
+    per = (
+        repeated_spans(normed)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("long").alias("dup_tokens"))
+    )
+    return n.join(per, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@REGISTRY.register(
+    "docs_substring_scrub",
+    oracle=f"""
+    WITH spans AS ({_SPANS_ORACLE}),
+    toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+             FROM read_parquet('{_ORACLE_FX}/docs_spans.parquet')),
+    pos AS (SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks),
+    kept AS (SELECT pos.doc_id, pos.p, pos.t[pos.p + 1] AS tok
+             FROM pos LEFT JOIN spans
+               ON spans.doc_id = pos.doc_id
+              AND pos.p >= spans.span_start AND pos.p < spans.span_end
+             WHERE spans.doc_id IS NULL)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(k.scrub_md5, md5('')) AS scrub_md5
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                      md5(string_agg(tok, ' ' ORDER BY p)) AS scrub_md5
+               FROM kept GROUP BY doc_id) k
+      ON k.doc_id = t.doc_id""",
+    doc="SPAN SCRUBBING — the removal verb that makes span detection "
+    "actionable (Lee et al. 2022 scrub the repeated substrings before "
+    "training): every token covered by a detected repeated span is "
+    "dropped, the survivors re-join in order, and the entry reports "
+    "(n_tokens, kept_tokens, md5 of the scrubbed text) per document — "
+    "the md5 pins the exact reconstructed string cross-engine without "
+    "hashing megabytes of text through the driver. Plan shape: "
+    "posexplode tokens -> range anti-join against the (small, "
+    "disjoint) span list -> ordered re-aggregation per doc; the span "
+    "side of the join is the detector's output, so the whole scrub "
+    "inherits its no-pair-join scaling. The policy is deliberately "
+    "conservative (remove EVERY occurrence; keep-first-occurrence "
+    "needs a global keeper election per span cluster, a documented "
+    "extension).",
+)
+def docs_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_spans.parquet"))
+    normed = sp.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    toks = normed.select(
+        "doc_id", F.split("norm", " ").alias("t")
+    )
+    pos = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.posexplode("t").alias("p", "tok"),
+    )
+    spans = repeated_spans(normed).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    kept = pos.join(
+        spans,
+        on=(
+            (pos.doc_id == spans.s_doc)
+            & (pos.p >= spans.span_start)
+            & (pos.p < spans.span_end)
+        ),
+        how="left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                        lambda x: x.getField("tok"),
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("scrub_md5"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return base.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce(
+            F.col("scrub_md5"), F.md5(F.encode(F.lit(""), "UTF-8"))
+        ).alias("scrub_md5"),
+    )
+
+
 @REGISTRY.register(
     "docs_substring_spans_recall",
     oracle=f"""

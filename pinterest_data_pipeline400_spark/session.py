@@ -41,7 +41,19 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode heap: the driver JVM IS the executor, so this is
+        # the whole memory budget on the 128 GiB local[32] rig. 8g held
+        # through round 9, but the sf1 full sweep runs the DOCUMENTED
+        # degenerate posting-join baselines (docs_dup_containment:
+        # 402M candidate rows) in a JVM already carrying ~280 entries
+        # of accumulated block-manager state, and one r10 run OOM'd a
+        # task there, killing the context and erroring every later
+        # entry. 16g restores the headroom; a real cluster sizes
+        # executors independently (see PERF.md "100 TB configuration
+        # deltas").
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.ui.enabled", "false")
         # keep managed-table data and the embedded-Derby log out of the
         # process cwd (a caller-built session without these just writes

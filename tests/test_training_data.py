@@ -1680,3 +1680,76 @@ def test_substring_spans_plan_has_no_pair_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_substring_scrub_and_rate_match_python_recompute(spark):
+    """Independent recompute of the span-consumer entries: dup-token
+    coverage per doc and the md5 of the scrubbed (span-removed) text,
+    both rebuilt with hashlib + plain python from the same island
+    logic the detector test recomputes."""
+    import hashlib
+    import os
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from pinterest_data_pipeline400_spark.operators.dedup import SPAN_WINDOW
+    from tests.conftest import TEST_SF_DIR
+
+    w = SPAN_WINDOW
+    fx = fixture_dir_for(TEST_SF_DIR)
+    sp = pd.read_parquet(os.path.join(fx, "docs_spans.parquet"))
+    toks_by_id = {
+        r.doc_id: re.sub(r"\s+", " ", r.text).strip().lower().split(" ")
+        for r in sp.itertuples()
+    }
+    occ = Counter()
+    wins = {}
+    for did, toks in toks_by_id.items():
+        lst = []
+        for p in range(len(toks) - w + 1):
+            fp = hashlib.md5(" ".join(toks[p : p + w]).encode()).hexdigest()
+            lst.append((p, fp))
+            occ[fp] += 1
+        wins[did] = lst
+    want_rate = {}
+    want_scrub = {}
+    for did, toks in toks_by_id.items():
+        ps = sorted(p for p, fp in wins[did] if occ[fp] >= 2)
+        covered = set()
+        if ps:
+            start = prev = ps[0]
+            for p in ps[1:] + [None]:
+                if p is not None and p == prev + 1:
+                    prev = p
+                    continue
+                covered.update(range(start, prev + w))
+                if p is None:
+                    break
+                start = prev = p
+        dup = len(covered)
+        want_rate[did] = (len(toks), dup, round(dup / len(toks), 6))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        want_scrub[did] = (
+            len(toks),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    rate = td.docs_substring_dup_rate(spark, TEST_SF_DIR).toPandas()
+    got_rate = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dup_tokens), float(r.dup_rate))
+        for r in rate.itertuples()
+    }
+    assert got_rate == want_rate
+
+    scrub = td.docs_substring_scrub(spark, TEST_SF_DIR).toPandas()
+    got_scrub = {
+        int(r.doc_id): (int(r.n_tokens), int(r.kept_tokens), r.scrub_md5)
+        for r in scrub.itertuples()
+    }
+    assert got_scrub == want_scrub
+    # spans exist, so at least one doc was actually scrubbed
+    assert any(k < n for n, k, _ in got_scrub.values())
