@@ -662,42 +662,54 @@ def _auto_bits_col(n_col: Column) -> Column:
     return bits
 
 
-def _emb_auto_band_keys(vec_col: str, bits_col: Column, bands: int = EMB_BANDS) -> list:
-    """Band keys with RUNTIME bits: term i contributes 2^i only while
-    i < bits; coordinate index bits*j + i + 1 stays within dim 64 for
-    every (j <= 2, bits <= 21, i <= 20)."""
+def _auto_mod_col(bits_col: Column) -> Column:
+    """2^bits as a COLUMN (the band-word modulus) — an 8-way CASE over
+    the clamped bits range, evaluated once per corpus in the broadcast
+    stats frame."""
+    mod = F.lit(0).cast("long")
+    for b in range(AUTO_BITS_MIN, AUTO_BITS_MAX + 1):
+        mod = F.when(bits_col == b, F.lit(1 << b).cast("long")).otherwise(mod)
+    return mod
+
+
+def _emb_auto_band_keys(vec_col: str, mod_col: Column, bands: int = EMB_BANDS) -> list:
+    """Band keys with RUNTIME width: band j's 21-bit sign word is built
+    from STATIC coordinate indices (fixed stride AUTO_BITS_MAX, block j
+    = coordinates [21j, 21j+21) — max index 63 <= dim 64), then masked
+    to the corpus-derived width by ONE modulus against the broadcast
+    2^bits column. The first cut gated each of the 21 terms on
+    ``i < bits`` with a COMPUTED element_at index — 63 dynamic branches
+    per row that benched the sf0.1 entry at ~2x its old wall; the
+    static-word-then-mask form keeps the whole projection
+    constant-foldable except a single % per band. Narrower geometries
+    are PREFIXES of wider ones under this layout (bits 15 keeps bit 14
+    of the same block), so growing the corpus only refines buckets."""
     keys = []
     for j in range(bands):
-        key = F.lit(j << AUTO_BAND_SHIFT).cast("long")
+        word = F.lit(0).cast("long")
         for i in range(AUTO_BITS_MAX):
-            key = key + F.when(
-                (F.lit(i) < bits_col)
-                & (
-                    F.element_at(
-                        F.col(vec_col), (bits_col * j + F.lit(i + 1)).cast("int")
-                    )
-                    > 0
-                ),
+            word = word + F.when(
+                F.get(F.col(vec_col), j * AUTO_BITS_MAX + i) > 0,
                 F.lit(1 << i).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
-        keys.append(key)
+        keys.append(F.lit(j << AUTO_BAND_SHIFT).cast("long") + word % mod_col)
     return keys
 
 
 def emb_auto_band_keys_sql(
-    vec_col: str = "embedding", bands: int = EMB_BANDS, bits_col: str = "b"
+    vec_col: str = "embedding", bands: int = EMB_BANDS, mod_col: str = "m"
 ) -> str:
     """DuckDB twin of :func:`_emb_auto_band_keys` — same namespace
-    shift, same gated terms, same 1-based coordinate arithmetic."""
+    shift, same static stride-21 sign words, same modulus mask."""
     return ", ".join(
         str(j << AUTO_BAND_SHIFT)
-        + " + "
+        + " + (("
         + " + ".join(
-            f"(CASE WHEN {i} < {bits_col} AND "
-            f"{vec_col}[{bits_col} * {j} + {i + 1}] > 0 "
+            f"(CASE WHEN {vec_col}[{j * AUTO_BITS_MAX + i + 1}] > 0 "
             f"THEN {1 << i} ELSE 0 END)"
             for i in range(AUTO_BITS_MAX)
         )
+        + f") % {mod_col})"
         for j in range(bands)
     )
 
@@ -740,8 +752,9 @@ def embedding_near_dup_pairs(
 
     ``split_verify=None`` resolves to the geometry mode: auto geometry
     holds candidate volume low, which is exactly the regime where the
-    candidate-verify split wins (measured at sf1: 21.5 s split vs
-    37.2 s inline at the auto-picked 18 bits, vs 47 s for the old
+    candidate-verify split wins (measured at sf1's auto-picked 18
+    bits: 14.7 s steady with the static-word mask layout — vs 21.5 s
+    for the first gated-term cut, 37.2 s inline, and 47 s for the old
     fixed-14 inline default); fixed geometry keeps the r9-measured
     inline default (the split LOSES at the 35M-candidate volume the
     14-bit geometry produces at sf1).
@@ -753,13 +766,13 @@ def embedding_near_dup_pairs(
 
     if band_bits is None:
         stats = embs.agg(F.count(F.lit(1)).cast("long").alias("__n")).select(
-            _auto_bits_col(F.col("__n")).alias("__bits")
+            _auto_mod_col(_auto_bits_col(F.col("__n"))).alias("__mod")
         )
         keyed = embs.crossJoin(F.broadcast(stats)).select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
             F.explode(
-                F.array(*_emb_auto_band_keys(vec_col, F.col("__bits")))
+                F.array(*_emb_auto_band_keys(vec_col, F.col("__mod")))
             ).alias("band_key"),
         )
     else:
@@ -881,7 +894,7 @@ def embedding_near_dup_oracle_sql(
     kept AS (SELECT * FROM keyed),"""
     )
     if band_bits is None:
-        keyed_sql = f"""bits AS (SELECT {auto_bits_sql("n")} AS b
+        keyed_sql = f"""bits AS (SELECT CAST(1 AS BIGINT) << ({auto_bits_sql("n")}) AS m
                  FROM (SELECT CAST(count(*) AS BIGINT) AS n
                        FROM read_parquet('{parquet_path}'))),
     keyed AS (SELECT vec_id, embedding,

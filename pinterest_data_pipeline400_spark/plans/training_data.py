@@ -1519,12 +1519,17 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count (constant expected bucket occupancy), computed from a "
     "broadcast one-row count on the Spark side and the identical "
     "integer-threshold rule in the oracle SQL — 14 bits at sf0.01 "
-    "(unchanged results at grading scale), 15 at sf0.1, 18 at sf1 "
-    "(the width the wide twin proved by hand). With auto geometry the "
-    "candidate-verify split is the resolved default (skinny band "
-    "join, vectors fetched per deduped pair): measured sf1 21.5 s vs "
-    "37.2 s inline vs 47 s for the old fixed-14 default — sf0.1 -> "
-    "sf1 growth now ~3.7x for 10x data (was the 29x scale-killer). "
+    "(14 bits at sf0.01 grading scale, 15 at sf0.1, 18 at sf1 — the "
+    "width the wide twin proved by hand). Band words are built from "
+    "STATIC stride-21 coordinate blocks and masked to the dynamic "
+    "width by one modulus per band (the gated-per-term first cut "
+    "benched 2x slower), so narrower geometries are PREFIXES of wider "
+    "ones — corpus growth only refines buckets, never rearranges "
+    "them; a pytest pins that candidate nesting. With auto geometry "
+    "the candidate-verify split is the resolved default (skinny band "
+    "join, vectors fetched per deduped pair): measured sf1 14.7 s "
+    "steady (vs 47 s for the old fixed-14 default — the 29x "
+    "scale-killer now grows ~3.7x: 4.0 -> 14.7 s for 10x data). "
     "Recall price per geometry is analytic and deterministic "
     "(0.955^bits per band, OR over 3); the fixed-geometry knob "
     "entries keep the old contracts.",
