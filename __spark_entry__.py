@@ -67,6 +67,17 @@ GRADE_WINDOW = [
     "multimodal_audio_neardup_recall",
     "docs_substring_dup_rate",
     "docs_substring_scrub",
+    "docs_dup_containment_sig3",
+    "docs_containment_sig3_recall",
+    "ev_triangle_counts",
+    "ev_graph_transitivity",
+    "emb_knn_sq8",
+    "emb_knn_recall_sq8",
+    "docs_perplexity_buckets",
+    "ev_label_propagation",
+    "emb_knn_rerank",
+    "emb_knn_recall_rerank",
+    "ev_stream_stream_left_join",
 ]
 
 

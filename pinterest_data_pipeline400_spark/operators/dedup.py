@@ -1422,12 +1422,57 @@ def bottomk_pair_keys(sigs: DataFrame) -> DataFrame:
     )
 
 
+def bottomk_triple_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, pk): one row per unordered TRIPLE of bottom-k values —
+    the r=3 escalation of :func:`bottomk_pair_keys` (C(12,3)=220 keys
+    per doc instead of 66). A candidate now needs THREE shared
+    bottom-k values, so unrelated-collision probability drops from
+    ~lambda^2/2 to ~lambda^3/6 — the lever the r=2 docstring promises
+    for when corpus growth outpaces vocabulary growth. Docs with
+    fewer than 3 shingles emit no keys (no r=3 evidence exists;
+    the posting-join twin keeps recall 1.0 there)."""
+    triples = F.flatten(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bk") - 2),
+                lambda i: F.transform(
+                    F.sequence(i + F.lit(1), F.size("bk") - 1),
+                    lambda j: F.transform(
+                        F.sequence(j + F.lit(1), F.size("bk")),
+                        lambda l: F.md5(
+                            F.encode(
+                                F.concat(
+                                    F.element_at(F.col("bk"), i),
+                                    F.lit("|"),
+                                    F.element_at(F.col("bk"), j),
+                                    F.lit("|"),
+                                    F.element_at(F.col("bk"), l),
+                                ),
+                                "UTF-8",
+                            )
+                        ),
+                    ),
+                ),
+            )
+        )
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("bk") >= 3, triples).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pk"),
+    )
+
+
 def bottomk_verified_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     norm_col: str = "norm",
     k: int = BOTTOMK_K,
     eager: bool = True,
+    r: int = 2,
 ) -> DataFrame:
     """(doc_a, doc_b, c, n_a, n_b): candidate pairs from bottom-k pair
     banding with their EXACT shingle-set intersection and sizes — the
@@ -1441,9 +1486,11 @@ def bottomk_verified_pairs(
     signature cache is released after the (small) verified frame
     materializes — the dhash_near_dup_pairs discipline (ADVICE r9);
     ``eager=False`` keeps the lazy plan for shape assertions."""
+    if r not in (2, 3):
+        raise ValueError(f"bottom-k banding supports r in (2, 3), got {r}")
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sigs = bottomk_signatures(docs, id_col, norm_col, k).persist()
-    keys = bottomk_pair_keys(sigs)
+    keys = bottomk_pair_keys(sigs) if r == 2 else bottomk_triple_keys(sigs)
     cand = (
         keys.select(F.col("doc_id").alias("doc_a"), "pk")
         .join(keys.select(F.col("doc_id").alias("doc_b"), "pk"), on="pk")
@@ -1481,14 +1528,17 @@ def containment_sig_pairs(
     tau: float = DEFAULT_TAU_CONTAINMENT,
     k: int = BOTTOMK_K,
     eager: bool = True,
+    r: int = 2,
 ) -> DataFrame:
     """Signature-based asymmetric containment: same output contract as
     :func:`containment_pairs` (doc_a, doc_b, containment, jaccard at
     containment >= tau) but candidates come from bottom-k pair banding
     instead of the posting-list self-join — the scale-safe form on
     dense/saturated shingle spaces. No df cap: the exact verify sees
-    the full shingle sets."""
-    v = bottomk_verified_pairs(docs, id_col, norm_col, k, eager=eager)
+    the full shingle sets. ``r`` picks the banding order: 2 (value
+    pairs, the default) or 3 (value triples — the dense-corpus
+    escalation with ~lambda^3/6 collision probability)."""
+    v = bottomk_verified_pairs(docs, id_col, norm_col, k, eager=eager, r=r)
     return (
         v.select(
             "doc_a",
@@ -1533,10 +1583,28 @@ def ngram_jaccard_sig_pairs(
     )
 
 
-def bottomk_cand_ctes(parquet_path: str, norm_sql: str, k: int = BOTTOMK_K) -> str:
+def bottomk_cand_ctes(
+    parquet_path: str, norm_sql: str, k: int = BOTTOMK_K, r: int = 2
+) -> str:
     """CTE string (no leading WITH) ending in ``verified(doc_a, doc_b,
     c, n_a, n_b)`` — the DuckDB mirror of the bottom-k spine, generated
-    from the same k so sketch geometry cannot drift between engines."""
+    from the same (k, r) so sketch geometry cannot drift between
+    engines."""
+    if r == 2:
+        keys_cte = f"""keys AS (SELECT doc_id,
+                    unnest(flatten(list_transform(range(1, len(bk)), i ->
+                      list_transform(range(i + 1, len(bk) + 1), j ->
+                        md5(bk[i] || '|' || bk[j]))))) AS pk
+             FROM sigs WHERE len(bk) >= 2)"""
+    elif r == 3:
+        keys_cte = f"""keys AS (SELECT doc_id,
+                    unnest(flatten(flatten(list_transform(range(1, len(bk) - 1), i ->
+                      list_transform(range(i + 1, len(bk)), j ->
+                        list_transform(range(j + 1, len(bk) + 1), l ->
+                          md5(bk[i] || '|' || bk[j] || '|' || bk[l]))))))) AS pk
+             FROM sigs WHERE len(bk) >= 3)"""
+    else:
+        raise ValueError(f"bottom-k banding supports r in (2, 3), got {r}")
     return f"""src AS (SELECT doc_id, {norm_sql} AS norm
                  FROM read_parquet('{parquet_path}')),
     toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM src),
@@ -1548,11 +1616,7 @@ def bottomk_cand_ctes(parquet_path: str, norm_sql: str, k: int = BOTTOMK_K) -> s
     sigs AS (SELECT doc_id, sh, len(sh) AS n,
                     list_sort(list_transform(sh, s -> md5(s)))[1:{k}] AS bk
              FROM shingled),
-    keys AS (SELECT doc_id,
-                    unnest(flatten(list_transform(range(1, len(bk)), i ->
-                      list_transform(range(i + 1, len(bk) + 1), j ->
-                        md5(bk[i] || '|' || bk[j]))))) AS pk
-             FROM sigs WHERE len(bk) >= 2),
+    {keys_cte},
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM keys a JOIN keys b USING (pk)
              WHERE a.doc_id < b.doc_id),
@@ -1569,10 +1633,11 @@ def containment_sig_oracle_sql(
     norm_sql: str,
     tau: float = DEFAULT_TAU_CONTAINMENT,
     k: int = BOTTOMK_K,
+    r: int = 2,
 ) -> str:
     """DuckDB mirror of :func:`containment_sig_pairs`."""
     return f"""
-    WITH {bottomk_cand_ctes(parquet_path, norm_sql, k)}
+    WITH {bottomk_cand_ctes(parquet_path, norm_sql, k, r)}
     SELECT doc_a, doc_b,
            round(CAST(c AS DOUBLE) / least(n_a, n_b), 6) AS containment,
            round(CAST(c AS DOUBLE) / (n_a + n_b - c), 6) AS jaccard

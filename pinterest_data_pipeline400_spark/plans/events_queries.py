@@ -574,6 +574,98 @@ def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "ev_stream_stream_left_join",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                  - INTERVAL '{STREAM_WM_DELAY}' AS w),
+    m AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                 p.user_id, p.ts AS p_ts, c.ts AS c_ts
+          FROM p LEFT JOIN c
+            ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL {RANGE_WINDOW_SEC} SECOND
+           AND c.ts < p.ts)
+    SELECT purchase_id, click_id, user_id,
+           CAST(date_diff('second', c_ts, p_ts) AS BIGINT) AS gap_sec
+    FROM m CROSS JOIN wm
+    WHERE click_id IS NOT NULL OR p_ts <= wm.w""",
+    doc="STREAM-STREAM LEFT OUTER interval join — the semantics the "
+    "inner entry cannot show: a purchase with NO qualifying click "
+    "must still emit (null-extended), but only once the CLICK "
+    "watermark proves no future click can match (c_ts < p_ts means "
+    "eviction is safe when watermark >= p_ts). The drained "
+    "availableNow run therefore emits matches for every purchase but "
+    "null rows ONLY for purchases whose event time lies AT OR below "
+    "the FINAL global watermark = min(max p_ts, max c_ts) − "
+    f"{STREAM_WM_DELAY} (Spark's min-across-streams policy; the "
+    "trailing no-data micro-batch flushes eligible state) — purchases "
+    "inside the final watermark window hold their verdict for data "
+    "that could still arrive, exactly what a restarted stream would "
+    "resolve. The oracle encodes THAT rule literally: batch left "
+    "join, null rows filtered to p_ts <= final watermark — the "
+    "INCLUSIVE boundary pinned empirically by a pytest that plants a "
+    "purchase exactly at the final watermark — so the entry certifies "
+    "the eviction boundary itself, not just the happy path. State stays bounded on both sides by the range "
+    "condition + watermark, the production requirement for an "
+    "unbounded attribution join.",
+)
+def ev_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    in_dir, sink, ckpt = _stream_workdirs("ev_ssljoin", sf_dir)
+    shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        stream = _with_event_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir))
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", STREAM_WM_DELAY)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", STREAM_WM_DELAY)
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                f"""p_user = c_user
+                AND c_ts >= p_ts - INTERVAL {RANGE_WINDOW_SEC} SECONDS
+                AND c_ts < p_ts"""
+            ),
+            "leftOuter",
+        ).select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+            .cast("long")
+            .alias("gap_sec"),
+        )
+        query = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(query, "ev_stream_stream_left_join")
+    return spark.read.parquet(sink)
+
+
+@REGISTRY.register(
     "ev_salted_dim_join",
     oracle="""
     WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS w
@@ -4016,6 +4108,313 @@ def _pagerank_users_train_on(events: DataFrame, rounds: int = PR_ROUNDS) -> Data
     return out.select(F.col("node").alias("user_id"), *[
         f"pr_micro_r{i}" for i in range(1, rounds + 1)
     ]).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# graph structure: triangle counting + clustering coefficients on the
+# undirected user interaction graph (degree-ordered orientation)
+# --------------------------------------------------------------------------
+
+_TRI_CTES = """adj AS (SELECT user_id AS u,
+                    lead(user_id) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS v
+             FROM events),
+    und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+            FROM adj WHERE v IS NOT NULL AND u <> v),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS node FROM und
+                  UNION ALL SELECT b AS node FROM und)
+            GROUP BY node),
+    ori AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                        THEN u.a ELSE u.b END AS src,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                        THEN u.b ELSE u.a END AS dst,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                        THEN db.d ELSE da.d END AS dst_d
+            FROM und u JOIN deg da ON da.node = u.a
+                       JOIN deg db ON db.node = u.b),
+    tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+            FROM ori e1
+            JOIN ori e2 ON e2.src = e1.src
+                       AND (e1.dst_d < e2.dst_d
+                            OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))
+            JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    tn AS (SELECT x AS node FROM tri
+           UNION ALL SELECT y AS node FROM tri
+           UNION ALL SELECT z AS node FROM tri),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM tn GROUP BY node)"""
+
+
+def _user_graph_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(und, deg, tri_nodes): the undirected user interaction graph
+    (same adjacency as ev_pagerank_users: consecutive actors per
+    event-type stream, self-loops dropped, edges deduped), per-node
+    degrees, and one row per (triangle, member node). Triangle
+    enumeration uses DEGREE-ORDERED ORIENTATION (Cohen 2009 / the
+    MapReduce-era standard): orient every edge from the endpoint with
+    the smaller (degree, id) to the larger, so per-node out-degree is
+    bounded by O(sqrt(|E|)) and the wedge self-join — the only
+    quadratic-risk step — generates sum C(outdeg, 2) rows instead of
+    sum C(deg, 2), immune to hub skew. Each triangle {x<y<z} (in the
+    orientation order) is emitted exactly once as the wedge
+    (x->y, x->z) closed by the oriented edge y->z."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    adj = ev.withColumn("v", F.lead("user_id").over(w)).filter(
+        F.col("v").isNotNull() & (F.col("v") != F.col("user_id"))
+    )
+    und = adj.select(
+        F.least("user_id", "v").alias("a"), F.greatest("user_id", "v").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    lower = F.col("da") < F.col("db")
+    tie = (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    ori = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(lower | tie, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower | tie, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lower | tie, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+        )
+        .persist()  # edge-sized; reused three times in the wedge join
+    )
+    e1 = ori.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("dst_d").alias("y_d")
+    )
+    e2 = ori.select(
+        F.col("src"), F.col("dst").alias("z"), F.col("dst_d").alias("z_d")
+    )
+    wedges = e1.join(e2, on="src").filter(
+        (F.col("y_d") < F.col("z_d"))
+        | ((F.col("y_d") == F.col("z_d")) & (F.col("y") < F.col("z")))
+    )
+    tri = wedges.join(
+        ori.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        on=["y", "z"],
+    ).select(F.col("src").alias("x"), "y", "z")
+    tn = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return und, deg, tn
+
+
+@REGISTRY.register(
+    "ev_triangle_counts",
+    oracle=f"""
+    WITH {_TRI_CTES}
+    SELECT d.node AS user_id, d.d AS degree,
+           coalesce(tc.tri, 0) AS triangles,
+           CASE WHEN d.d >= 2
+                THEN round(2.0 * coalesce(tc.tri, 0) / (d.d * (d.d - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+    ORDER BY user_id""",
+    doc="GRAPH STRUCTURE: per-user triangle counts and local "
+    "clustering coefficient (2*tri / deg*(deg-1)) on the undirected "
+    "user interaction graph — the same adjacency spine as "
+    "ev_pagerank_users (consecutive actors per event-type stream), "
+    "undirected and deduped. Triangles are the workhorse graph "
+    "statistic for community cohesion, spam/bot screens (bots embed "
+    "in star patterns: high degree, near-zero lcc — compare "
+    "ev_bot_screen's behavioral axis), and feature engineering. "
+    "Scale shape: DEGREE-ORDERED ORIENTATION (orient each edge "
+    "toward the higher-(degree, id) endpoint) bounds per-node "
+    "out-degree by O(sqrt(|E|)), so the wedge self-join — the only "
+    "step that could go quadratic — generates sum C(outdeg, 2) rows "
+    "regardless of hub skew; closing edges are found by one hash "
+    "equi-join on (y, z), never a cartesian. All-integer counts; the "
+    "only doubles are the final rounded coefficients, identical on "
+    "both engines. Nodes with no surviving edge do not appear "
+    "(degree is over the deduped undirected graph).",
+)
+def ev_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, deg, tn = _user_graph_frames(spark, sf_dir)
+    tc = tn.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    return (
+        deg.join(tc, on="node", how="left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("tri", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@REGISTRY.register(
+    "ev_graph_transitivity",
+    oracle=f"""
+    WITH {_TRI_CTES},
+    s AS (SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+                 CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+                 CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+                 CAST((SELECT coalesce(sum(d * (d - 1) / 2), 0) FROM deg)
+                      AS BIGINT) AS n_wedges)
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS transitivity
+    FROM s""",
+    doc="GRAPH STRUCTURE (global): node/edge/triangle/wedge counts "
+    "and transitivity (3*triangles / wedges — the global clustering "
+    "coefficient) of the user interaction graph, one row. The "
+    "single-number cohesion gauge next to ev_triangle_counts' "
+    "per-node view: random interaction graphs sit near deg/n, social "
+    "graphs far above — a drift in transitivity between corpus "
+    "snapshots is a structural data-quality signal no row-level "
+    "screen sees. Costs one count over each of the frames the "
+    "per-node entry already builds; wedge count is an integer "
+    "aggregate over the degree table (d*(d-1)/2 is exact in int64 "
+    "for any realistic degree).",
+)
+def ev_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg, tn = _user_graph_frames(spark, sf_dir)
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = tn.agg((F.count(F.lit(1)) / 3).cast("long").alias("n_triangles"))
+    n_wedges = deg.agg(
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(n_wedges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# graph communities: synchronous label propagation (LPA)
+# --------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB mirror of the synchronous LPA loop (the
+    _pagerank_oracle_sql idiom — one generator, both engines)."""
+    parts = [
+        """adj AS (SELECT user_id AS u,
+                    lead(user_id) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS v
+             FROM events)""",
+        """und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+            FROM adj WHERE v IS NOT NULL AND u <> v)""",
+        """nb AS (SELECT a AS node, b AS nbr FROM und
+           UNION ALL SELECT b AS node, a AS nbr FROM und)""",
+        """l_0 AS (SELECT DISTINCT node, node AS label FROM nb)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    cnt_{t} AS (SELECT n.node, l.label, CAST(count(*) AS BIGINT) AS c
+                FROM nb n JOIN l_{t - 1} l ON l.node = n.nbr
+                GROUP BY n.node, l.label),
+    l_{t} AS (SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM cnt_{t}) WHERE rn = 1)""")
+    return ",\n    ".join(parts)
+
+
+@REGISTRY.register(
+    "ev_label_propagation",
+    oracle=f"""
+    WITH {_lpa_oracle_sql(LPA_ROUNDS)}
+    SELECT l1.node AS user_id,
+           l1.label AS label_r1, l2.label AS label_r2, l3.label AS label_r3
+    FROM l_1 l1 JOIN l_2 l2 ON l2.node = l1.node
+                JOIN l_3 l3 ON l3.node = l1.node
+    ORDER BY user_id""",
+    doc=f"GRAPH COMMUNITIES: synchronous label propagation (Raghavan "
+    f"et al. 2007), {LPA_ROUNDS} rounds on the same undirected user "
+    "interaction graph as ev_triangle_counts — every node starts as "
+    "its own label and each round adopts the MOST FREQUENT label "
+    "among its neighbors (deterministic: count desc, then smallest "
+    "label — classic async/random LPA is irreproducible, so this is "
+    "the sync variant a distributed engine actually runs). All three "
+    "rounds emitted so convergence is visible, completing the "
+    "iterative-graph family (PageRank = random surfer, HITS = "
+    "hub/authority, CC = reachability, triangles = local structure, "
+    "LPA = mesoscale communities). Scale shape: the per-round cost is "
+    "ONE edge-sized hash join (labels onto the neighbor list, "
+    "pre-partitioned and persisted once) + one (node, label) "
+    "aggregate + one per-node window top-1 — identical to the "
+    "ev_pagerank_users discipline (no broadcast hint on the "
+    "corpus-sized label table, localCheckpoint lineage cuts per "
+    "round); all-integer labels, no floats anywhere.",
+)
+def ev_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, _, _ = _user_graph_frames(spark, sf_dir)
+    nb = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("nbr")
+        .persist()
+    )
+    lab = nb.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    rounds = []
+    for _ in range(LPA_ROUNDS):
+        lab = lab.localCheckpoint()  # |users| rows; cuts per-round lineage
+        cnt = (
+            nb.join(
+                lab.select(F.col("node").alias("nbr"), "label"), on="nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        rounds.append(lab)
+    out = rounds[0].select("node", F.col("label").alias("label_r1"))
+    for i, r in enumerate(rounds[1:], start=2):
+        out = out.join(
+            r.select("node", F.col("label").alias(f"label_r{i}")), on="node"
+        )
+    return out.select(
+        F.col("node").alias("user_id"),
+        *[f"label_r{i}" for i in range(1, LPA_ROUNDS + 1)],
+    ).orderBy("user_id")
 
 
 # --------------------------------------------------------------------------

@@ -484,6 +484,67 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "docs_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id, token),
+    vocab AS (SELECT token, CAST(sum(n) AS BIGINT) AS c FROM tf GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+    scored AS (SELECT f.doc_id,
+                      round(sum(f.n * log10(CAST(v.c AS DOUBLE) / total.t))
+                            / sum(f.n), 6) AS avg_logprob
+               FROM tf f JOIN vocab v USING (token) CROSS JOIN total
+               GROUP BY f.doc_id),
+    b AS (SELECT d.doc_id, d.source, s.avg_logprob,
+                 ntile(3) OVER (PARTITION BY d.source
+                                ORDER BY s.avg_logprob DESC, d.doc_id ASC)
+                   AS nt
+          FROM documents d JOIN scored s ON s.doc_id = d.doc_id)
+    SELECT doc_id, source, avg_logprob,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM b""",
+    doc="CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): score "
+    "every document with the self-trained unigram LM "
+    "(docs_unigram_logprob's spine) and split each SOURCE into "
+    "head/middle/tail terciles by LM score — the exact mechanism "
+    "CCNet uses to stratify CommonCrawl by a Wikipedia-LM perplexity "
+    "before sampling mostly from the head. Bucketing is PER SOURCE "
+    "(ntile(3) over a source-partitioned window, score-then-doc_id "
+    "ordering so ties are deterministic), because perplexity is only "
+    "comparable within a domain — a code corpus scores differently "
+    "from news, and a global cut would just rank domains. Downstream, "
+    "docs_temperature_mix / docs_mixture_resample consume these "
+    "labels as sampling strata. Scale shape: one (doc, token) "
+    "aggregate + a vocab join (the unigram spine, shared and "
+    "disk-cached at the plan level by Spark's exchange reuse), then "
+    "one window sort per source partition — no new corpus scan, no "
+    "driver-side anything.",
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = unigram_scored(spark, sf_dir).select("doc_id", "avg_logprob")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    nt = F.ntile(3).over(w)
+    return (
+        docs.join(scored, on="doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "avg_logprob",
+            F.when(nt == 1, F.lit("head"))
+            .when(nt == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -2724,6 +2785,267 @@ def emb_scalar_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_CODE_CTES = f"""el AS (SELECT vec_id,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                         AS val
+                FROM embeddings),
+    st AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM el GROUP BY dim),
+    codes AS (SELECT e.vec_id, e.dim,
+                     CASE WHEN s.mx = s.mn THEN 0
+                          ELSE CAST(round((e.val - s.mn) / (s.mx - s.mn)
+                                          * {_SQ_LEVELS}) AS BIGINT)
+                     END AS code
+              FROM el e JOIN st s USING (dim))"""
+
+def _sq8_knn_sql(k: int) -> str:
+    """DuckDB SQL for SQ8 top-k — parameterized by k so the search
+    entry (k = K_NEIGHBORS) and the rerank pipeline's candidate stage
+    (k = RERANK_CANDIDATES) share one generator."""
+    return f"""
+    WITH {_SQ8_CODE_CTES},
+    pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     CAST(sum((e.code - q.code) * (e.code - q.code)) AS BIGINT)
+                       AS sqd2
+              FROM codes e JOIN codes q ON q.dim = e.dim
+              WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id
+              GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sqd2 ASC,
+                                                     neighbor_id ASC) AS rn
+               FROM pairs)
+    SELECT query_id, neighbor_id, sqd2, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {k}"""
+
+
+_SQ8_KNN_SQL = _sq8_knn_sql(K_NEIGHBORS)
+
+
+@REGISTRY.register(
+    "emb_knn_sq8",
+    oracle=_SQ8_KNN_SQL,
+    doc="SCALAR-QUANTIZED (int8-style) kNN — the SEARCH half of "
+    "emb_scalar_quantize_error, completing the quantization story the "
+    "way emb_knn_pq_adc completes emb_pq_error: the corpus is encoded "
+    "ONCE to per-dimension uint8 codes (4x memory cut; min/max scaling "
+    f"over {_SQ_LEVELS} levels from a |dims|-row broadcast stats "
+    "table), and every distance evaluation is a symmetric "
+    "sum-of-squared-code-diffs in PURE int64 arithmetic — exact on "
+    "both engines, no float anywhere after encoding. This is the "
+    "compression production ANN stacks (FAISS SQ8, Lucene/Elastic "
+    "int8 HNSW) apply before anything else, because unlike PQ it "
+    "costs almost no recall on well-spread dimensions — "
+    "emb_knn_recall_sq8 measures exactly that next to PQ's 0.125. "
+    "Scale shape: the code table is the scan target (a quarter the "
+    "bytes of the float corpus), queries broadcast as code arrays, "
+    "distance is one JVM zip_with/aggregate fold per (query, "
+    "candidate) — the linear-scan baseline whose IVF composition "
+    "(emb_knn_ivf's cells over THESE codes) is the documented 100 TB "
+    "path. Top-k by (distance, neighbor_id) with the family's "
+    "standard tiebreak.",
+)
+def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_topk_frame(_embs(spark, sf_dir), K_NEIGHBORS)
+
+
+def _sq8_topk_frame(embs: DataFrame, k: int) -> DataFrame:
+    """SQ8 top-k over an embeddings frame — shared by the search entry
+    and the rerank pipeline's candidate stage."""
+    el = embs.select("vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val"))
+    st = el.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    stat_row = st.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda x: x.mn).alias("mn_arr"),
+        F.transform("s", lambda x: x.mx).alias("mx_arr"),
+    )
+    enc = embs.crossJoin(F.broadcast(stat_row)).select(
+        "vec_id",
+        F.expr(
+            f"""transform(transform(embedding, x -> CAST(x AS DOUBLE)),
+                 (x, i) -> CASE WHEN mx_arr[i] = mn_arr[i] THEN 0L
+                                ELSE CAST(round((x - mn_arr[i])
+                                                / (mx_arr[i] - mn_arr[i])
+                                                * {_SQ_LEVELS}) AS BIGINT)
+                           END)"""
+        ).alias("code"),
+    )
+    queries = enc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    )
+    pairs = (
+        enc.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("code", "qcode", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sqd2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sqd2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sqd2", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@REGISTRY.register(
+    "emb_knn_recall_sq8",
+    # composes the two search oracles verbatim (the emb_knn_recall_pq
+    # rule) so any semantic change to either flows into the evaluation
+    oracle=f"""
+    WITH bf AS ({REGISTRY.oracles()["emb_knn_bruteforce"]}),
+    sq AS ({_SQ8_KNN_SQL})
+    SELECT b.query_id,
+           CAST(count(s.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(s.neighbor_id) AS DOUBLE) / {K_NEIGHBORS}, 6)
+             AS recall_at_k
+    FROM bf b LEFT JOIN sq s
+      ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id""",
+    doc="Recall@k of the SQ8 compressed-domain search against the "
+    "exact cosine brute force — the number that justifies scalar "
+    "quantization as the free first compression step: SQ8 preserves "
+    "per-dimension resolution (254 levels each) where PQ collapses "
+    "8-dim subspaces to 16 codewords, so recall should sit far above "
+    "emb_knn_recall_pq's 0.125 at a quarter (vs PQ's 1/32) of the "
+    "memory. Note the honest metric mismatch (the recall_pq "
+    "discipline): SQ8 ranks by L2 in code space while the baseline "
+    "ranks exact cosine, so this gauge prices quantization AND the "
+    "metric gap together — what a deployment actually sees. Bounded "
+    "k-row relations joined per query; costs nothing beyond the two "
+    "searches.",
+)
+def emb_knn_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = emb_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    sq = emb_knn_sq8(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(sq, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(K_NEIGHBORS), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+RERANK_CANDIDATES = 16
+
+
+@REGISTRY.register(
+    "emb_knn_rerank",
+    oracle=f"""
+    WITH cand AS ({_sq8_knn_sql(RERANK_CANDIDATES)}),
+    scored AS (SELECT c.query_id, c.neighbor_id,
+                      round(list_cosine_similarity(
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6)
+                        AS cosine
+               FROM cand c
+               JOIN embeddings e ON e.vec_id = c.neighbor_id
+               JOIN embeddings q ON q.vec_id = c.query_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC,
+                                                     neighbor_id ASC) AS rn
+               FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {K_NEIGHBORS}""",
+    doc="TWO-STAGE RETRIEVE-THEN-RERANK — the pattern every production "
+    "vector-serving stack actually runs (coarse ANN over compressed "
+    f"codes pulls a candidate pool, exact float math reranks it): "
+    f"stage 1 takes the top-{RERANK_CANDIDATES} per query by SQ8 "
+    "squared-code distance (emb_knn_sq8's spine — a quarter of the "
+    "scan bytes), stage 2 fetches ONLY those candidates' float "
+    f"vectors by id and reranks by exact cosine to the final "
+    f"top-{K_NEIGHBORS}. The economics at 100 TB: the expensive exact "
+    f"math touches {RERANK_CANDIDATES} rows per query instead of the "
+    "corpus, and the float corpus is accessed by an id hash-join "
+    "(point lookups against the primary store), never scanned — the "
+    "compressed code table is the only full-scan structure. "
+    "emb_knn_recall_rerank measures how much of brute-force recall "
+    "the pipeline retains (candidate recall is the only loss; the "
+    "rerank itself is exact). Composes verbatim with the IVF family: "
+    "swap stage 1 for cell-probed candidates at corpus scale.",
+)
+def emb_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    cand = _sq8_topk_frame(embs, RERANK_CANDIDATES).select("query_id", "neighbor_id")
+    nvec = embs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb"))
+    qvec = embs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    scored = (
+        cand.join(nvec, on="neighbor_id")
+        .join(F.broadcast(qvec), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(_as_double(F.col("nemb")), _as_double(F.col("qemb"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@REGISTRY.register(
+    "emb_knn_recall_rerank",
+    oracle=f"""
+    WITH bf AS ({REGISTRY.oracles()["emb_knn_bruteforce"]}),
+    rr AS ({REGISTRY.oracles()["emb_knn_rerank"]})
+    SELECT b.query_id,
+           CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(r.neighbor_id) AS DOUBLE) / {K_NEIGHBORS}, 6)
+             AS recall_at_k
+    FROM bf b LEFT JOIN rr r
+      ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id""",
+    doc="Recall@k of the SQ8-retrieve + exact-cosine-rerank pipeline "
+    "against pure brute force — the gauge that shows WHY two-stage "
+    "serving works: rerank recall is bounded only by whether the true "
+    f"top-{K_NEIGHBORS} survive the top-{RERANK_CANDIDATES} candidate "
+    "cut (the rerank stage is exact), so it should recover most of "
+    "the gap between emb_knn_recall_sq8 (single-stage compressed, "
+    "0.875 measured) and 1.0 — pytest pins rerank >= single-stage on "
+    "the fixture. At production scale this is the knob ladder: raise "
+    "candidates for recall, shrink for latency, swap stage 1 for IVF "
+    "cells when the corpus outgrows a full code scan.",
+)
+def emb_knn_recall_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = emb_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    rr = emb_knn_rerank(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(rr, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(K_NEIGHBORS), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 @REGISTRY.register(
     "docs_minhash_jaccard_est",
     oracle=minhash_estimate_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL),
@@ -2971,10 +3293,19 @@ def docs_dup_ngram_sig_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the gauge isolates exactly the candidate-generation miss rate.",
 )
 def docs_containment_sig_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _containment_sig_recall_frame(spark, sf_dir, r=2)
+
+
+def _containment_sig_recall_frame(
+    spark: SparkSession, sf_dir: str, r: int
+) -> DataFrame:
+    """Shared per-ratio recall gauge over the planted doc-in-doc
+    fixture, parameterized by the banding order r so the r=2 and r=3
+    gauges cannot drift structurally."""
     fx = fixture_dir_for(sf_dir)
     con = spark.read.parquet(os.path.join(fx, "docs_contain.parquet"))
     normed = con.select("doc_id", norm_text(F.col("text")).alias("norm"))
-    det = containment_sig_pairs(normed).select("doc_a", "doc_b")
+    det = containment_sig_pairs(normed, r=r).select("doc_a", "doc_b")
     planted = con.filter(F.col("ratio") > 0).select(
         F.col("src_id").alias("doc_a"),
         F.col("doc_id").alias("doc_b"),
@@ -2992,6 +3323,68 @@ def docs_containment_sig_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@REGISTRY.register(
+    "docs_dup_containment_sig3",
+    oracle=containment_sig_oracle_sql(
+        f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL, r=3
+    ),
+    doc="R=3 ESCALATION of the signature containment detector — the "
+    "lever docs_dup_containment_sig's docstring promises for when "
+    "corpus growth outpaces vocabulary growth: candidates need THREE "
+    "shared bottom-k values (C(12,3)=220 md5-compressed value-TRIPLE "
+    "keys per doc instead of 66 pairs), so unrelated-collision "
+    "probability drops from ~lambda^2/2 to ~lambda^3/6 — on a corpus "
+    "where the r=2 sketch's candidate volume starts growing "
+    "super-linearly, r=3 buys back a factor of ~lambda/3 in candidate "
+    "count for a 3.3x larger (but still constant-width) key explode. "
+    "Same exact verify (array_intersect on full shingle sets) and "
+    "output contract as the r=2 form, so surviving values are "
+    "identical; the pair SET is a subset of the r=2 set by "
+    "construction (any 3 shared values contain a shared pair), pinned "
+    "in pytest. Candidate recall price: P(Binom(12, C/R) >= 3) — "
+    "~0.98 at ratio 2, 0.61 at 4, 0.25 at 8 vs the r=2 curve's "
+    "1.0/0.84/0.45, measured per-ratio in docs_containment_sig3_recall "
+    "— the same recall-for-collision-safety trade the embedding "
+    "banding makes when it widens band bits with log(corpus).",
+)
+def docs_dup_containment_sig3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return containment_sig_pairs(normed, r=3)
+
+
+@REGISTRY.register(
+    "docs_containment_sig3_recall",
+    oracle=f"""
+    WITH {bottomk_cand_ctes(f"{_ORACLE_FX}/docs_contain.parquet", _NORM_SQL, r=3)},
+    det AS (SELECT doc_a, doc_b FROM verified
+            WHERE round(CAST(c AS DOUBLE) / least(n_a, n_b), 6) >= 0.8),
+    pl AS (SELECT src_id AS doc_a, doc_id AS doc_b, ratio
+           FROM read_parquet('{_ORACLE_FX}/docs_contain.parquet')
+           WHERE ratio > 0),
+    hit AS (SELECT pl.ratio,
+                   CASE WHEN det.doc_a IS NULL THEN 0 ELSE 1 END AS found
+            FROM pl LEFT JOIN det
+              ON det.doc_a = pl.doc_a AND det.doc_b = pl.doc_b)
+    SELECT CAST(ratio AS BIGINT) AS ratio,
+           CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(sum(found) AS BIGINT) AS n_found,
+           round(CAST(sum(found) AS DOUBLE) / count(*), 6) AS recall
+    FROM hit GROUP BY ratio""",
+    doc="Measured-recall gauge for the r=3 signature containment "
+    "escalation on the same planted doc-in-doc fixture as "
+    "docs_containment_sig_recall — the analytic curve drops to "
+    "P(Binom(12, 1/R) >= 3) (~0.98 at R=2, 0.61 at R=4, 0.25 at R=8), "
+    "and this entry is the proof the escalation's recall price is a "
+    "measured number, not a claim. Read the two gauges side by side "
+    "to pick the banding order for a corpus: r=2 when candidates are "
+    "manageable, r=3 plus a larger k (or LSH-Ensemble size "
+    "stratification) when they are not.",
+)
+def docs_containment_sig3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _containment_sig_recall_frame(spark, sf_dir, r=3)
 
 
 @REGISTRY.register(

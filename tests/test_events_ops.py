@@ -765,3 +765,183 @@ def test_holt_winters_short_span_falls_back_to_s0(spark, tmp_path):
         k = (es[-1] + h) % per
         # unobserved hour-of-week keys seed at deviation 0
         assert int(r.season_milli) == s0.get(k, 0)
+
+
+def test_triangle_counts_match_python_recompute(spark):
+    """Independent recompute of the triangle/lcc entry with plain
+    python sets: rebuild the undirected interaction graph from the
+    same lead-per-type adjacency, count triangles per node by
+    neighbor-set intersection over each edge, and compare every
+    (degree, triangles, lcc) row exactly. Also pins the global
+    transitivity entry against the same recompute."""
+    from collections import defaultdict
+
+    ev = _events_pdf(spark).sort_values(["event_type", "ts", "event_id"])
+    edges = set()
+    for _, grp in ev.groupby("event_type"):
+        users = grp.user_id.tolist()
+        for u, v in zip(users, users[1:]):
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    tri = defaultdict(int)
+    n_tri = 0
+    for a, b in edges:  # each triangle counted once per its 3 edges
+        common = nbrs[a] & nbrs[b]
+        n_tri += len(common)
+        for c in common:
+            pass
+    n_tri //= 3
+    for a, b in edges:
+        for c in nbrs[a] & nbrs[b]:
+            tri[c] += 1  # each triangle hits each member via 1 opposite edge
+    out = eq.ev_triangle_counts(spark, TEST_SF_DIR).toPandas()
+    assert len(out) == len(nbrs)
+    for r in out.itertuples():
+        d = len(nbrs[r.user_id])
+        assert r.degree == d
+        assert r.triangles == tri[r.user_id], (r.user_id, r.triangles, tri[r.user_id])
+        want_lcc = round(2.0 * tri[r.user_id] / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert abs(r.lcc - want_lcc) < 1e-9
+
+    g = eq.ev_graph_transitivity(spark, TEST_SF_DIR).toPandas().iloc[0]
+    assert int(g.n_nodes) == len(nbrs)
+    assert int(g.n_edges) == len(edges)
+    assert int(g.n_triangles) == n_tri
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in nbrs.values())
+    assert int(g.n_wedges) == wedges
+    want_t = round(3.0 * n_tri / wedges, 6) if wedges else 0.0
+    assert abs(float(g.transitivity) - want_t) < 1e-9
+
+
+def test_triangle_plan_is_oriented_hash_join(spark):
+    """Scale contract: the wedge join and the closing-edge join are
+    hash equi-joins — no cartesian, no broadcast nested loop, no
+    Python — and the orientation bound makes the wedge stage
+    sum C(outdeg, 2), not sum C(deg, 2)."""
+    plan = _plan(eq.ev_triangle_counts(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_label_propagation_matches_python_recompute(spark):
+    """Independent recompute of synchronous LPA with dicts/Counters:
+    same graph, same (count desc, min label) tiebreak, all three
+    rounds compared exactly."""
+    from collections import Counter, defaultdict
+
+    ev = _events_pdf(spark).sort_values(["event_type", "ts", "event_id"])
+    edges = set()
+    for _, grp in ev.groupby("event_type"):
+        users = grp.user_id.tolist()
+        for u, v in zip(users, users[1:]):
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    lab = {n: n for n in nbrs}
+    want_rounds = []
+    for _ in range(3):
+        new = {}
+        for n, ns in nbrs.items():
+            counts = Counter(lab[m] for m in ns)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+        want_rounds.append(dict(lab))
+
+    out = eq.ev_label_propagation(spark, TEST_SF_DIR).toPandas()
+    assert len(out) == len(nbrs)
+    for r in out.itertuples():
+        assert (r.label_r1, r.label_r2, r.label_r3) == (
+            want_rounds[0][r.user_id],
+            want_rounds[1][r.user_id],
+            want_rounds[2][r.user_id],
+        ), r.user_id
+
+
+def _write_events_parquet(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["event_id"] = pdf.event_id.astype("int64")
+    pdf["user_id"] = pdf.user_id.astype("int64")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
+    )
+
+
+def test_stream_left_join_watermark_boundary(spark, tmp_path):
+    """Pins the eviction boundary the oracle encodes: with watermark
+    delay 10 min and max event time 12:00 on both streams, the final
+    global watermark is 11:50 — an unmatched purchase AT 11:50:00
+    emits its null row (INCLUSIVE boundary), one at 11:55 is held for
+    a future batch, and a matched purchase emits regardless."""
+    import os
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 11, 49, 59), 100, "purchase", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 11, 50, 0), 101, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 11, 55, 0), 102, "purchase", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 12, 0, 0), 103, "purchase", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 12, 0, 0), 104, "click", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 11, 59, 0), 103, "click", 1.0, "{}"),
+    ]
+    _write_events_parquet(os.path.join(tmp_path, "events.parquet"), rows)
+    out = (
+        eq.ev_stream_stream_left_join(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("purchase_id")
+    )
+    got = {int(r.purchase_id): r.click_id for r in out.itertuples()}
+    assert set(got) == {1, 2, 4}  # 3 held (above watermark), 4 matched
+    assert pd.isna(got[1]) and pd.isna(got[2])
+    assert int(got[4]) == 6
+
+
+def test_stream_left_join_matches_batch_recompute(spark):
+    """Independent pandas recompute of the drained left-outer result
+    on the real fixture: batch left interval join, null rows kept only
+    for purchases at or below min(max p_ts, max c_ts) - 10 min."""
+    ev = _events_pdf(spark)
+    p = ev[ev.event_type == "purchase"]
+    c = ev[ev.event_type == "click"]
+    wm = min(p.ts.max(), c.ts.max()) - pd.Timedelta(minutes=10)
+    want = set()
+    for r in p.itertuples():
+        m = c[
+            (c.user_id == r.user_id)
+            & (c.ts >= r.ts - pd.Timedelta(seconds=600))
+            & (c.ts < r.ts)
+        ]
+        if len(m):
+            for cr in m.itertuples():
+                want.add((r.event_id, cr.event_id))
+        elif r.ts <= wm:
+            want.add((r.event_id, None))
+    out = eq.ev_stream_stream_left_join(spark, TEST_SF_DIR).toPandas()
+    got = {
+        (int(r.purchase_id), None if pd.isna(r.click_id) else int(r.click_id))
+        for r in out.itertuples()
+    }
+    assert got == want
