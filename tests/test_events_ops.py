@@ -223,7 +223,11 @@ def test_stream_upsert_multi_batch_and_idempotent(spark):
     got = out.set_index("event_type")["n_events"]
     assert got.sort_index().tolist() == exact.sort_index().tolist()
 
-    base = f"/tmp/spark_graft_stream/ev_upsert_{os.path.basename(TEST_SF_DIR)}"
+    from pinterest_data_pipeline400_spark.session import SCRATCH_ROOT
+
+    base = os.path.join(
+        SCRATCH_ROOT, "stream", f"ev_upsert_{os.path.basename(TEST_SF_DIR)}"
+    )
     offsets = [f for f in os.listdir(os.path.join(base, "ckpt", "offsets"))
                if not f.startswith(".")]
     assert len(offsets) >= 2, "expected multiple micro-batches"

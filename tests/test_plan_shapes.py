@@ -1032,3 +1032,29 @@ def test_geo_near_pairs_exact_vs_bruteforce_and_equi_join(spark):
     plan = _plan(pq.geo_near_pairs(spark, TEST_SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_lpa_and_perplexity_plans_are_hash_joins(spark):
+    """Scale contracts for the round-10 additions that lack a
+    dedicated plan test: LPA's per-round label join and the
+    perplexity-bucket window must compile to hash joins / window
+    exec — no cartesian, no broadcast nested loop, no Python on the
+    path. (The SQ8/rerank family's broadcast crossJoin of the tiny
+    query side is the designed BNLJ baseline, same as
+    emb_knn_bruteforce, so it is exempt by design.)"""
+    from pinterest_data_pipeline400_spark.plans import events_queries as eq
+    from pinterest_data_pipeline400_spark.plans import training_data as td
+    from tests.conftest import TEST_SF_DIR
+
+    for df in (
+        eq.ev_label_propagation(spark, TEST_SF_DIR),
+        td.docs_perplexity_buckets(spark, TEST_SF_DIR),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "PythonUDF" not in plan and "MapInPandas" not in plan
+    lpa_plan = (
+        eq.ev_label_propagation(spark, TEST_SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in lpa_plan
