@@ -78,6 +78,8 @@ GRADE_WINDOW = [
     "emb_knn_rerank",
     "emb_knn_recall_rerank",
     "ev_stream_stream_left_join",
+    "ev_wilson_ctr",
+    "orders_gini_spend",
 ]
 
 

@@ -3442,6 +3442,78 @@ UPLIFT_METRIC_TYPE = "purchase"
 WELCH_T_GATE = 1.96  # two-sided p<0.05 for large n
 
 
+WILSON_Z = "1.96"  # 95% normal quantile as a literal: both engines parse the SAME double
+
+
+@REGISTRY.register(
+    "ev_wilson_ctr",
+    oracle=f"""
+    WITH pop AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+                 FROM events),
+    conv AS (SELECT event_type,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS c
+             FROM events GROUP BY event_type),
+    t AS (SELECT event_type, n, c,
+                 CAST(c AS DOUBLE) / n AS p,
+                 CAST({WILSON_Z} * {WILSON_Z} AS DOUBLE) / n AS zz_n
+          FROM conv CROSS JOIN pop)
+    SELECT event_type,
+           n AS n_users, c AS n_converted,
+           round(p, 6) AS p_hat,
+           round((p + zz_n / 2 - {WILSON_Z}
+                  * sqrt(p * (1 - p) / n + zz_n / n / 4))
+                 / (1 + zz_n), 6) AS wilson_lo,
+           round((p + zz_n / 2 + {WILSON_Z}
+                  * sqrt(p * (1 - p) / n + zz_n / n / 4))
+                 / (1 + zz_n), 6) AS wilson_hi
+    FROM t ORDER BY event_type""",
+    doc="WILSON SCORE INTERVALS for per-type conversion rates — the "
+    "uncertainty readout the A/B family (SRM check, uplift, CUPED, "
+    "KS, bootstrap) was missing for RATE metrics: converted users / "
+    "assigned population per event type with a 95% Wilson interval, "
+    "the binomial interval that behaves at small n and extreme p "
+    "where the naive Wald interval collapses (Wilson 1927; what "
+    "every experimentation platform reports for CTR-style metrics). "
+    "Determinism: numerator and denominator are exact distinct "
+    "counts; the interval is one identical double expression per "
+    "engine from those two integers (z = 1.96 as a shared literal). "
+    "Scale shape: one distinct-user aggregate per type (map-side "
+    "combinable; swaps to HLL under the documented sketch switch at "
+    "100 TB where exactness stops mattering) + a broadcast 1-row "
+    "population count.",
+)
+def ev_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    pop = ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
+    conv = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("c")
+    )
+    z = F.expr(WILSON_Z)
+    t = conv.crossJoin(F.broadcast(pop)).select(
+        "event_type",
+        "n",
+        "c",
+        (F.col("c").cast("double") / F.col("n")).alias("p"),
+        ((z * z).cast("double") / F.col("n")).alias("zz_n"),
+    )
+    half = z * F.sqrt(
+        F.col("p") * (1 - F.col("p")) / F.col("n")
+        + F.col("zz_n") / F.col("n") / 4
+    )
+    return t.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("c").alias("n_converted"),
+        F.round("p", 6).alias("p_hat"),
+        F.round(
+            (F.col("p") + F.col("zz_n") / 2 - half) / (1 + F.col("zz_n")), 6
+        ).alias("wilson_lo"),
+        F.round(
+            (F.col("p") + F.col("zz_n") / 2 + half) / (1 + F.col("zz_n")), 6
+        ).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
 @REGISTRY.register(
     "ev_abtest_uplift",
     oracle=f"""

@@ -999,6 +999,70 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "orders_gini_spend",
+    oracle="""
+    WITH spend AS (SELECT o_custkey AS custkey,
+                          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM orders GROUP BY o_custkey),
+    r AS (SELECT cents,
+                 CAST(row_number() OVER (ORDER BY cents ASC, custkey ASC)
+                      AS BIGINT) AS rk
+          FROM spend),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS tot,
+                 CAST(sum(rk * cents) AS BIGINT) AS rksum
+          FROM r)
+    SELECT n AS n_customers, tot AS total_cents,
+           round(CAST(2 * rksum AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM s""",
+    doc="GINI COEFFICIENT of customer spend concentration — the "
+    "single-number inequality gauge beside orders_pareto_share's "
+    "whale curve (0 = everyone spends alike, 1 = one customer is the "
+    "business; the standard rank formula G = 2*sum(i*x_i)/(n*sum x) "
+    "- (n+1)/n over ascending spend). Drift in G between corpus "
+    "snapshots is a one-row portfolio-health tripwire the per-segment "
+    "Pareto table is too wide to alarm on. Determinism: integer cents, "
+    "integer ranks (ties broken by custkey identically on both "
+    "engines — with tied x the formula is invariant to which tied row "
+    "gets which rank, since it depends on ties only through their "
+    "rank SUM, but the pinned order makes the intermediate frame "
+    "hash-identical too), one double expression at the end. Scale "
+    "shape + int64 headroom: rank*cents peaks at n*max_cents (~1e9 "
+    "customers x ~1e9 cents overflows int64 — at that scale re-grain "
+    "to whole currency units and/or compute G from the "
+    "quantile-binned Lorenz curve, the same documented switch as the "
+    "percentile family); the global row_number needs one sort, the "
+    "same caveat as orders_spend_percentile.",
+)
+def orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("custkey").asc())
+    r = spend.select("cents", F.row_number().over(w).cast("long").alias("rk"))
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("rk") * F.col("cents")).cast("long").alias("rksum"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("tot").alias("total_cents"),
+        F.round(
+            (2 * F.col("rksum")).cast("double")
+            / (F.col("n").cast("double") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@REGISTRY.register(
     "q_promo_revenue_share",
     oracle=f"""
     WITH j AS (SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m')

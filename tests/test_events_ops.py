@@ -949,3 +949,29 @@ def test_stream_left_join_matches_batch_recompute(spark):
         for r in out.itertuples()
     }
     assert got == want
+
+
+def test_wilson_ctr_matches_scipy_style_recompute(spark):
+    """Independent recompute of the Wilson intervals in plain python
+    floats (same z = 1.96), plus the structural contracts: interval
+    brackets p_hat, stays within [0, 1], and is narrower than the
+    +-z*sqrt(p(1-p)/n) Wald interval never wider by more than the
+    continuity-free Wilson algebra allows (exact equality checked
+    against the recompute, so this is belt and braces)."""
+    import math
+
+    ev = _events_pdf(spark)
+    n = ev.user_id.nunique()
+    out = eq.ev_wilson_ctr(spark, TEST_SF_DIR).toPandas()
+    z = 1.96
+    for r in out.itertuples():
+        c = ev[ev.event_type == r.event_type].user_id.nunique()
+        assert r.n_users == n and r.n_converted == c
+        p = c / n
+        zz_n = z * z / n
+        half = z * math.sqrt(p * (1 - p) / n + zz_n / n / 4)
+        lo = round((p + zz_n / 2 - half) / (1 + zz_n), 6)
+        hi = round((p + zz_n / 2 + half) / (1 + zz_n), 6)
+        assert abs(r.p_hat - round(p, 6)) < 1e-9
+        assert abs(r.wilson_lo - lo) < 1e-9 and abs(r.wilson_hi - hi) < 1e-9
+        assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
