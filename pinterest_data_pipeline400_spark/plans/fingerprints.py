@@ -10,10 +10,12 @@ window minimum, guaranteeing any shared substring of length
 
 Scale design: the entire selection is row-local array arithmetic
 (``sequence`` → ``transform`` → ``slice`` → ``array_min``), i.e. a
-NARROW projection with zero shuffles and zero Python — at 100 TB the
-operator costs exactly one scan. Both the Spark column expression and
-the DuckDB oracle are generated from the same K/W constants so they
-cannot drift.
+NARROW projection with zero Python — at 100 TB the operator costs one
+scan plus one round-robin rebalance of (id, text) rows ahead of the
+interpreted hash projection (required whenever the input arrives in
+fewer splits than cores; see the entry body). Both the Spark column
+expression and the DuckDB oracle are generated from the same K/W
+constants so they cannot drift.
 
 Registered after the core plan modules (the driver's first-50 grading
 window holds the round-4 backlog; see COVERAGE.md).
@@ -91,13 +93,25 @@ _FPS_DUCK = f"""
     "hashes, 4-gram sliding-window minimum, distinct + sorted; emitted "
     "as the fingerprint count plus an md5 digest of the sorted set (the "
     "digest pins every selected hash exactly, so a wrong window frame, "
-    "hash width, or dedup cannot pass). Row-local array lambdas only — "
-    "zero shuffles, zero Python; one scan at any scale. Guarantee: "
-    "shared substrings of >= 8 normalized chars always share a "
-    "fingerprint (SIGMOD'03 winnowing bound).",
+    "hash width, or dedup cannot pass). Row-local array lambdas, zero "
+    "Python; the only exchange is one round-robin rebalance of "
+    "(id, text) rows ahead of the interpreted hash projection (a "
+    "single-row-group parquet file otherwise serializes the whole "
+    "O(chars) work onto 1-2 tasks — measured 42 s -> 7 s at sf1). "
+    "Guarantee: shared substrings of >= 8 normalized chars always "
+    "share a fingerprint (SIGMOD'03 winnowing bound).",
 )
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # Spread the input BEFORE the heavy projection (the
+    # minhash_near_dup_pairs discipline): the gram/winnow lambdas are
+    # interpreted HOFs, and a single-row-group parquet file arrives as
+    # 1-2 splits, serializing the whole O(chars * W) hash onto one
+    # core (measured at sf1: 42 s serial -> ~6 s spread; the r10 sweep
+    # recorded 13.8x growth for 10x data entirely from this). One
+    # cheap exchange of (id, text) rows; on a many-file cluster layout
+    # it is a rebalance of already-parallel splits.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return (
         docs.select(
             "doc_id",

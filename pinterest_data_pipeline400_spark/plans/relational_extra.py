@@ -1011,7 +1011,7 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM spend),
     s AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(cents) AS BIGINT) AS tot,
-                 CAST(sum(rk * cents) AS BIGINT) AS rksum
+                 sum(CAST(rk AS HUGEINT) * cents) AS rksum
           FROM r)
     SELECT n AS n_customers, tot AS total_cents,
            round(CAST(2 * rksum AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
@@ -1028,13 +1028,15 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines — with tied x the formula is invariant to which tied row "
     "gets which rank, since it depends on ties only through their "
     "rank SUM, but the pinned order makes the intermediate frame "
-    "hash-identical too), one double expression at the end. Scale "
-    "shape + int64 headroom: rank*cents peaks at n*max_cents (~1e9 "
-    "customers x ~1e9 cents overflows int64 — at that scale re-grain "
-    "to whole currency units and/or compute G from the "
-    "quantile-binned Lorenz curve, the same documented switch as the "
-    "percentile family); the global row_number needs one sort, the "
-    "same caveat as orders_spend_percentile.",
+    "hash-identical too), one double expression at the end. Headroom: "
+    "rank*cents sums in decimal(38,0) / HUGEINT (128-bit — ~1e9 "
+    "customers x ~1e9 cents peaks ~1e27, far inside 38 digits), so "
+    "the int64 overflow the r10 verdict flagged cannot occur. Scale "
+    "shape: the global row_number funnels every customer through ONE "
+    "sort task — this entry is the exact SMALL-CORPUS form; the "
+    "registered scale twin is orders_gini_spend_binned, which computes "
+    "the IDENTICAL value with the heavy window partitioned by spend "
+    "bin (the percentile family's documented switch, implemented).",
 )
 def orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1048,7 +1050,112 @@ def orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("tot"),
-        F.sum(F.col("rk") * F.col("cents")).cast("long").alias("rksum"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias("rksum"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("tot").alias("total_cents"),
+        F.round(
+            (2 * F.col("rksum")).cast("double")
+            / (F.col("n").cast("double") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+#: Spend bins for the distributed Gini: equi-width on integer cents.
+#: 4096 caps the offsets pass at a constant row count while keeping
+#: the largest bin a small fraction of the population.
+GINI_BINS = 4096
+
+
+@REGISTRY.register(
+    "orders_gini_spend_binned",
+    oracle=f"""
+    WITH spend AS (SELECT o_custkey AS custkey,
+                          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM orders GROUP BY o_custkey),
+    mx AS (SELECT max(cents) AS mx FROM spend),
+    b AS (SELECT custkey, cents,
+                 CAST((cents * {GINI_BINS}) // (mx + 1) AS INT) AS bin
+          FROM spend, mx),
+    lr AS (SELECT bin, cents,
+                  CAST(row_number() OVER (PARTITION BY bin
+                                          ORDER BY cents ASC, custkey ASC)
+                       AS BIGINT) AS lr
+           FROM b),
+    pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+                  CAST(sum(cents) AS BIGINT) AS s_k,
+                  sum(CAST(lr AS HUGEINT) * cents) AS lrk
+           FROM lr GROUP BY bin),
+    o AS (SELECT bin, n_k, s_k, lrk,
+                 COALESCE(sum(n_k) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS off
+          FROM pb),
+    s AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+                 CAST(sum(s_k) AS BIGINT) AS tot,
+                 sum(CAST(off AS HUGEINT) * s_k + lrk) AS rksum
+          FROM o)
+    SELECT n AS n_customers, tot AS total_cents,
+           round(CAST(2 * rksum AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM s""",
+    doc="BINNED-LORENZ GINI — the scale twin of orders_gini_spend "
+    "(VERDICT r10 task #2), computing the IDENTICAL exact value with "
+    "no customer-grain global sort. The trick: equi-width integer "
+    "bins on cents, bin = (cents * 4096) DIV (max+1) (integer "
+    "division on both engines — float binning could disagree at bin "
+    "edges), are MONOTONE in spend, and ties in cents always share a "
+    "bin, so the global ascending (cents, custkey) rank decomposes "
+    "exactly as rank = offset(bin) + local_rank: the heavy row_number "
+    "partitions by bin (distributed — 4096-way, never one task), "
+    "per-bin sums combine map-side, and the only unpartitioned window "
+    "is the bin-offset cumulative over AT MOST 4096 aggregate rows — "
+    "bounded by the constant, not the data. rksum = sum_k(offset_k * "
+    "s_k + local_rksum_k) reassembles the global sum exactly; "
+    "decimal(38,0)/HUGEINT intermediates carry the ~1e27 peak at "
+    "1e9-customer scale (int64-headroom note resolved). Equality with "
+    "the exact entry is pinned in pytest; residual skew (a popular "
+    "spend bin) is bounded by the bin width and can be split by "
+    "raising GINI_BINS — a constant, no plan change.",
+)
+def orders_gini_spend_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    mx = spend.agg(F.max("cents").alias("mx"))
+    b = spend.crossJoin(F.broadcast(mx)).select(
+        "custkey",
+        "cents",
+        F.expr(f"CAST((cents * {GINI_BINS}) DIV (mx + 1) AS INT)").alias("bin"),
+    )
+    w = Window.partitionBy("bin").orderBy(
+        F.col("cents").asc(), F.col("custkey").asc()
+    )
+    lr = b.select(
+        "bin", "cents", F.row_number().over(w).cast("long").alias("lr")
+    )
+    pb = lr.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("cents").cast("long").alias("s_k"),
+        F.sum(F.col("lr").cast("decimal(38,0)") * F.col("cents")).alias("lrk"),
+    )
+    wo = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    off = pb.withColumn(
+        "off", F.coalesce(F.sum("n_k").over(wo), F.lit(0)).cast("long")
+    )
+    s = off.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("s_k").cast("long").alias("tot"),
+        F.sum(
+            F.col("off").cast("decimal(38,0)") * F.col("s_k") + F.col("lrk")
+        ).alias("rksum"),
     )
     return s.select(
         F.col("n").alias("n_customers"),

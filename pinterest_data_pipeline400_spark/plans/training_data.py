@@ -42,7 +42,10 @@ from ..operators.dedup import (
     containment_pairs,
     containment_sig_oracle_sql,
     containment_sig_pairs,
+    containment_lshe_oracle_sql,
+    containment_lshe_pairs,
     bottomk_cand_ctes,
+    lshe_cand_ctes,
     dup_clusters,
     dup_clusters_oracle_sql,
     emb_band_keys_sql,
@@ -61,6 +64,8 @@ from ..operators.dedup import (
     ngram_jaccard_sig_pairs,
     repeated_spans,
     repeated_spans_oracle_sql,
+    repeated_span_sources,
+    repeated_span_sources_oracle_sql,
     simhash_near_dup_pairs,
     simhash_oracle_sql,
 )
@@ -1422,8 +1427,17 @@ def cached_frame(
     two sessions that both see a missing generation cannot interleave
     part-files under one ``_SUCCESS`` (ADVICE r6); the loser of the
     rename race just deletes its staging copy. Readers touch the
-    generation dir so grace-age pruning measures from last use."""
+    generation dir so grace-age pruning measures from last use.
+
+    ``SPARK_GRAFT_FRAME_CACHE=cold`` bypasses the cache entirely (no
+    read, no publish) and returns the lazy build plan — the bench
+    lane's honesty switch (VERDICT r10 task #4): a cached entry's sf1
+    wall otherwise times one parquet read of this cache, not the
+    operator, and reads as fake sub-linear growth."""
     from ..session import SCRATCH_ROOT, mark_generation_used, prune_stale_siblings
+
+    if os.environ.get("SPARK_GRAFT_FRAME_CACHE", "") == "cold":
+        return build()
 
     st = os.stat(src_path)
     root = os.path.join(
@@ -3388,6 +3402,97 @@ def docs_containment_sig3_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "docs_dup_containment_lshe",
+    oracle=containment_lshe_oracle_sql(
+        f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL
+    ),
+    doc="SIZE-STRATIFIED (LSH Ensemble, Zhu et al. VLDB 2016) "
+    "asymmetric containment (VERDICT r10 task #1) — same measure and "
+    "output contract as docs_dup_containment / _sig (doc_a, doc_b, "
+    "exact shingle containment + jaccard at containment >= 0.8) with "
+    "candidates that keep DEEP-RATIO recall: the bottom-k spine's "
+    "measured curve falls to ~0.45 at size ratio 8 because a huge "
+    "doc's symmetric sketch dilutes, so a small doc verbatim inside "
+    "it is mostly missed. Here every doc computes 24 one-row minhashes "
+    "(8-hex-char slices of 6 seeded md5s — disjoint bit ranges are "
+    "independent hashes; codegen explode+agg, map-side combine), emits "
+    "24 (band, minhash) keys tagged with its size stratum floor(log2(n)) "
+    "(integer CASE chain — float log2 is inexact at powers of two on "
+    "the JVM and would drift strata between engines), and the single "
+    "equi-join admits a collision only from bands g < allot(stratum "
+    "distance) = 6/11/23/24 — each the smallest b meeting 0.9 recall "
+    "at the stratum pair's worst-case J_min = t*/(1+R_max-t*), the "
+    "paper's per-stratum tuning expressed as band masking on ONE "
+    "shared index (one shuffle) instead of a per-stratum index "
+    "forest. Planted verbatim containment at ratio R sits at "
+    "J = 1/R, so per-pair recall is 1-(1-1/R)^24 ~ 0.96 at R=8 vs "
+    "the bottom-k 0.45 (measured side by side in "
+    "docs_containment_lshe_recall vs docs_containment_sig_recall). "
+    "Candidate FP mass is sum of allot(d)*J over pairs — same-stratum "
+    "pairs (the bulk) use only 6 bands; exact array_intersect verify; "
+    "no posting list, no df sensitivity, no driver action.",
+)
+def docs_dup_containment_lshe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return containment_lshe_pairs(normed)
+
+
+@REGISTRY.register(
+    "docs_containment_lshe_recall",
+    oracle=f"""
+    WITH {lshe_cand_ctes(f"{_ORACLE_FX}/docs_contain.parquet", _NORM_SQL)},
+    det AS (SELECT doc_a, doc_b FROM verified
+            WHERE round(CAST(c AS DOUBLE) / least(n_a, n_b), 6) >= 0.8),
+    pl AS (SELECT src_id AS doc_a, doc_id AS doc_b, ratio
+           FROM read_parquet('{_ORACLE_FX}/docs_contain.parquet')
+           WHERE ratio > 0),
+    hit AS (SELECT pl.ratio,
+                   CASE WHEN det.doc_a IS NULL THEN 0 ELSE 1 END AS found
+            FROM pl LEFT JOIN det
+              ON det.doc_a = pl.doc_a AND det.doc_b = pl.doc_b)
+    SELECT CAST(ratio AS BIGINT) AS ratio,
+           CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(sum(found) AS BIGINT) AS n_found,
+           round(CAST(sum(found) AS DOUBLE) / count(*), 6) AS recall
+    FROM hit GROUP BY ratio""",
+    doc="Measured-recall gauge for the LSH-Ensemble containment "
+    "detector on the same planted doc-in-doc fixture as "
+    "docs_containment_sig_recall — the direct before/after for "
+    "VERDICT r10 task #1. Planted pairs have true shingle containment "
+    "1.0 and J = 1/R, so the analytic per-pair curve is "
+    "1-(1-1/R)^allot(d): ~1.0 at R=2, ~0.96 at R=8 (all 24 bands at "
+    "stratum distance 3) vs the bottom-k curve's 1.0 -> 0.45. Verify "
+    "can never reject a planted pair, so the gauge isolates exactly "
+    "the candidate-generation miss rate; the size stratification is "
+    "what keeps deep ratios detectable without falling back to the "
+    "30x-degenerate posting baseline.",
+)
+def docs_containment_lshe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = fixture_dir_for(sf_dir)
+    con = spark.read.parquet(os.path.join(fx, "docs_contain.parquet"))
+    normed = con.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    det = containment_lshe_pairs(normed).select("doc_a", "doc_b")
+    planted = con.filter(F.col("ratio") > 0).select(
+        F.col("src_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ratio").cast("long").alias("ratio"),
+    )
+    hit = planted.join(
+        det.withColumn("__found", F.lit(1)), on=["doc_a", "doc_b"], how="left"
+    )
+    return hit.groupBy("ratio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.sum(F.coalesce(F.col("__found"), F.lit(0))).cast("long").alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("__found"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+@REGISTRY.register(
     "docs_dup_substring_spans",
     oracle=repeated_spans_oracle_sql(f"{_ORACLE_FX}/docs_spans.parquet", _NORM_SQL),
     doc="SUBSTRING-GRAIN exact dedup (VERDICT r9 task #4 — the Lee et "
@@ -3495,13 +3600,25 @@ def docs_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disjoint) span list -> ordered re-aggregation per doc; the span "
     "side of the join is the detector's output, so the whole scrub "
     "inherits its no-pair-join scaling. The policy is deliberately "
-    "conservative (remove EVERY occurrence; keep-first-occurrence "
-    "needs a global keeper election per span cluster, a documented "
-    "extension).",
+    "conservative (remove EVERY occurrence); the keeper-election "
+    "policy is docs_substring_scrub_keep_source, which retains the "
+    "canonical host's copy via the attribution entry's src_doc.",
 )
 def docs_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_spans.parquet"))
     normed = sp.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    spans = repeated_spans(normed).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    return _scrub_against_spans(normed, spans)
+
+
+def _scrub_against_spans(normed: DataFrame, spans: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, scrub_md5): drop every token of
+    ``normed`` covered by a row of ``spans`` (columns s_doc /
+    span_start / span_end), re-join survivors in order, digest. Shared
+    by the remove-every-occurrence and keep-canonical-source scrub
+    policies — only the span list differs."""
     toks = normed.select(
         "doc_id", F.split("norm", " ").alias("t")
     )
@@ -3509,9 +3626,6 @@ def docs_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
         F.posexplode("t").alias("p", "tok"),
-    )
-    spans = repeated_spans(normed).select(
-        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
     )
     kept = pos.join(
         spans,
@@ -3546,6 +3660,89 @@ def docs_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("scrub_md5"), F.md5(F.encode(F.lit(""), "UTF-8"))
         ).alias("scrub_md5"),
     )
+
+
+@REGISTRY.register(
+    "docs_substring_span_sources",
+    oracle=repeated_span_sources_oracle_sql(
+        f"{_ORACLE_FX}/docs_spans.parquet", _NORM_SQL
+    ),
+    doc="SPAN SOURCE ATTRIBUTION (VERDICT r10 task #5) — the substring "
+    "detector's output extended with WHO ELSE holds each repeated "
+    "span: src_doc = the lowest doc_id sharing any window fingerprint "
+    "of the span (keep-lowest-doc_id canonical source — the "
+    "deterministic curation rule the scrub entry's docstring names as "
+    "its keeper-election extension: keep the occurrence with doc_id "
+    "== src_doc at the lowest span_start, scrub every other), and "
+    "run_hosts = min over the span's windows of the per-fingerprint "
+    "distinct host-doc count (exact when the run is shared verbatim — "
+    "every host carries every window, the planted / Lee et al. 2022 "
+    "case — and an upper bound on whole-run hosts otherwise; a "
+    "within-doc-only repeat reports run_hosts = 1). Scale shape: "
+    "attribution rides the fingerprint groupBy itself — per-fp "
+    "min(doc_id) and distinct-host count are map-side-combinable "
+    "aggregates — NOT a join back to the posting list (sum of occ^2 "
+    "rows; a 10^6-host boilerplate window would pay 10^12), so the "
+    "plan keeps the base detector's no-pair-join bound and merely "
+    "min()s two more columns through the same gaps-and-islands "
+    "window.",
+)
+def docs_substring_span_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_spans.parquet"))
+    normed = sp.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    return repeated_span_sources(normed)
+
+
+@REGISTRY.register(
+    "docs_substring_scrub_keep_source",
+    oracle=f"""
+    WITH attributed AS ({repeated_span_sources_oracle_sql(
+        f"{_ORACLE_FX}/docs_spans.parquet", _NORM_SQL
+    )}),
+    spans AS (SELECT doc_id, span_start, span_end FROM attributed
+              WHERE doc_id <> src_doc),
+    toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+             FROM read_parquet('{_ORACLE_FX}/docs_spans.parquet')),
+    pos AS (SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks),
+    kept AS (SELECT pos.doc_id, pos.p, pos.t[pos.p + 1] AS tok
+             FROM pos LEFT JOIN spans
+               ON spans.doc_id = pos.doc_id
+              AND pos.p >= spans.span_start AND pos.p < spans.span_end
+             WHERE spans.doc_id IS NULL)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(k.scrub_md5, md5('')) AS scrub_md5
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                      md5(string_agg(tok, ' ' ORDER BY p)) AS scrub_md5
+               FROM kept GROUP BY doc_id) k
+      ON k.doc_id = t.doc_id""",
+    doc="KEEP-CANONICAL-SOURCE span scrubbing — the keeper-election "
+    "policy docs_substring_scrub's docstring names: instead of "
+    "removing EVERY occurrence of a repeated span (which deletes the "
+    "content from the corpus entirely), each span survives exactly in "
+    "its canonical host — the attribution entry's src_doc, the lowest "
+    "doc_id sharing the span's window fingerprints — and is scrubbed "
+    "from every other document (spans with doc_id == src_doc are kept, "
+    "including within-doc repeats of content this doc originated). "
+    "Same output contract and token machinery as the conservative "
+    "scrub (n_tokens, kept_tokens, md5 of the reconstructed text); "
+    "the only difference is the span list filter doc_id <> src_doc, "
+    "so the plan inherits the detector's no-pair-join scaling plus "
+    "the attribution entry's map-side host stats. Lee et al. 2022 "
+    "dedup keeps one copy of each duplicated substring — this is that "
+    "policy made deterministic and distributed.",
+)
+def docs_substring_scrub_keep_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_spans.parquet"))
+    normed = sp.select("doc_id", norm_text(F.col("text")).alias("norm"))
+    spans = (
+        repeated_span_sources(normed)
+        .filter(F.col("doc_id") != F.col("src_doc"))
+        .select(F.col("doc_id").alias("s_doc"), "span_start", "span_end")
+    )
+    return _scrub_against_spans(normed, spans)
 
 
 @REGISTRY.register(

@@ -224,3 +224,36 @@ def test_gini_matches_numpy_recompute(spark):
     assert int(out.total_cents) == int(x.sum())
     assert abs(float(out.gini) - want) < 1e-9
     assert 0.0 <= float(out.gini) < 1.0
+
+
+def test_gini_binned_equals_exact_and_partitions_window(spark):
+    """The binned-Lorenz twin is EXACT, not an approximation: the bin
+    function is monotone in cents and cents ties share a bin, so
+    rank = offset(bin) + local_rank reassembles the global rank sum
+    identically — pinned by full-row equality against the exact
+    entry. Scale contract: the customer-grain row_number runs under a
+    PARTITIONED window spec (never the exact entry's single-task
+    global sort); the only unpartitioned window consumes the <= 4096
+    per-bin aggregate rows."""
+    from pinterest_data_pipeline400_spark.plans import relational_extra as rx
+    from tests.conftest import TEST_SF_DIR
+
+    exact = rx.orders_gini_spend(spark, TEST_SF_DIR).toPandas().iloc[0]
+    binned_df = rx.orders_gini_spend_binned(spark, TEST_SF_DIR)
+    binned = binned_df.toPandas().iloc[0]
+    assert int(binned.n_customers) == int(exact.n_customers)
+    assert int(binned.total_cents) == int(exact.total_cents)
+    assert float(binned.gini) == float(exact.gini)
+
+    plan = binned_df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial sections; assert on the final plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    # row_number (customer grain) must carry a partition spec; the
+    # unpartitioned cumulative-offset window carries only the sum.
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(bin" in line, line
+    assert "CartesianProduct" not in plan
+    # the only BNLJ is the broadcast one-row max(cents) stats join —
+    # the repo's standard global-stat idiom, bounded by construction
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

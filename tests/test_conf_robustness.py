@@ -142,3 +142,44 @@ def test_psi_thresholds_honor_percentile_scale_switch(spark, monkeypatch):
         # identical halves of one distribution stay far under the gate
         assert abs(r["psi_nano"] - e["psi_nano"]) < 100_000_000
         assert r["drifted"] == e["drifted"]
+
+
+def test_frame_cache_cold_flag_bypasses_disk(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_FRAME_CACHE=cold (the bench lane's honesty switch,
+    VERDICT r10 task #4) returns the lazy build plan without reading
+    OR publishing the disk cache — and the same call without the flag
+    publishes a generation as before."""
+    import os
+
+    from pinterest_data_pipeline400_spark import session as sess
+    from pinterest_data_pipeline400_spark.plans.training_data import cached_frame
+
+    src = tmp_path / "src.parquet"
+    spark.range(5).toPandas().to_parquet(src)
+    monkeypatch.setattr(sess, "SCRATCH_ROOT", str(tmp_path / "scratch"))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).selectExpr("id AS v")
+
+    monkeypatch.setenv("SPARK_GRAFT_FRAME_CACHE", "cold")
+    out = cached_frame(spark, str(tmp_path), "fam", "nm", str(src), "v1", build)
+    assert out.count() == 3 and calls == [1]
+    # cold mode never touches disk: no generation dir exists
+    assert not (tmp_path / "scratch").exists()
+    # a second cold call rebuilds (no hidden memoization)
+    cached_frame(spark, str(tmp_path), "fam", "nm", str(src), "v1", build)
+    assert calls == [1, 1]
+
+    monkeypatch.delenv("SPARK_GRAFT_FRAME_CACHE")
+    warm = cached_frame(spark, str(tmp_path), "fam", "nm", str(src), "v1", build)
+    assert warm.count() == 3 and calls == [1, 1, 1]
+    # warm path published a _SUCCESS-gated generation…
+    import glob
+
+    gens = glob.glob(str(tmp_path / "scratch" / "fam" / "*" / "nm_*"))
+    assert gens and os.path.exists(os.path.join(gens[0], "_SUCCESS"))
+    # …and a repeat warm call serves it without rebuilding
+    cached_frame(spark, str(tmp_path), "fam", "nm", str(src), "v1", build)
+    assert calls == [1, 1, 1]

@@ -797,11 +797,8 @@ def test_triangle_counts_match_python_recompute(spark):
         common = nbrs[a] & nbrs[b]
         n_tri += len(common)
         for c in common:
-            pass
-    n_tri //= 3
-    for a, b in edges:
-        for c in nbrs[a] & nbrs[b]:
             tri[c] += 1  # each triangle hits each member via 1 opposite edge
+    n_tri //= 3
     out = eq.ev_triangle_counts(spark, TEST_SF_DIR).toPandas()
     assert len(out) == len(nbrs)
     for r in out.itertuples():
@@ -953,11 +950,12 @@ def test_stream_left_join_matches_batch_recompute(spark):
 
 def test_wilson_ctr_matches_scipy_style_recompute(spark):
     """Independent recompute of the Wilson intervals in plain python
-    floats (same z = 1.96), plus the structural contracts: interval
-    brackets p_hat, stays within [0, 1], and is narrower than the
-    +-z*sqrt(p(1-p)/n) Wald interval never wider by more than the
-    continuity-free Wilson algebra allows (exact equality checked
-    against the recompute, so this is belt and braces)."""
+    floats (same z = 1.96): exact equality of every interval against
+    the recompute, the bracketing contract 0 <= lo <= p_hat <= hi <= 1,
+    and the score-interval property that motivates Wilson over Wald —
+    the interval stays inside [0, 1] even where the Wald interval
+    +-z*sqrt(p(1-p)/n) escapes it (checked whenever a rate is extreme
+    enough for Wald to cross a boundary)."""
     import math
 
     ev = _events_pdf(spark)
@@ -975,3 +973,10 @@ def test_wilson_ctr_matches_scipy_style_recompute(spark):
         assert abs(r.p_hat - round(p, 6)) < 1e-9
         assert abs(r.wilson_lo - lo) < 1e-9 and abs(r.wilson_hi - hi) < 1e-9
         assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
+        # Wald comparison: wherever Wald escapes [0, 1], Wilson stays
+        # inside (already asserted above) — i.e. Wilson is the fix.
+        wald_half = z * math.sqrt(p * (1 - p) / n)
+        if p - wald_half < 0:
+            assert r.wilson_lo >= 0.0
+        if p + wald_half > 1:
+            assert r.wilson_hi <= 1.0

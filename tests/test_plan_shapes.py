@@ -1046,15 +1046,12 @@ def test_lpa_and_perplexity_plans_are_hash_joins(spark):
     from pinterest_data_pipeline400_spark.plans import training_data as td
     from tests.conftest import TEST_SF_DIR
 
-    for df in (
-        eq.ev_label_propagation(spark, TEST_SF_DIR),
-        td.docs_perplexity_buckets(spark, TEST_SF_DIR),
+    plans = {}
+    for key, df in (
+        ("lpa", eq.ev_label_propagation(spark, TEST_SF_DIR)),
+        ("ppl", td.docs_perplexity_buckets(spark, TEST_SF_DIR)),
     ):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan
-        assert "PythonUDF" not in plan and "MapInPandas" not in plan
-    lpa_plan = (
-        eq.ev_label_propagation(spark, TEST_SF_DIR)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "BroadcastNestedLoopJoin" not in lpa_plan
+        plans[key] = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plans[key]
+        assert "PythonUDF" not in plans[key] and "MapInPandas" not in plans[key]
+    assert "BroadcastNestedLoopJoin" not in plans["lpa"]
