@@ -58,6 +58,8 @@ GRADE_WINDOW = [
     "orders_gini_spend_binned",
     "docs_substring_span_sources",
     "docs_substring_scrub_keep_source",
+    "ev_dp_type_counts",
+    "docs_dedup_ablation",
     # re-grade: oracle intermediate widened to HUGEINT (same values).
     "orders_gini_spend",
 ]

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.dedup import _stratum_case_sql as _dedup_stratum_case
 from ..session import (
     SCRATCH_ROOT,
     STREAM_DRAIN_TIMEOUT_SEC,
@@ -4539,6 +4540,92 @@ def ev_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return g.filter(F.col("n") < KANON_K).orderBy("event_type", "dow_iso", "hod")
+
+
+def _dp_tz_cols(engine: str) -> dict[str, str]:
+    """SQL fragments for the two seeded 52-bit uniforms the geometric
+    mechanism draws its trailing-zero counts from — generated for both
+    engines from the same seeds so the noise cannot drift."""
+    out = {}
+    for i, seed in enumerate(("dp1", "dp2"), start=1):
+        if engine == "spark":
+            out[f"x{i}"] = (
+                f"CAST(conv(substr(md5(concat('{seed}:', event_type)), 1, 13),"
+                f" 16, 10) AS BIGINT)"
+            )
+        else:
+            out[f"x{i}"] = (
+                f"CAST(('0x' || substr(md5('{seed}:' || event_type), 1, 13))"
+                f" AS BIGINT)"
+            )
+    return out
+
+
+@REGISTRY.register(
+    "ev_dp_type_counts",
+    oracle=f"""
+    WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY event_type),
+    x AS (SELECT event_type, n_events,
+                 {_dp_tz_cols('duck')['x1']} AS x1,
+                 {_dp_tz_cols('duck')['x2']} AS x2
+          FROM g),
+    lo AS (SELECT event_type, n_events,
+                  (x1 & -x1) AS low1, (x2 & -x2) AS low2 FROM x),
+    tz AS (SELECT event_type, n_events,
+                  {_dedup_stratum_case('low1')} AS tz1,
+                  {_dedup_stratum_case('low2')} AS tz2
+           FROM lo)
+    SELECT event_type, n_events,
+           CAST(tz1 - tz2 AS BIGINT) AS dp_noise,
+           CAST(greatest(0, n_events + tz1 - tz2) AS BIGINT) AS dp_count
+    FROM tz ORDER BY event_type""",
+    doc="DIFFERENTIALLY-PRIVATE count release via the GEOMETRIC "
+    "MECHANISM (Ghosh, Roughgarden & Sundararajan 2009 — the "
+    "discrete, utility-optimal counterpart of Laplace noise): each "
+    "per-type event count is released as n + (G1 - G2) where G1, G2 "
+    "are independent Geometric(1/2) draws, giving a two-sided "
+    "geometric (discrete Laplace) perturbation that is epsilon-DP at "
+    "epsilon = ln 2 for sensitivity-1 counts. The draws come from "
+    "TRAILING-ZERO COUNTS of seeded md5-derived 52-bit integers "
+    "(P(tz = k) = 2^-(k+1) exactly for uniform bits) — an "
+    "integer-only construction shared verbatim by both engines: no "
+    "float ln anywhere, so no libm-ulp parity risk, and the noise is "
+    "a pure function of the group key, invariant to row order and "
+    "partitioning. tz is computed as CASE-chain log2 of (x & -x), the "
+    "same integer floor(log2) the LSH-Ensemble strata use. "
+    "DEMONSTRATION CONTRACT: the seeded determinism that makes the "
+    "entry oracle-checkable is exactly what a production release must "
+    "NOT do — ship fresh randomness per release and drop the true "
+    "n_events / dp_noise columns; the entry pins the mechanism's "
+    "arithmetic (noise distribution, clamping, integer path), not a "
+    "privacy guarantee of the fixture. Scale shape: one "
+    "map-side-combinable count per type, noise computed on the "
+    "|types|-row aggregate — free at any corpus size.",
+)
+def ev_dp_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = _dp_tz_cols("spark")
+    g = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn("x1", F.expr(cols["x1"]))
+        .withColumn("x2", F.expr(cols["x2"]))
+        .withColumn("low1", F.expr("x1 & -x1"))
+        .withColumn("low2", F.expr("x2 & -x2"))
+        .withColumn("tz1", F.expr(_dedup_stratum_case("low1")))
+        .withColumn("tz2", F.expr(_dedup_stratum_case("low2")))
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        (F.col("tz1") - F.col("tz2")).cast("long").alias("dp_noise"),
+        F.greatest(
+            F.lit(0), F.col("n_events") + F.col("tz1") - F.col("tz2")
+        )
+        .cast("long")
+        .alias("dp_count"),
+    ).orderBy("event_type")
 
 
 CUPED_CUTOFF = "2024-01-16 00:00:00"  # pre-period | experiment split

@@ -3492,6 +3492,105 @@ def docs_containment_lshe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ablation_family_sql(name: str, inner_select: str) -> str:
+    """One UNION ALL arm of the dedup-ablation oracle: a family's full
+    WITH...SELECT pair list wrapped as a subquery (no CTE-name
+    collisions between families) reduced to (family, n_pairs,
+    n_flagged)."""
+    return f"""SELECT '{name}' AS family,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_flagged
+    FROM ({inner_select}) AS q_{name}"""
+
+
+@REGISTRY.register(
+    "docs_dedup_ablation",
+    oracle=f"""
+    SELECT family, n_pairs, n_flagged,
+           round(100.0 * n_flagged /
+                 (SELECT count(*)
+                  FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')), 6)
+             AS flagged_pct
+    FROM (
+      SELECT 'exact' AS family,
+             CAST(coalesce(sum(m - 1), 0) AS BIGINT) AS n_pairs,
+             CAST(coalesce(sum(m - 1), 0) AS BIGINT) AS n_flagged
+      FROM (SELECT md5({_NORM_SQL}) AS h, count(*) AS m
+            FROM read_parquet('{_ORACLE_FX}/docs_dup.parquet')
+            GROUP BY 1 HAVING count(*) >= 2) AS q_exact
+      UNION ALL
+      {_ablation_family_sql("minhash", minhash_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL))}
+      UNION ALL
+      {_ablation_family_sql("simhash", simhash_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL))}
+      UNION ALL
+      {_ablation_family_sql("ngram_sig", ngram_jaccard_sig_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL))}
+      UNION ALL
+      {_ablation_family_sql("containment_sig", containment_sig_oracle_sql(f"{_ORACLE_FX}/docs_dup.parquet", _NORM_SQL))}
+    ) AS fams
+    ORDER BY family""",
+    doc="DEDUP ABLATION REPORT — the curation team's which-detector-"
+    "buys-what table: for each bounded near-dup family on the same "
+    "corpus (exact content hash, MinHash-banded Jaccard >= 0.5, "
+    "SimHash Hamming <= 3, signature-candidate exact n-gram Jaccard, "
+    "signature-candidate containment >= 0.8), the detected pair "
+    "count, the number of documents a greedy keep-lowest-doc_id "
+    "policy would remove (distinct doc_b side — every such doc has a "
+    "duplicate with a smaller id; exact's star pairs to the group "
+    "minimum make its n_pairs = n_flagged = sum(group size - 1)), "
+    "and that removal set as a corpus percentage. Reading the rows "
+    "together answers the deployment question no single entry can — "
+    "how much each detector ADDS over the cheaper one before it. "
+    "Scale shape: a union of five already-bounded spines (each "
+    "banded/bucketed equi-join + exact verify, never all-pairs) each "
+    "reduced map-side to a 1-row aggregate; the corpus total rides "
+    "the broadcast 1-row idiom. The degenerate posting baselines and "
+    "the deep-ratio LSH-Ensemble detector are deliberately excluded "
+    "(documented: the baselines are not deployment candidates, and "
+    "the lshe spine's yield on SAME-SIZE corpora duplicates "
+    "containment_sig's — its value is the ratio-8 recall the "
+    "dedicated gauge prices).",
+)
+def docs_dedup_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = spark.read.parquet(os.path.join(fixture_dir_for(sf_dir), "docs_dup.parquet"))
+    normed = dup.select("doc_id", norm_text(F.col("text")).alias("norm"))
+
+    def fam(name: str, pairs: DataFrame) -> DataFrame:
+        return pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("long").alias("n_flagged"),
+        ).select(F.lit(name).alias("family"), "n_pairs", "n_flagged")
+
+    grp = (
+        normed.groupBy(F.md5(F.encode(F.col("norm"), "UTF-8")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    exact = grp.agg(
+        F.coalesce(F.sum(F.col("m") - 1), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("m") - 1), F.lit(0)).cast("long").alias("n_flagged"),
+    ).select(F.lit("exact").alias("family"), "n_pairs", "n_flagged")
+
+    fams = (
+        exact.unionAll(fam("minhash", minhash_near_dup_pairs(normed)))
+        .unionAll(fam("simhash", simhash_near_dup_pairs(normed)))
+        .unionAll(fam("ngram_sig", ngram_jaccard_sig_pairs(normed)))
+        .unionAll(fam("containment_sig", containment_sig_pairs(normed)))
+    )
+    tot = normed.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        fams.crossJoin(F.broadcast(tot))
+        .select(
+            "family",
+            "n_pairs",
+            "n_flagged",
+            F.round(F.lit(100.0) * F.col("n_flagged") / F.col("tot"), 6).alias(
+                "flagged_pct"
+            ),
+        )
+        .orderBy("family")
+    )
+
+
 @REGISTRY.register(
     "docs_dup_substring_spans",
     oracle=repeated_spans_oracle_sql(f"{_ORACLE_FX}/docs_spans.parquet", _NORM_SQL),

@@ -546,6 +546,36 @@ def test_markov_attribution_invariants(spark):
     assert abs(out.attribution_micro.sum() - 1_000_000) <= len(out)
 
 
+def test_dp_type_counts_match_python_recompute(spark):
+    """Independent recompute of the geometric-mechanism release:
+    hashlib md5 -> 52-bit int -> trailing-zero counts -> noise =
+    tz1 - tz2, dp_count = max(0, n + noise) — compared exactly per
+    type. Structural contracts: the noise is a pure function of the
+    group KEY (same type -> same noise at every sf), and trailing
+    zeros of a 52-bit uniform are Geometric(1/2), so |noise| beyond
+    ~2*52 is impossible by construction."""
+    import hashlib
+
+    ev = _events_pdf(spark)
+    out = eq.ev_dp_type_counts(spark, TEST_SF_DIR).toPandas()
+
+    def tz52(seed: str, key: str) -> int:
+        x = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:13], 16)
+        if x == 0:
+            return 40  # the CASE chain's ELSE arm — same on all engines
+        return (x & -x).bit_length() - 1
+
+    counts = ev.groupby("event_type").size()
+    assert set(out.event_type) == set(counts.index)
+    for r in out.itertuples():
+        n = int(counts[r.event_type])
+        noise = tz52("dp1", r.event_type) - tz52("dp2", r.event_type)
+        assert int(r.n_events) == n
+        assert int(r.dp_noise) == noise, r.event_type
+        assert int(r.dp_count) == max(0, n + noise)
+        assert abs(int(r.dp_noise)) <= 104
+
+
 def test_ldiversity_flags_are_truly_homogeneous(spark):
     """Every flagged QI group must genuinely have < L distinct sensitive
     bands (recomputed in pandas), and groups the audit does NOT flag

@@ -1740,6 +1740,47 @@ def test_containment_lshe_recall_gauge(spark):
         assert got[ratio][1] >= got_bk[ratio], (ratio, got, got_bk)
 
 
+def test_dedup_ablation_rows_match_family_entries(spark):
+    """Each ablation row must agree exactly with the registered family
+    it summarizes (those entries are themselves pinned by independent
+    python recomputes, so the report is transitively recomputed):
+    n_pairs = the family's pair count, n_flagged = its distinct doc_b
+    count, exact = sum(group size - 1) over pandas content groups, and
+    flagged_pct = the round(100 * flagged / corpus) arithmetic."""
+    import os
+    import re
+
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from tests.conftest import TEST_SF_DIR
+
+    fx = fixture_dir_for(TEST_SF_DIR)
+    dup = pd.read_parquet(os.path.join(fx, "docs_dup.parquet"))
+    out = td.docs_dedup_ablation(spark, TEST_SF_DIR).toPandas()
+    rows = {r.family: r for r in out.itertuples()}
+    assert set(rows) == {"exact", "minhash", "simhash", "ngram_sig", "containment_sig"}
+
+    norm = dup.text.map(lambda t: re.sub(r"\s+", " ", t).strip().lower())
+    m = norm.value_counts()
+    want_exact = int((m[m >= 2] - 1).sum())
+    assert int(rows["exact"].n_pairs) == want_exact
+    assert int(rows["exact"].n_flagged) == want_exact
+
+    for fam, entry in [
+        ("minhash", td.docs_dup_minhash_pairs),
+        ("simhash", td.docs_dup_simhash_pairs),
+        ("ngram_sig", td.docs_dup_ngram_sig_pairs),
+        ("containment_sig", td.docs_dup_containment_sig),
+    ]:
+        pairs = entry(spark, TEST_SF_DIR).toPandas()
+        assert int(rows[fam].n_pairs) == len(pairs), fam
+        assert int(rows[fam].n_flagged) == pairs.doc_b.nunique(), fam
+
+    for r in out.itertuples():
+        assert float(r.flagged_pct) == round(100.0 * int(r.n_flagged) / len(dup), 6)
+
+
 def test_lshe_stratum_case_matches_bit_length():
     """The generated integer CASE chain IS floor(log2(n)) — checked
     against int.bit_length over every power-of-two boundary, the exact
