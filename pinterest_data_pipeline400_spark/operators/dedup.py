@@ -1702,14 +1702,27 @@ LSHE_ALLOT = (6, 11, 23)
 _LSHE_MAX_STRATUM = 40
 
 
-def _stratum_case_sql(col: str) -> str:
-    """``CASE WHEN {col} < 2 THEN 0 ... END`` — floor(log2(col)) by
-    integer comparison, byte-identical on Spark and DuckDB (both parse
-    ANSI CASE; no float log anywhere)."""
+def floor_log2_case_sql(col: str, cap: int) -> str:
+    """``CASE WHEN {col} < 2 THEN 0 ... ELSE {cap} END`` —
+    floor(log2(col)) by integer comparison up to ``cap`` arms,
+    byte-identical on Spark and DuckDB (both parse ANSI CASE; no float
+    log anywhere — ln-ratio log2 is inexact at powers of two on the
+    JVM). Values below 2 (including 0) take the first arm. Callers pick
+    their own cap so unrelated consumers cannot silently retune each
+    other (the DP geometric mechanism needs an exact 0..51 range for
+    52-bit inputs; the LSH-Ensemble strata saturate at
+    _LSHE_MAX_STRATUM)."""
     whens = " ".join(
-        f"WHEN {col} < {1 << (s + 1)} THEN {s}" for s in range(_LSHE_MAX_STRATUM)
+        f"WHEN {col} < {1 << (s + 1)} THEN {s}" for s in range(cap)
     )
-    return f"CASE {whens} ELSE {_LSHE_MAX_STRATUM} END"
+    return f"CASE {whens} ELSE {cap} END"
+
+
+def _stratum_case_sql(col: str) -> str:
+    """LSH-Ensemble size stratum: floor(log2(col)) capped at
+    _LSHE_MAX_STRATUM (2^40 shingles per doc is beyond any real
+    document)."""
+    return floor_log2_case_sql(col, _LSHE_MAX_STRATUM)
 
 
 def _lshe_allot_sql(d_expr: str) -> str:
@@ -2017,22 +2030,16 @@ def repeated_span_sources(
 
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     wins = window_fingerprints(docs, id_col, norm_col, w)
-    hosts = (
-        wins.select("fp", "doc_id")
-        .distinct()
-        .groupBy("fp")
-        .agg(
-            F.min("doc_id").alias("fp_src"),
-            F.count(F.lit(1)).cast("long").alias("fp_hosts"),
-        )
-    )
-    occ = (
+    dupstats = (
         wins.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("occ"))
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min("doc_id").alias("fp_src"),
+            F.countDistinct("doc_id").cast("long").alias("fp_hosts"),
+        )
         .filter(F.col("occ") >= 2)
-        .select("fp")
+        .select("fp", "fp_src", "fp_hosts")
     )
-    dupstats = occ.join(hosts, on="fp")
     hits = wins.join(dupstats, on="fp").select("doc_id", "p", "fp_src", "fp_hosts")
     isl = hits.withColumn(
         "grp",

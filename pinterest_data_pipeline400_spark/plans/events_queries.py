@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import _stratum_case_sql as _dedup_stratum_case
+from ..operators.dedup import floor_log2_case_sql as _floor_log2_case
 from ..session import (
     SCRATCH_ROOT,
     STREAM_DRAIN_TIMEOUT_SEC,
@@ -4573,8 +4573,8 @@ def _dp_tz_cols(engine: str) -> dict[str, str]:
     lo AS (SELECT event_type, n_events,
                   (x1 & -x1) AS low1, (x2 & -x2) AS low2 FROM x),
     tz AS (SELECT event_type, n_events,
-                  {_dedup_stratum_case('low1')} AS tz1,
-                  {_dedup_stratum_case('low2')} AS tz2
+                  {_floor_log2_case('low1', 52)} AS tz1,
+                  {_floor_log2_case('low2', 52)} AS tz2
            FROM lo)
     SELECT event_type, n_events,
            CAST(tz1 - tz2 AS BIGINT) AS dp_noise,
@@ -4592,8 +4592,10 @@ def _dp_tz_cols(engine: str) -> dict[str, str]:
     "integer-only construction shared verbatim by both engines: no "
     "float ln anywhere, so no libm-ulp parity risk, and the noise is "
     "a pure function of the group key, invariant to row order and "
-    "partitioning. tz is computed as CASE-chain log2 of (x & -x), the "
-    "same integer floor(log2) the LSH-Ensemble strata use. "
+    "partitioning. tz is computed as CASE-chain log2 of (x & -x) with "
+    "a dedicated 52-arm chain (tz of a nonzero 52-bit value is 0..51, "
+    "so no arm clamps; x = 0, probability 2^-52, deterministically "
+    "takes the first arm as tz 0 on both engines). "
     "DEMONSTRATION CONTRACT: the seeded determinism that makes the "
     "entry oracle-checkable is exactly what a production release must "
     "NOT do — ship fresh randomness per release and drop the true "
@@ -4613,8 +4615,8 @@ def ev_dp_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("x2", F.expr(cols["x2"]))
         .withColumn("low1", F.expr("x1 & -x1"))
         .withColumn("low2", F.expr("x2 & -x2"))
-        .withColumn("tz1", F.expr(_dedup_stratum_case("low1")))
-        .withColumn("tz2", F.expr(_dedup_stratum_case("low2")))
+        .withColumn("tz1", F.expr(_floor_log2_case("low1", 52)))
+        .withColumn("tz2", F.expr(_floor_log2_case("low2", 52)))
     )
     return g.select(
         "event_type",

@@ -552,8 +552,8 @@ def test_dp_type_counts_match_python_recompute(spark):
     tz1 - tz2, dp_count = max(0, n + noise) — compared exactly per
     type. Structural contracts: the noise is a pure function of the
     group KEY (same type -> same noise at every sf), and trailing
-    zeros of a 52-bit uniform are Geometric(1/2), so |noise| beyond
-    ~2*52 is impossible by construction."""
+    zeros of a nonzero 52-bit uniform are Geometric(1/2) in 0..51,
+    so |noise| <= 51 by construction."""
     import hashlib
 
     ev = _events_pdf(spark)
@@ -562,7 +562,9 @@ def test_dp_type_counts_match_python_recompute(spark):
     def tz52(seed: str, key: str) -> int:
         x = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:13], 16)
         if x == 0:
-            return 40  # the CASE chain's ELSE arm — same on all engines
+            # (0 & -0) = 0 takes the CASE chain's FIRST arm (< 2 -> 0)
+            # on both engines; probability 2^-52 per key
+            return 0
         return (x & -x).bit_length() - 1
 
     counts = ev.groupby("event_type").size()
@@ -573,7 +575,7 @@ def test_dp_type_counts_match_python_recompute(spark):
         assert int(r.n_events) == n
         assert int(r.dp_noise) == noise, r.event_type
         assert int(r.dp_count) == max(0, n + noise)
-        assert abs(int(r.dp_noise)) <= 104
+        assert abs(int(r.dp_noise)) <= 51
 
 
 def test_ldiversity_flags_are_truly_homogeneous(spark):
@@ -982,10 +984,11 @@ def test_wilson_ctr_matches_scipy_style_recompute(spark):
     """Independent recompute of the Wilson intervals in plain python
     floats (same z = 1.96): exact equality of every interval against
     the recompute, the bracketing contract 0 <= lo <= p_hat <= hi <= 1,
-    and the score-interval property that motivates Wilson over Wald —
-    the interval stays inside [0, 1] even where the Wald interval
-    +-z*sqrt(p(1-p)/n) escapes it (checked whenever a rate is extreme
-    enough for Wald to cross a boundary)."""
+    and the score-interval property that distinguishes Wilson from
+    Wald: the interval CENTER is the convex combination
+    (p + z^2/2n) / (1 + z^2/n) of p_hat and 1/2, so it strictly
+    shrinks toward 1/2 — an always-testable, non-tautological
+    invariant (Wald's center is p_hat itself)."""
     import math
 
     ev = _events_pdf(spark)
@@ -1003,10 +1006,8 @@ def test_wilson_ctr_matches_scipy_style_recompute(spark):
         assert abs(r.p_hat - round(p, 6)) < 1e-9
         assert abs(r.wilson_lo - lo) < 1e-9 and abs(r.wilson_hi - hi) < 1e-9
         assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
-        # Wald comparison: wherever Wald escapes [0, 1], Wilson stays
-        # inside (already asserted above) — i.e. Wilson is the fix.
-        wald_half = z * math.sqrt(p * (1 - p) / n)
-        if p - wald_half < 0:
-            assert r.wilson_lo >= 0.0
-        if p + wald_half > 1:
-            assert r.wilson_hi <= 1.0
+        # the score-center shrinkage that distinguishes Wilson from
+        # Wald: center = (p + zz_n/2) / (1 + zz_n) pulls toward 1/2
+        # by exactly the factor 1/(1 + zz_n)
+        mid = (p + zz_n / 2) / (1 + zz_n)
+        assert abs(mid - 0.5) <= abs(p - 0.5) / (1 + zz_n) + 1e-12
