@@ -16,15 +16,35 @@ Methodology:
   * Plans are materialized through the `noop` write sink — the full
     physical plan executes (no Catalyst pruning of the final project,
     which `count()` would allow) without driver-side row transfer.
-  * Steady-state re-measure: a query whose first timing exceeds
-    OUTLIER_SEC — and every HEADLINE query, unconditionally — is run
-    once more and the MINIMUM is reported. A single alphabetical pass
-    makes each heavy query's GC / RDD-cleanup / stream-maintenance
-    backlog land in its successor's wall clock (measured: 2-3x
-    inflation on the query after a streaming entry); min-of-2 reports
-    the engine, not the neighbor. Headline queries run sub-second here
-    (under the outlier threshold), so without the unconditional
-    min-of-2 one GC hiccup sticks in the round-over-round metric.
+  * Steady-state re-measure (VERDICT r11 task #1): EVERY entry is
+    timed twice and the MINIMUM reported; the streaming family (any
+    name containing "stream") is timed three times and the MEDIAN
+    reported — trigger/drain scheduling makes a streaming wall
+    bimodal, where min-of-2 under-reports and a single sample flags
+    phantom regressions. A single alphabetical pass makes each heavy
+    query's GC / RDD-cleanup / stream-maintenance backlog land in its
+    successor's wall clock (measured: 2-3x inflation on the query
+    after a streaming entry); repeated timing reports the engine, not
+    the neighbor. Per-entry spread (max-min across runs) is recorded
+    under "spread" so an artifact carries its own noise estimate.
+    ``SPARK_GRAFT_BENCH_RUNS`` overrides the run count for ALL entries
+    (set 1 for the expensive sf1 lane where the sweep itself is the
+    cost).
+  * Load gate (VERDICT r11 task #1): when the 1-minute loadavg at
+    sweep START exceeds 1.0 the host was demonstrably busy before any
+    work began — regression flags from such a run are host noise by
+    construction (r8/r9/r11 all re-litigated exactly this). A dirty
+    run emits "context_dirty": true, reports would-be flags under
+    "regressions_suppressed" (never "regressions"), and does NOT
+    overwrite the quiet baseline BENCH_FULL.json (it writes
+    BENCH_FULL_DIRTY.json beside it instead).
+  * Baseline lane (VERDICT r11 task #2): the two deliberately-kept
+    recall-1.0 posting-join baselines (docs_dup_containment,
+    docs_dup_ngram_pairs — superseded at scale by their signature
+    twins) are SKIPPED unless ``SPARK_GRAFT_BASELINE_LANE=1``: they
+    are documented-degenerate at sf1 (63-73 s, super-linear) and were
+    the sole reason for the 16 GB driver heap. Their registry entries
+    and oracles remain — correctness still certifies them.
   * Bench runs in the SCALE configuration: percentile_approx sketches
     (``SPARK_GRAFT_PERCENTILE_MODE=approx``) — the 100 TB path. The
     driver's correctness gate imports with a default env and therefore
@@ -144,33 +164,41 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warm-up only
         pass
 
-    # 1.0 (was 2.0): r4→r5 A/B showed entries in the 1-2 s band (batch
-    # JSON scans, streaming drains) swing 1.3-1.7x run-to-run from GC /
-    # micro-batch scheduling noise a single sample can't average out;
-    # min-of-2 over the band costs ~30 s of sweep and makes the
-    # round-over-round per-entry deltas mean something.
-    OUTLIER_SEC = 1.0
+    # Opt-in baseline lane (module docstring): the degenerate posting
+    # baselines stay registered (correctness) but out of the default
+    # sweep (perf artifact + OOM exposure).
+    BASELINE_ONLY = {"docs_dup_containment", "docs_dup_ngram_pairs"}
+    baseline_lane = os.environ.get("SPARK_GRAFT_BASELINE_LANE") == "1"
+    runs_override = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
     timings: dict[str, object] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
+    skipped: list[str] = []
     for name in sorted(qfns):
+        if name in BASELINE_ONLY and not baseline_lane:
+            skipped.append(name)
+            continue
+        # min-of-2 default; median-of-3 for the bimodal streaming
+        # family; env override for lanes where the sweep is the cost.
+        n_runs = 3 if "stream" in name else 2
+        if runs_override:
+            n_runs = max(1, int(runs_override))
         # Per-query guard: one broken entry must never take down the
         # whole bench (round 2 lost its number exactly that way) — the
         # failure is recorded and the sweep continues.
         try:
-            t0 = time.perf_counter()
-            _materialize(qfns[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            if dt > OUTLIER_SEC or name in HEADLINE:
-                # steady-state re-measure (see module docstring): the first
-                # run may carry the previous query's cleanup backlog.
-                # HEADLINE queries get min-of-2 unconditionally — they run
-                # sub-second here, UNDER the outlier threshold, so a single
-                # GC hiccup otherwise sticks in the round-over-round metric
-                # (measured band without this: 3.4-4.9 s).
+            samples: list[float] = []
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 _materialize(qfns[name](spark, sf_dir))
-                dt = min(dt, time.perf_counter() - t0)
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            # median for n>=3 (robust to one bimodal drain), min for
+            # n==2 (the second run can only ADD its neighbor's backlog)
+            dt = samples[len(samples) // 2] if len(samples) >= 3 else samples[0]
             timings[name] = round(dt, 4)
+            if len(samples) > 1:
+                spreads[name] = round(samples[-1] - samples[0], 4)
         except Exception as exc:  # noqa: BLE001 — survey sweep, record + go on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     headline_complete = all(isinstance(timings.get(n), float) for n in HEADLINE)
@@ -217,6 +245,9 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
+    # Load gate (module docstring): a run that STARTED on a busy host
+    # cannot produce trustworthy per-entry flags — suppress, don't emit.
+    context_dirty = isinstance(la_start, float) and la_start > 1.0
     regressions: dict[str, list[float]] = {}
     try:
         with open(full_path) as fh:
@@ -239,11 +270,17 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": sf_val,
         "headline_complete": headline_complete,
         "context": context,
-        "regressions": regressions,
+        "context_dirty": context_dirty,
+        "regressions": {} if context_dirty else regressions,
     }
+    if context_dirty and regressions:
+        out["regressions_suppressed"] = regressions
+    if skipped:
+        out["baseline_lane_skipped"] = skipped
     if errors:
         out["errors"] = errors
     # Self-sufficient committed artifact: the driver's BENCH_r{N}.json
@@ -251,14 +288,20 @@ def main() -> None:
     # alphabet's per-entry timings (VERDICT r5 nit). Write the COMPLETE
     # map to a file too, so per-entry round-over-round deltas never
     # depend on prose. Path overridable for ad-hoc runs.
+    # A dirty run must NOT become next round's baseline (its inflated
+    # walls would mask real regressions on the following quiet run):
+    # park it beside the baseline instead.
+    write_path = (
+        full_path.replace(".json", "_DIRTY.json") if context_dirty else full_path
+    )
     try:
-        with open(full_path, "w") as fh:
+        with open(write_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: stdout still carries everything
     print(json.dumps(out))
-    if regressions:
+    if regressions and not context_dirty:
         # gate output (one line per offender, before the final summary
         # so the compact line stays LAST for the driver's tail window)
         for name, (p, dt) in sorted(regressions.items()):
@@ -279,7 +322,8 @@ def main() -> None:
         "headline_complete": headline_complete,
         "n_entries": len(timings),
         "n_errors": len(errors),
-        "n_regressions": len(regressions),
+        "n_regressions": 0 if context_dirty else len(regressions),
+        "context_dirty": context_dirty,
         "loadavg_1m": la1,
         "uptime_sec": uptime_sec,
     }))

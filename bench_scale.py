@@ -106,12 +106,16 @@ def main() -> None:
             ("window_rolling_90d", "orders_rolling_90d_spend"),
             ("window_sessionization", "ev_sessionization"),
             ("corpus_pipeline", "docs_corpus_pipeline"),
+            # PNG decode: no frame cache, inherently cold — the zlib
+            # inflate + unfilter runs inside the timer (VERDICT r11 #3)
+            ("decode_png", "multimodal_decode_png"),
         ]:
             out[fam] = timed(lambda e=entry: _materialize(qfns[e](spark, sf_dir)))
         # cached-frame entries measured COLD (VERDICT r10 task #4): a
         # warm wall times one parquet read of the disk cache and reads
         # as fake sub-linear growth; the flag bypasses read AND publish
         # so the decode + banded join runs inside the timer.
+        _prev_cache = os.environ.get("SPARK_GRAFT_FRAME_CACHE")
         os.environ["SPARK_GRAFT_FRAME_CACHE"] = "cold"
         try:
             for fam, entry in [
@@ -122,7 +126,12 @@ def main() -> None:
                     lambda e=entry: _materialize(qfns[e](spark, sf_dir))
                 )
         finally:
-            del os.environ["SPARK_GRAFT_FRAME_CACHE"]
+            # restore, don't clobber: a caller-set value (e.g. an
+            # all-cold run) must survive this lane (ADVICE r11)
+            if _prev_cache is None:
+                os.environ.pop("SPARK_GRAFT_FRAME_CACHE", None)
+            else:
+                os.environ["SPARK_GRAFT_FRAME_CACHE"] = _prev_cache
         return out
 
     # untimed warm-up (JVM, codegen, Python workers)

@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "13"
+FIXTURE_VERSION = "14"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -385,6 +385,19 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "media_ppm.parquet"), index=False
     )
 
+    # real non-interlaced RGB8 PNG payloads, same closed-form pixels
+    # (the zlib-inflate decode operator's test subject —
+    # multimodal_decode_png)
+    media_png(sf_rows(sf_name) // 10).to_parquet(
+        os.path.join(out_dir, "media_png.parquet"), index=False
+    )
+
+    # planted-quality corpus with closed-form labels (the trained
+    # quality classifier's test subject — docs_quality_classifier)
+    docs_quality(sf_rows(sf_name) // 10).to_parquet(
+        os.path.join(out_dir, "docs_quality.parquet"), index=False
+    )
+
     # real RIFF/WAVE PCM16 audio payloads (the pure-Python decode
     # operator's test subject — multimodal_decode_wav)
     media_wav(sf_rows(sf_name) // 10).to_parquet(
@@ -630,6 +643,140 @@ def media_wav_dup(n_base: int) -> pd.DataFrame:
         columns=["media_id", "payload", "src_id", "gnum", "gden", "provenance"],
     ).astype(
         {"media_id": "int64", "src_id": "int64", "gnum": "int64", "gden": "int64"}
+    )
+
+
+def docs_quality(n: int) -> pd.DataFrame:
+    """Planted-quality corpus (the trained classifier's test subject —
+    docs_quality_classifier): every field closed-form from doc_id so
+    the gauge oracle can recompute the planted label without modeling.
+
+      label    = 0 if doc_id % 4 == 0 else 1          (25% junk)
+      junk     : one token repeated (10 + id%30 tokens) with
+                 1 + id%3 distinct replacements — plus SIX extra
+                 replacements when id % 16 == 0 (borderline junk whose
+                 type-token ratio approaches the good range);
+      good     : varied tokens w{(id*13 + i*7) % 97} (12 + id%40
+                 tokens) — except id % 15 == 1, where every token
+                 repeats 3x (borderline good with junk-like TTR).
+
+    The borderline slices keep the corpus NOT perfectly separable, so
+    the classifier gauge reports a real error rate instead of a
+    trivial 1.0. Lengths of the two classes overlap by construction —
+    token count alone cannot separate them."""
+    rows = []
+    for mid in range(n):
+        if mid % 4 == 0:
+            ntok = 10 + mid % 30
+            toks = [f"w{mid % 11}"] * ntok
+            extra = 1 + mid % 3 + (6 if mid % 16 == 0 else 0)
+            for j in range(min(extra, ntok)):
+                toks[(mid + 3 * j) % ntok] = f"w{(mid * 7 + j) % 97}"
+            label = 0
+        else:
+            ntok = 12 + mid % 40
+            if mid % 15 == 1:
+                toks = [f"w{(mid * 13 + (i // 3) * 7) % 97}" for i in range(ntok)]
+            else:
+                toks = [f"w{(mid * 13 + i * 7) % 97}" for i in range(ntok)]
+            label = 1
+        rows.append((mid, " ".join(toks), label))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "label"]).astype(
+        {"doc_id": "int64", "label": "int64"}
+    )
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode_rgb8(mid: int, w: int, h: int, px: np.ndarray) -> bytes:
+    """Spec-conformant non-interlaced 8-bit RGB PNG encoder (stdlib
+    zlib): per-row filter type cycles ``(mid + row) % 5`` so the corpus
+    exercises ALL FIVE spec filters (None/Sub/Up/Average/Paeth) under
+    the decode oracle; every 3rd image splits its zlib stream across
+    two IDAT chunks (spec-legal — the decoder must concatenate)."""
+    import struct
+    import zlib
+
+    bpp, stride = 3, 3 * w
+    raw = px.reshape(h, stride).astype(np.int16)
+    zeros = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    parts = []
+    for r in range(h):
+        row = raw[r]
+        left = np.concatenate([zeros, row[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int16)
+        )
+        upleft = np.concatenate([zeros, prev[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int16)
+        )
+        f = (mid + r) % 5
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            filt = row - pred
+        parts.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    compressed = zlib.compress(b"".join(parts), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if mid % 3 == 0 and len(compressed) > 1:
+        half = len(compressed) // 2
+        idat = _png_chunk(b"IDAT", compressed[:half]) + _png_chunk(
+            b"IDAT", compressed[half:]
+        )
+    else:
+        idat = _png_chunk(b"IDAT", compressed)
+    sig = b"\x89PNG\r\n\x1a\n"
+    return sig + _png_chunk(b"IHDR", ihdr) + idat + _png_chunk(b"IEND", b"")
+
+
+def media_png(n: int) -> pd.DataFrame:
+    """Valid non-interlaced 8-bit RGB PNG images, one per media_id,
+    with the SAME closed-form pixel construction as :func:`media_ppm`
+    so the decode oracle recomputes width/height/pixel-sum WITHOUT
+    inflating the payload:
+
+      width  = media_id % 13 + 4          (4..16)
+      height = media_id % 7 + 3           (3..9)
+      pixel[i] = (media_id*31 + i*7) % 256,  i in [0, 3*width*height)
+
+    Filter types cycle per row and IDAT splits every 3rd image (see
+    :func:`_png_encode_rgb8`), so a decoder that skips CRC checks,
+    mis-unfilters any of the five filters, or reads only the first
+    IDAT chunk cannot match the oracle."""
+    rows = []
+    for mid in range(n):
+        w = mid % 13 + 4
+        h = mid % 7 + 3
+        px = ((mid * 31 + 7 * np.arange(3 * w * h)) % 256).astype(np.uint8)
+        rows.append((mid, _png_encode_rgb8(mid, w, h, px)))
+    return pd.DataFrame(rows, columns=["media_id", "payload"]).astype(
+        {"media_id": "int64"}
     )
 
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sql_utils import floor_log2_case_sql
+
 NUM_HASHES = 12
 BANDS = 6
 ROWS_PER_BAND = 2
@@ -1485,7 +1487,10 @@ def bottomk_verified_pairs(
     array_intersect. Never all-pairs. With ``eager`` (default) the
     signature cache is released after the (small) verified frame
     materializes — the dhash_near_dup_pairs discipline (ADVICE r9);
-    ``eager=False`` keeps the lazy plan for shape assertions."""
+    ``eager=False`` keeps the lazy plan for shape assertions and the
+    CALLER owns the persisted signature cache (the returned lazy plan
+    still references it, so it cannot be released here; registry
+    entries clear it via the per-entry ``clearCache()``)."""
     if r not in (2, 3):
         raise ValueError(f"bottom-k banding supports r in (2, 3), got {r}")
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -1702,22 +1707,6 @@ LSHE_ALLOT = (6, 11, 23)
 _LSHE_MAX_STRATUM = 40
 
 
-def floor_log2_case_sql(col: str, cap: int) -> str:
-    """``CASE WHEN {col} < 2 THEN 0 ... ELSE {cap} END`` —
-    floor(log2(col)) by integer comparison up to ``cap`` arms,
-    byte-identical on Spark and DuckDB (both parse ANSI CASE; no float
-    log anywhere — ln-ratio log2 is inexact at powers of two on the
-    JVM). Values below 2 (including 0) take the first arm. Callers pick
-    their own cap so unrelated consumers cannot silently retune each
-    other (the DP geometric mechanism needs an exact 0..51 range for
-    52-bit inputs; the LSH-Ensemble strata saturate at
-    _LSHE_MAX_STRATUM)."""
-    whens = " ".join(
-        f"WHEN {col} < {1 << (s + 1)} THEN {s}" for s in range(cap)
-    )
-    return f"CASE {whens} ELSE {cap} END"
-
-
 def _stratum_case_sql(col: str) -> str:
     """LSH-Ensemble size stratum: floor(log2(col)) capped at
     _LSHE_MAX_STRATUM (2^40 shingles per doc is beyond any real
@@ -1802,7 +1791,13 @@ def lshe_verified_pairs(
     band explode (LSHE_BANDS fixed rows/doc) → hash self-join on
     (g, mh) with the stratum-distance band mask → distinct pair ids →
     two id-joins to the persisted shingle arrays → JVM array_intersect.
-    Never all-pairs, never a posting list."""
+    Never all-pairs, never a posting list. With ``eager`` (default) the
+    shingle cache is released after the verified frame materializes;
+    ``eager=False`` keeps the lazy plan for shape assertions and the
+    CALLER owns the persisted shingle cache (the returned lazy plan
+    still references it; registry entries clear it via the per-entry
+    ``clearCache()``) — the bottomk_verified_pairs discipline
+    (ADVICE r11)."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     shingled = shingle_docs(docs, id_col, norm_col).persist()
     sigs = lshe_band_minhashes(

@@ -6,15 +6,19 @@ the engine as ``binary`` columns; decode / feature-extract / resize /
 frame-sample run as Pandas UDFs over ``mapInPandas`` so bytes cross the
 JVM↔Python boundary in Arrow record batches, never row-at-a-time.
 
-The *decoders* are deliberately stubbed — the real ones need pillow /
+Three decoders are REAL and dependency-free: binary P6 PPM
+(:func:`parse_ppm`), RIFF/WAVE PCM16 (:func:`parse_wav`), and
+non-interlaced 8-bit RGB PNG (:func:`parse_png` — stdlib zlib inflate
+plus full five-filter scanline unfiltering). Exotic formats (JPEG
+pixels, palette/interlaced PNG, compressed audio) need pillow /
 torchaudio / ffmpeg, which this environment does not ship:
 
-  * :func:`decode_image_real` raises ``NotImplementedError`` (the
-    clearly-marked integration point);
+  * :func:`decode_image_real` raises ``NotImplementedError`` for those
+    (the clearly-marked integration point);
   * :func:`fake_features` is the deterministic stand-in used by the
-    pipeline and its oracle — pure arithmetic on the payload bytes, so
-    the Spark-side plumbing (schema, Arrow batching, partition
-    preservation) is real and value-checked end-to-end.
+    generic pipeline and its oracle — pure arithmetic on the payload
+    bytes, so the Spark-side plumbing (schema, Arrow batching,
+    partition preservation) is real and value-checked end-to-end.
 
 Scale notes: ``mapInPandas`` streams Arrow batches per partition — no
 collect, no per-row Python calls; memory is bounded by
@@ -326,6 +330,175 @@ def parse_png_dims(payload: bytes) -> tuple[int, int, int]:
     height = int.from_bytes(payload[20:24], "big")
     color_type = payload[25]
     return width, height, color_type
+
+
+def parse_png(payload: bytes) -> tuple[int, int, int, int]:
+    """Public 4-tuple (width, height, bit_depth, pixel_sum) contract
+    over :func:`_parse_png_full` — see there for the decode grammar."""
+    return _parse_png_full(payload)[:4]
+
+
+def _parse_png_full(payload: bytes):
+    """Real, dependency-free decode of a non-interlaced 8-bit RGB
+    (color type 2) PNG — stdlib ``zlib`` inflate + full scanline
+    unfiltering, no pillow (VERDICT r11 task #3).
+
+    Implements the PNG container grammar: 8-byte signature, then a
+    chunk walk (BE32 length, 4-byte type, body, BE32 CRC over
+    type+body — VERIFIED per chunk, a flipped payload bit must not
+    decode); IHDR first with bit_depth=8 / color_type=2 /
+    compression=0 / filter=0 / interlace=0; IDAT bodies CONCATENATED
+    (the spec allows any split) into one zlib stream; IEND terminates.
+    The inflated stream is ``height`` scanlines of 1 filter byte +
+    ``3*width`` sample bytes, unfiltered per the five spec filters
+    (None / Sub / Up / Average / Paeth, RFC 2083 §6) against the
+    RECONSTRUCTED previous row. Up and Sub are vectorized (Up is
+    pure element-wise; Sub is a per-channel cumulative sum mod 256);
+    Average/Paeth mix the left recon byte into each prediction, so
+    they scan the row sequentially — rows are one Arrow-batched
+    Python stage deep, never per-row JVM calls.
+
+    Returns ``(width, height, bit_depth, pixel_sum, samples)`` where
+    pixel_sum is the exact int64 sum of all ``3*width*height``
+    reconstructed sample bytes and samples the raw uint8 array
+    (interleaved RGB, row-major).
+
+    Raises ``ValueError`` on bad signature, chunk CRC mismatch,
+    truncated chunks, out-of-scope IHDR (16-bit, palette, grayscale,
+    alpha, Adam7 interlace), corrupt zlib data, scanline-size
+    mismatch, or an undefined filter type — silent zero-fill would
+    defeat the oracle check.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, n = 8, len(payload)
+    ihdr: bytes | None = None
+    idat: list[bytes] = []
+    ended = False
+    while pos + 12 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > n:
+            raise ValueError(f"truncated {typ!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            if ihdr is not None or pos != 8:
+                raise ValueError("malformed PNG: IHDR not first/unique")
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT/IEND")
+    if len(ihdr) != 13:
+        raise ValueError("malformed IHDR length")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"out-of-spec PNG dimensions {width}x{height}")
+    if depth != 8 or ctype != 2:
+        raise ValueError(
+            f"only 8-bit RGB (color type 2) supported, got depth={depth}/"
+            f"color_type={ctype}"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG IDAT zlib stream") from exc
+    stride = 3 * width
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG scanline size mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    recon = np.zeros((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        f = int(scan[r, 0])
+        rowb = scan[r, 1:].astype(np.int32)
+        if f == 0:  # None
+            cur = rowb
+        elif f == 1:  # Sub: per-channel cumsum mod 256 (vectorized)
+            cur = np.empty(stride, dtype=np.int32)
+            for ch in range(3):
+                cur[ch::3] = np.cumsum(rowb[ch::3]) % 256
+        elif f == 2:  # Up (element-wise, vectorized)
+            cur = (rowb + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-recon recurrence
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = int(prev[x - 3]) if x >= 3 else 0
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (rowb[x] + pred) & 255
+        else:
+            raise ValueError(f"undefined PNG filter type {f}")
+        recon[r] = cur
+        prev = cur
+    samples = recon.astype(np.uint8).reshape(-1)
+    return width, height, depth, int(samples.sum(dtype=np.int64)), samples
+
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("bit_depth", T.IntegerType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("pixel_mean", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PNG decode: every payload is inflated and
+    unfiltered by :func:`parse_png` (stdlib zlib + numpy, no codec
+    dependency) and reduced to exact width/height/bit-depth/pixel-sum/
+    mean. Same mapInPandas shape as :func:`decode_ppm_features`: bytes
+    cross the JVM boundary once per Arrow batch, never per row, and the
+    stage is embarrassingly parallel (no shuffle; input splits give the
+    parallelism at scale)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:  # NULL payload: contract error, not TypeError
+                    raise ValueError(f"media_id {mid}: NULL payload")
+                w, h, depth, s = parse_png(bytes(p))
+                rows.append((mid, w, h, depth, s, s / (3.0 * w * h)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "bit_depth", "pixel_sum", "pixel_mean",
+                ],
+            )
+
+    return media.mapInPandas(run, PNG_SCHEMA)
 
 
 def parse_flac_streaminfo(payload: bytes) -> dict:

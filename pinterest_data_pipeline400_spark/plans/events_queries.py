@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import floor_log2_case_sql as _floor_log2_case
+from ..sql_utils import floor_log2_case_sql as _floor_log2_case
 from ..session import (
     SCRATCH_ROOT,
     STREAM_DRAIN_TIMEOUT_SEC,

@@ -50,7 +50,10 @@ def build_session(
         # task there, killing the context and erroring every later
         # entry. 16g restores the headroom; a real cluster sizes
         # executors independently (see PERF.md "100 TB configuration
-        # deltas").
+        # deltas"). Since r12 the posting baselines are OUT of the
+        # default bench lane (SPARK_GRAFT_BASELINE_LANE=1 opts in), so
+        # the default sweep no longer approaches this ceiling — 16g is
+        # kept for the opt-in lane and ad-hoc sessions.
         .config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )

@@ -129,6 +129,66 @@ def read_jdbc_partitioned(
     return reader.load()
 
 
+#: The exact column set + types the Spark Kafka source returns
+#: (spark-sql-kafka's fixed output schema). Anything downstream of
+#: ``read_kafka`` is written against THIS shape, so a crafted DataFrame
+#: with this schema exercises the full decode contract without a broker.
+KAFKA_WIRE = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+
+def envelope_to_kafka_records(
+    raw: DataFrame, topic: str, num_partitions: int = 3
+) -> DataFrame:
+    """Reshape envelope rows (StreamName/PartitionKey/Data) into the
+    EXACT DataFrame shape the Spark Kafka source emits (``KAFKA_WIRE``):
+    UTF-8 bytes in binary key/value, topic/partition/offset/timestamp
+    metadata. This is the broker-less stand-in for ``read_kafka`` —
+    the reference's REST-proxy emulator put the record JSON in the
+    Kafka message value keyed by the partition key
+    (user_posting_emulation.py analog), which is what the value/key
+    mapping reproduces. partition = hash(key) % N mirrors the default
+    Kafka partitioner; offset/timestamp are synthetic metadata that no
+    decode step reads (a fixed literal timestamp keeps the frame
+    deterministic)."""
+    from pyspark.sql import functions as F
+
+    shaped = raw.select(
+        F.encode(F.col("PartitionKey"), "UTF-8").alias("key"),
+        F.encode(F.col("Data"), "UTF-8").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.xxhash64("PartitionKey"), F.lit(num_partitions))
+        .cast("int")
+        .alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.lit("2021-01-01 00:00:00").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    # Literal metadata columns come out non-nullable where the Kafka
+    # source declares nullable — tighter nullability is a valid
+    # instance of the wire contract (downstream code written against
+    # nullable fields accepts non-null values), so no widening cast.
+    return shaped
+
+
+def kafka_value_as_envelope(records: DataFrame) -> DataFrame:
+    """The one-line adapter between the Kafka wire shape and the
+    envelope decode path: ``CAST(value AS STRING) AS Data`` — after
+    this, ``streaming.decode_stream`` (CAST → from_json → flatten) runs
+    unchanged on Kafka records, so the MSK-analog decode contract and
+    the file-stream analog share one implementation."""
+    return records.selectExpr("CAST(value AS STRING) AS Data")
+
+
 def read_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -451,6 +451,185 @@ def test_png_native_walk_agrees_with_pillow():
     assert parse_png_dims(buf.getvalue())[:2] == (23, 11)
 
 
+def _hand_png(w, h, scanlines, ihdr_override=None):
+    """Byte-level PNG builder INDEPENDENT of the generator's encoder:
+    scanlines are pre-filtered (filter byte + w*3 filtered bytes per
+    row, supplied by the test), so the decoder is checked against
+    hand-computed spec arithmetic, not against our own encoder."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = ihdr_override or struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    body = zlib.compress(b"".join(scanlines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_unfilters_all_five_filters_hand_vector():
+    """Decoder vs HAND-COMPUTED spec arithmetic (RFC 2083 §6) on a
+    2x5 RGB image exercising every filter type once — independent of
+    the fixture encoder, so an encoder/decoder shared bug cannot
+    cancel out."""
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        _parse_png_full,
+    )
+
+    # row0, filter 0 (None): recon = filt
+    r0 = bytes([0, 10, 20, 30, 40, 50, 60])
+    # row1, filter 1 (Sub): recon[x] = filt + recon[x-3]
+    #   filt = [5,5,5, 7,7,7] → recon = [5,5,5, 12,12,12]
+    r1 = bytes([1, 5, 5, 5, 7, 7, 7])
+    # row2, filter 2 (Up): recon = filt + above
+    #   filt = [1,2,3, 4,5,6] → recon = [6,7,8, 16,17,18]
+    r2 = bytes([2, 1, 2, 3, 4, 5, 6])
+    # row3, filter 3 (Average): recon[x] = filt + (left + above)//2
+    #   x0..2: left=0, above=[6,7,8]   → pred [3,3,4]  → recon [13,23,34]
+    #   x3..5: left=[13,23,34], above=[16,17,18] → pred [14,20,26]
+    #          filt [100,200,250] → recon [114,220,(250+26)%256=20]
+    r3 = bytes([3, 10, 20, 30, 100, 200, 250])
+    # row4, filter 4 (Paeth): pred = paeth(left, above, upleft)
+    #   x0..2: a=0,c=0,b=above → pred=b=[13,23,34]   (p=b, pb=0)
+    #          filt [1,1,1] → recon [14,24,35]
+    #   x3..5: a=[14,24,35], b=[114,220,20], c=[13,23,34]
+    #     x3: p=14+114-13=115, pa=101,pb=1,pc=102 → pred=b=114; 2+114=116
+    #     x4: p=24+220-23=221, pa=197,pb=1,pc=198 → pred=b=220; 3+220=223
+    #     x5: p=35+20-34=21,   pa=14, pb=1, pc=13 → pb<=pc → pred=b=20
+    #         4+20=24
+    r4 = bytes([4, 1, 1, 1, 2, 3, 4])
+    payload = _hand_png(2, 5, [r0, r1, r2, r3, r4])
+    w, h, depth, s, samples = _parse_png_full(payload)
+    expected = [
+        10, 20, 30, 40, 50, 60,
+        5, 5, 5, 12, 12, 12,
+        6, 7, 8, 16, 17, 18,
+        13, 23, 34, 114, 220, 20,
+        14, 24, 35, 116, 223, 24,
+    ]
+    assert (w, h, depth) == (2, 5, 8)
+    assert list(samples) == expected
+    assert s == sum(expected)
+
+
+def test_parse_png_rejects_bad_payloads():
+    """Loud ValueError on every malformed-input class: signature, CRC,
+    zlib corruption, scanline-size mismatch, undefined filter,
+    out-of-scope IHDR (grayscale, 16-bit, interlaced)."""
+    import struct
+
+    from pinterest_data_pipeline400_spark.generator import media_png
+    from pinterest_data_pipeline400_spark.operators.multimodal import parse_png
+
+    good = bytes(media_png(5).payload[1])
+    with pytest.raises(ValueError, match="signature"):
+        parse_png(b"JFIF" + good)
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip one IDAT byte → chunk CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="scanline"):
+        # valid zlib, wrong payload size for the declared dims
+        parse_png(_hand_png(2, 2, [bytes([0, 1, 2, 3])]))
+    with pytest.raises(ValueError, match="filter type"):
+        parse_png(_hand_png(1, 1, [bytes([9, 1, 2, 3])]))
+    for depth, ctype, inter in [(8, 0, 0), (16, 2, 0), (8, 2, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, inter and 0 or 0, 0, inter)
+        with pytest.raises(ValueError):
+            parse_png(_hand_png(1, 1, [bytes([0, 1, 2, 3])], ihdr_override=ihdr))
+
+
+def test_media_png_fixture_payloads_decode_exactly():
+    """Fixture↔decoder↔closed-form triangle: every generated PNG must
+    decode back to the exact closed-form pixel stream the oracle SQL
+    recomputes (covers all five filters via the per-row cycle and the
+    split-IDAT branch via mid % 3)."""
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import media_png
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        _parse_png_full,
+    )
+
+    df = media_png(20)
+    for mid, payload in zip(df.media_id, df.payload):
+        w_exp, h_exp = mid % 13 + 4, mid % 7 + 3
+        px = ((mid * 31 + 7 * np.arange(3 * w_exp * h_exp)) % 256).astype(
+            np.uint8
+        )
+        w, h, depth, s, samples = _parse_png_full(bytes(payload))
+        assert (w, h, depth) == (w_exp, h_exp, 8)
+        assert np.array_equal(samples, px)
+        assert s == int(px.sum())
+        # the split-IDAT branch really produces two IDAT chunks
+        assert bytes(payload).count(b"IDAT") == (2 if mid % 3 == 0 else 1)
+
+
+def test_parse_png_agrees_with_pillow():
+    """Wherever pillow exists, the dependency-free decode must produce
+    pixel-identical output for a pillow-encoded RGB PNG (and our
+    encoder's output must decode identically under pillow)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from pinterest_data_pipeline400_spark.generator import media_png
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        _parse_png_full,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(11, 23, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px, "RGB").save(buf, format="PNG")
+    w, h, _d, _s, samples = _parse_png_full(buf.getvalue())
+    assert (w, h) == (23, 11)
+    assert np.array_equal(samples.reshape(11, 23, 3), px)
+    ours = bytes(media_png(4).payload[3])
+    with Image.open(io.BytesIO(ours)) as img:
+        theirs = np.asarray(img.convert("RGB"))
+    _, _, _, _, mine = _parse_png_full(ours)
+    assert np.array_equal(mine, theirs.reshape(-1))
+
+
+def test_decode_png_features_spark_roundtrip(spark):
+    """Arrow-batched PNG decode through the registered operator shape:
+    values equal the closed form, plan stays exchange-free."""
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import media_png
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        decode_png_features,
+    )
+
+    pdf = media_png(12)
+    media = spark.createDataFrame(pdf)
+    out = decode_png_features(media).orderBy("media_id").collect()
+    assert len(out) == 12
+    for row in out:
+        mid = row.media_id
+        w_exp, h_exp = mid % 13 + 4, mid % 7 + 3
+        px = ((mid * 31 + 7 * np.arange(3 * w_exp * h_exp)) % 256).astype(
+            np.int64
+        )
+        assert (row.width, row.height, row.bit_depth) == (w_exp, h_exp, 8)
+        assert row.pixel_sum == int(px.sum())
+    plan = decode_png_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # embarrassingly parallel: no shuffle
+
+
 def test_parse_flac_streaminfo_bitfields():
     """FLAC STREAMINFO bit-shifting: a hand-built header with known
     rate/channels/bits/total must round-trip exactly."""

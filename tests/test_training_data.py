@@ -2409,3 +2409,105 @@ def test_rerank_recovers_single_stage_gap(spark):
     rr = td.emb_knn_recall_rerank(spark, TEST_SF_DIR).toPandas()
     sq = td.emb_knn_recall_sq8(spark, TEST_SF_DIR).toPandas()
     assert rr.recall_at_k.mean() >= sq.recall_at_k.mean()
+
+
+def test_quality_classifier_matches_numpy_recompute(spark):
+    """Shared-bug rule: the full hard-sigmoid logistic GD trajectory
+    (weights, accuracy, MAE per round) recomputed independently in
+    numpy from the fixture parquet must match the registered entry
+    exactly — and accuracy must END >= 0.95 against the PLANTED
+    labels while starting lower (the classifier genuinely learns)."""
+    import numpy as np
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    out = cu.docs_quality_classifier(spark, TEST_SF_DIR).toPandas()
+    assert list(out["round"]) == list(range(1, cu.CLF_ROUNDS + 1))
+
+    docs = pd.read_parquet(
+        os.path.join(fixture_dir_for(TEST_SF_DIR), "docs_quality.parquet")
+    )
+
+    def rnd(x):
+        # HALF-AWAY rounding: numpy's np.round is banker's (half-to-
+        # even), but Spark F.round and DuckDB round() both round .5
+        # away from zero — the recompute must match the engines
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    feats = []
+    for toks in docs.text.str.split(" "):
+        vals, cnts = np.unique(toks, return_counts=True)
+        feats.append((len(toks), len(vals), cnts.max()))
+    f = np.array(feats, dtype=float)
+    y = docs.label.to_numpy(dtype=float) * 1e6
+    lo, hi = f[:, 0].min(), f[:, 0].max()
+    X = np.stack(
+        [
+            rnd((f[:, 0] - lo) * 1e6 / (hi - lo)),
+            rnd(f[:, 1] * 1e6 / f[:, 0]),
+            rnd(f[:, 2] * 1e6 / f[:, 0]),
+        ],
+        1,
+    )
+    Xb = np.column_stack([X - rnd(X.mean(0)), np.full(len(y), 1e6)])
+    w = np.zeros(4)
+    for t in range(1, cu.CLF_ROUNDS + 1):
+        z = rnd(Xb @ w / 1e6)
+        p = np.clip(500000 + rnd(z / 4), 0, 1e6)
+        err = p - y
+        g = np.array([rnd(err * Xb[:, j] / 1e6).sum() for j in range(4)])
+        w = w - rnd(g * cu.CLF_LR_NUM / len(y))
+        row = out[out["round"] == t].iloc[0]
+        assert [row.w_len, row.w_ttr, row.w_top, row.w_bias] == list(
+            w.astype(int)
+        ), t
+        acc = ((p >= 500000) == (y > 0)).mean()
+        assert row.acc_micro == rnd(acc * 1e6), t
+        assert row.mae_micro == rnd(np.abs(err).mean()), t
+    assert out.acc_micro.iloc[-1] >= 950_000, out.acc_micro.iloc[-1]
+    assert out.acc_micro.iloc[-1] > out.acc_micro.iloc[0]
+
+
+def test_quality_classifier_gauge_consistency(spark):
+    """The gauge's confusion counts must be internally consistent,
+    sum to the corpus, and pin accuracy AND recall >= 0.95 vs the
+    planted labels — with a NONZERO error band (the borderline fixture
+    slices exist so this gauge can't trivially read 1.0)."""
+    import pandas as pd
+
+    from pinterest_data_pipeline400_spark.generator import fixture_dir_for
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    out = cu.docs_quality_classifier_gauge(spark, TEST_SF_DIR).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    docs = pd.read_parquet(
+        os.path.join(fixture_dir_for(TEST_SF_DIR), "docs_quality.parquet")
+    )
+    assert row.tp + row.fp + row.fn + row.tn == len(docs)
+    assert row.tp + row.fn == int(docs.label.sum())
+    assert row.acc_micro >= 950_000, row.acc_micro
+    assert row.recall_micro >= 950_000, row.recall_micro
+    assert row.fp + row.fn > 0  # borderline slices: a real error band
+
+
+def test_ivfadc_refine_recall_beats_both_baselines(spark):
+    """VERDICT r11 task #5 pin: the trained-coarse residual IVF-PQ
+    with exact refine must reach mean recall@3 >= 0.5 at the graded
+    fixture AND sit monotone above BOTH the untrained seed-residual
+    IVFADC and the trained raw-vector PQ gauge."""
+    sf = "/root/testdata/sf0.01"
+    ref = td.emb_knn_recall_ivfadc_refine(spark, sf).toPandas()
+    assert len(ref) == td.N_QUERIES
+    r_refine = ref.recall_at_k.mean()
+    r_resid = (
+        td.emb_knn_recall_ivfadc_residual(spark, sf).toPandas().recall_at_k.mean()
+    )
+    r_trained = (
+        td.emb_knn_recall_pq_trained(spark, sf).toPandas().recall_at_k.mean()
+    )
+    assert r_refine >= 0.5, r_refine
+    assert r_refine >= r_resid, (r_refine, r_resid)
+    assert r_refine >= r_trained, (r_refine, r_trained)
