@@ -55,6 +55,7 @@ GRADE_WINDOW = [
     "multimodal_decode_png",
     "docs_quality_classifier",
     "docs_quality_classifier_gauge",
+    "docs_quality_apply",
     "emb_knn_recall_ivfadc_refine",
 ]
 

@@ -38,6 +38,16 @@ Methodology:
     "regressions_suppressed" (never "regressions"), and does NOT
     overwrite the quiet baseline BENCH_FULL.json (it writes
     BENCH_FULL_DIRTY.json beside it instead).
+  * Calibration gate (round 12): loadavg only catches CONCURRENT
+    load; a sandboxed host can also be uniformly slower for a whole
+    sweep (measured same-day: two clean back-to-back runs, median
+    per-entry ratio 1.11x, thirteen ~1.5x flags on unrelated 1-2 s
+    entries). Before the sweep a fixed CPU-bound probe
+    (bit_xor of xxhash64 over 4B rows, 32 tasks — ~0.8 s, ~4% intra-session spread) is timed and recorded as
+    context.calibration_sec; when it drifts >15% from the BASELINE
+    run's calibration, per-entry flags are host-speed artifacts and
+    the run is treated exactly like a loadavg-dirty one (suppressed
+    flags + parked artifact, "dirty_reason": "calibration_drift").
   * Baseline lane (VERDICT r11 task #2): the two deliberately-kept
     recall-1.0 posting-join baselines (docs_dup_containment,
     docs_dup_ngram_pairs — superseded at scale by their signature
@@ -164,6 +174,25 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warm-up only
         pass
 
+    # Calibration probe (module docstring): fixed CPU-bound work, timed
+    # AFTER warm-ups so JVM startup never lands in it; min-of-2 like
+    # every other timing.
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        # bit_xor, not sum: xxhash64 longs overflow an ANSI-mode
+        # sum; xor is overflow-free and equally unprunable
+        _materialize(
+            spark.range(0, 4_000_000_000, 1, 32).selectExpr(
+                "bit_xor(xxhash64(id)) AS s"
+            )
+        )
+        return time.perf_counter() - t0
+
+    try:
+        calibration_sec = round(min(_calibrate(), _calibrate()), 4)
+    except Exception:  # noqa: BLE001 — the probe must never kill the sweep
+        calibration_sec = None
+
     # Opt-in baseline lane (module docstring): the degenerate posting
     # baselines stay registered (correctness) but out of the default
     # sweep (perf artifact + OOM exposure).
@@ -225,6 +254,7 @@ def main() -> None:
         "loadavg_5m": la5,
         "loadavg_15m": la15,
         "cpus": os.cpu_count(),
+        "calibration_sec": calibration_sec,
     }
     # A partial headline sum would silently compare apples to oranges
     # round-over-round (ADVICE r3); publish null instead when any
@@ -248,10 +278,21 @@ def main() -> None:
     # Load gate (module docstring): a run that STARTED on a busy host
     # cannot produce trustworthy per-entry flags — suppress, don't emit.
     context_dirty = isinstance(la_start, float) and la_start > 1.0
+    dirty_reason = "loadavg" if context_dirty else None
     regressions: dict[str, list[float]] = {}
     try:
         with open(full_path) as fh:
             prev_out = json.load(fh)
+        # Calibration gate (module docstring): uniform host-speed drift
+        # vs the baseline run makes per-entry ratios meaningless.
+        prev_cal = prev_out.get("context", {}).get("calibration_sec")
+        if (
+            isinstance(prev_cal, (int, float))
+            and isinstance(calibration_sec, float)
+            and abs(calibration_sec / prev_cal - 1) > 0.15
+        ):
+            context_dirty = True
+            dirty_reason = dirty_reason or "calibration_drift"
         # cross-SF timings are not comparable — gate only within one SF
         prev = prev_out.get("queries", {}) if prev_out.get("sf") == sf_val else {}
         for name, dt in timings.items():
@@ -279,6 +320,8 @@ def main() -> None:
     }
     if context_dirty and regressions:
         out["regressions_suppressed"] = regressions
+    if dirty_reason:
+        out["dirty_reason"] = dirty_reason
     if skipped:
         out["baseline_lane_skipped"] = skipped
     if errors:

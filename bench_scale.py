@@ -121,6 +121,9 @@ def main() -> None:
             for fam, entry in [
                 ("image_neardup_cold", "multimodal_image_neardup"),
                 ("audio_neardup_cold", "multimodal_audio_neardup"),
+                # honest one-pass cost of the streaming near-dup verdict
+                # (warm path reads the stored band index; VERDICT r11 #4)
+                ("stream_neardup_cold", "stream_neardup_dedup"),
             ]:
                 out[fam] = timed(
                     lambda e=entry: _materialize(qfns[e](spark, sf_dir))

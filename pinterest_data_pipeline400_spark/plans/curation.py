@@ -3661,3 +3661,186 @@ def docs_quality_classifier_gauge(spark: SparkSession, sf_dir: str) -> DataFrame
         micro(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_micro"),
         micro(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_micro"),
     )
+
+
+@REGISTRY.register(
+    "docs_quality_apply",
+    oracle="WITH "
+    + ",".join(_clf_cte_parts(CLF_ROUNDS))
+    + f""",
+    dsrc AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents),
+    dtok AS (SELECT doc_id, source, unnest(string_split(norm, ' ')) AS token
+             FROM dsrc),
+    dcnt AS (SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS c
+             FROM dtok GROUP BY doc_id, source, token),
+    ddoc AS (SELECT doc_id, source,
+                    CAST(sum(c) AS BIGINT) AS n_tok,
+                    CAST(count(*) AS BIGINT) AS n_dis,
+                    CAST(max(c) AS BIGINT) AS top_c
+             FROM dcnt GROUP BY doc_id, source),
+    f AS (SELECT d.doc_id, d.source,
+             CAST(round(CAST((d.n_tok - e.lo) AS DOUBLE) * 1000000
+                        / (e.hi - e.lo)) AS BIGINT) - m.ml AS xl,
+             CAST(round(CAST(d.n_dis AS DOUBLE) * 1000000 / d.n_tok)
+                  AS BIGINT) - m.mt AS xt,
+             CAST(round(CAST(d.top_c AS DOUBLE) * 1000000 / d.n_tok)
+                  AS BIGINT) - m.mp AS xp
+      FROM ddoc d CROSS JOIN qext e CROSS JOIN qm m),
+    dsc AS (SELECT f.doc_id, f.source,
+                   {_clf_pred_sql(f"w")} AS p
+            FROM f CROSS JOIN v_{CLF_ROUNDS} w)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(round(CAST(sum(CASE WHEN p >= 500000 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*) * 1000000) AS BIGINT)
+             AS keep_rate_micro,
+           CAST(round(CAST(sum(p) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_p_micro,
+           CAST(min(p) AS BIGINT) AS min_p_micro
+    FROM dsc GROUP BY source ORDER BY source""",
+    doc="The trained classifier APPLIED to the real documents corpus "
+    "— the production train-once/apply-everywhere shape that "
+    "completes the classifier story: final-round weights AND the "
+    "training corpus's normalizer statistics (min-max extrema + "
+    "feature means — a model's preprocessing parameters ship WITH "
+    "the model, features must land on the training scale) broadcast "
+    "into one scoring pass over `documents`, rolled up to per-source "
+    "keep counts/rates plus score statistics (mean/min p micro). On "
+    "THIS synthetic corpus the gate keeps everything — template text "
+    "has uniformly high type-token ratio, an honest finding the score "
+    "columns make visible (mean p saturates, min p shows the margin); "
+    "on a real crawl the same rollup is the mixture-policy input: "
+    "which sources the gate would thin and by how much. Scale shape: ONE "
+    "tokenize of the corpus, map-side-combinable per-doc aggregates, "
+    "all model state broadcast 1-row/tiny, output bounded by source "
+    "cardinality. Oracle composes the training unroll verbatim with "
+    "the corpus scoring CTEs.",
+)
+def docs_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wrow = (
+        docs_quality_classifier(spark, sf_dir)
+        .filter(F.col("round") == CLF_ROUNDS)
+        .select(
+            F.col("w_len").alias("wl"),
+            F.col("w_ttr").alias("wt"),
+            F.col("w_top").alias("wp"),
+            F.col("w_bias").alias("wb"),
+        )
+    )
+    # the TRAINING corpus's normalizer statistics (qext + qm twins)
+    fx = fixture_dir_for(sf_dir)
+    tdocs = spark.read.parquet(os.path.join(fx, "docs_quality.parquet"))
+    ttok = tdocs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tcnt = ttok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    td = tcnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_dis"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    ext = td.agg(
+        F.min("n_tok").cast("long").alias("lo"),
+        F.max("n_tok").cast("long").alias("hi"),
+    )
+    traw = td.crossJoin(F.broadcast(ext)).select(
+        F.round(
+            (F.col("n_tok") - F.col("lo")).cast("double")
+            * 1000000
+            / (F.col("hi") - F.col("lo"))
+        )
+        .cast("long")
+        .alias("xl"),
+        F.round(F.col("n_dis").cast("double") * 1000000 / F.col("n_tok"))
+        .cast("long")
+        .alias("xt"),
+        F.round(F.col("top_c").cast("double") * 1000000 / F.col("n_tok"))
+        .cast("long")
+        .alias("xp"),
+    )
+    m = traw.agg(
+        F.round(F.avg("xl")).cast("long").alias("ml"),
+        F.round(F.avg("xt")).cast("long").alias("mt"),
+        F.round(F.avg("xp")).cast("long").alias("mp"),
+    )
+    # one scoring pass over the REAL corpus on the training scale
+    docs = _docs(spark, sf_dir, spread=True)
+    dtok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(ws_tokens(norm_text(F.col("text")))).alias("token"),
+    )
+    dcnt = dtok.groupBy("doc_id", "source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dd = dcnt.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_dis"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    feat = (
+        dd.crossJoin(F.broadcast(ext))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.round(
+                    (F.col("n_tok") - F.col("lo")).cast("double")
+                    * 1000000
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("long")
+                - F.col("ml")
+            ).alias("xl"),
+            (
+                F.round(
+                    F.col("n_dis").cast("double") * 1000000 / F.col("n_tok")
+                ).cast("long")
+                - F.col("mt")
+            ).alias("xt"),
+            (
+                F.round(
+                    F.col("top_c").cast("double") * 1000000 / F.col("n_tok")
+                ).cast("long")
+                - F.col("mp")
+            ).alias("xp"),
+        )
+    )
+    z = F.round(
+        (
+            (F.col("wl") * F.col("xl")).cast("double")
+            + F.col("wt") * F.col("xt")
+            + F.col("wp") * F.col("xp")
+            + F.col("wb") * 1000000
+        )
+        / 1000000
+    ).cast("long")
+    p = F.least(
+        F.lit(1000000).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(500000) + F.round(z.cast("double") / 4).cast("long"),
+        ),
+    )
+    scored = feat.crossJoin(F.broadcast(wrow)).select(
+        "source", p.alias("p"), (p >= 500000).cast("long").alias("keep")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.round(F.sum("keep").cast("double") / F.count(F.lit(1)) * 1000000)
+            .cast("long")
+            .alias("keep_rate_micro"),
+            F.round(F.sum("p").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_p_micro"),
+            F.min("p").cast("long").alias("min_p_micro"),
+        )
+        .orderBy("source")
+    )

