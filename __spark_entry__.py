@@ -52,6 +52,7 @@ GRADE_WINDOW = [
     # round-12 additions (new this round, graded immediately),
     # appended as built.
     "kafka_shape_decode_pin",
+    "kafka_shape_stream_pin",
     "multimodal_decode_png",
     "docs_quality_classifier",
     "docs_quality_classifier_gauge",

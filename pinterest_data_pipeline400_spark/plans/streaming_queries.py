@@ -96,6 +96,38 @@ def stream_clean_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "kafka_shape_stream_pin",
+    oracle=f"""WITH {_ctes(ORACLE_FX, pin_impute="1000")}
+    SELECT ind, unique_id, title, description, follower_count, poster_name,
+           tag_list, is_image_or_video, image_src, save_location, category
+    FROM pin""",
+    doc="The STREAMING half of the broker-less Kafka contract "
+    "(completes kafka_shape_decode_pin): the envelope file stream is "
+    "reshaped per micro-batch into the Spark Kafka source's exact "
+    "wire columns (binary key/value + topic/partition/offset/"
+    "timestamp — readers.envelope_to_kafka_records with the "
+    "streaming-safe content-hash offset), then CAST(value) feeds the "
+    "SAME decode_stream -> clean_stream -> checkpointed append sink "
+    "as stream_clean_pin. Everything downstream of readStream."
+    "format('kafka') is this exact plan, so swapping in a live broker "
+    "touches only the first scan; the decode, cleaning, dedup-free "
+    "append, and exactly-once checkpoint contract are value-hash-"
+    "checked here end-to-end.",
+)
+def kafka_shape_stream_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import envelope_to_kafka_records, kafka_value_as_envelope
+
+    def build(raw: DataFrame) -> DataFrame:
+        records = envelope_to_kafka_records(raw, topic="pin", streaming=True)
+        decoded = decode_stream(
+            kafka_value_as_envelope(records), RAW_SCHEMAS["pin"]
+        )
+        return clean_stream(decoded, "pin")
+
+    return _run_entry(spark, sf_dir, "kafka_shape_stream_pin", "pin", build)
+
+
+@REGISTRY.register(
     "stream_clean_geo",
     oracle=f"""WITH {_ctes(ORACLE_FX)}
     SELECT ind, country, latitude AS coord_lat, longitude AS coord_lon,

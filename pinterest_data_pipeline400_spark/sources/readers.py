@@ -147,7 +147,7 @@ KAFKA_WIRE = T.StructType(
 
 
 def envelope_to_kafka_records(
-    raw: DataFrame, topic: str, num_partitions: int = 3
+    raw: DataFrame, topic: str, num_partitions: int = 3, streaming: bool = False
 ) -> DataFrame:
     """Reshape envelope rows (StreamName/PartitionKey/Data) into the
     EXACT DataFrame shape the Spark Kafka source emits (``KAFKA_WIRE``):
@@ -159,9 +159,15 @@ def envelope_to_kafka_records(
     mapping reproduces. partition = hash(key) % N mirrors the default
     Kafka partitioner; offset/timestamp are synthetic metadata that no
     decode step reads (a fixed literal timestamp keeps the frame
-    deterministic)."""
+    deterministic). Pass ``streaming=True`` when ``raw`` is a
+    streaming DataFrame: monotonically_increasing_id is not allowed
+    on streams, so the synthetic offset becomes a content hash
+    (equally unread downstream)."""
     from pyspark.sql import functions as F
 
+    offset = (
+        F.xxhash64("Data") if streaming else F.monotonically_increasing_id()
+    )
     shaped = raw.select(
         F.encode(F.col("PartitionKey"), "UTF-8").alias("key"),
         F.encode(F.col("Data"), "UTF-8").alias("value"),
@@ -169,7 +175,7 @@ def envelope_to_kafka_records(
         F.pmod(F.xxhash64("PartitionKey"), F.lit(num_partitions))
         .cast("int")
         .alias("partition"),
-        F.monotonically_increasing_id().alias("offset"),
+        offset.alias("offset"),
         F.lit("2021-01-01 00:00:00").cast("timestamp").alias("timestamp"),
         F.lit(0).alias("timestampType"),
     )
