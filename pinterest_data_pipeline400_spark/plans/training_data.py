@@ -1341,6 +1341,12 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = fixture_dir_for(sf_dir)
     media = spark.read.parquet(os.path.join(fx, "media_png.parquet"))
+    # single-file fixture → few input splits; the inflate+unfilter is
+    # ~10x heavier per image than the PPM header walk, so spread the
+    # payloads across all cores first (the docs_winnow_fingerprints
+    # round-robin-rebalance lesson: measured sf1 23.0 s starved →
+    # ~3 s spread)
+    media = media.repartition(spark.sparkContext.defaultParallelism)
     return decode_png_features(media)
 
 
