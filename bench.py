@@ -38,21 +38,42 @@ Methodology:
     "regressions_suppressed" (never "regressions"), and does NOT
     overwrite the quiet baseline BENCH_FULL.json (it writes
     BENCH_FULL_DIRTY.json beside it instead).
-  * Calibration gate (round 12): loadavg only catches CONCURRENT
-    load; a sandboxed host can also be uniformly slower for a whole
-    sweep (measured same-day: two clean back-to-back runs, median
-    per-entry ratio 1.11x, thirteen ~1.5x flags on unrelated 1-2 s
-    entries). Before the sweep a fixed CPU-bound probe
-    (bit_xor of xxhash64 over 4B rows, 32 tasks — ~0.8 s, ~4% intra-session spread) is timed and recorded as
-    context.calibration_sec; when it is >15% SLOWER than the BASELINE
-    run's calibration, per-entry flags are host-speed artifacts and
-    the run is treated exactly like a loadavg-dirty one (suppressed
-    flags + parked artifact, "dirty_reason": "calibration_drift").
-    The gate is one-sided — a faster-than-baseline host only makes
-    surviving flags more credible — and a calibration at or under the
-    baseline's OVERRIDES the loadavg gate: the probe runs after the
-    warm-ups, so a fast probe proves a high 1-minute loadavg was
-    decay from a just-finished job, not live contention.
+  * Calibration gate (round 12, reworked round 13 per ADVICE):
+    loadavg only catches CONCURRENT load; a sandboxed host can also be
+    uniformly slower for a whole sweep (measured same-day: two clean
+    back-to-back runs, median per-entry ratio 1.11x, thirteen ~1.5x
+    flags on unrelated 1-2 s entries). A fixed CPU-bound probe
+    (bit_xor of xxhash64 over 4B rows, 32 tasks — ~0.8 s, ~4%
+    intra-session spread) is timed TWICE — once after the warm-ups
+    and once after the sweep — and recorded as
+    context.calibration_sec / calibration_end_sec. The drift ratio is
+    max(start, end) / baseline calibration. Round-13 semantics
+    (ADVICE r12 #1 — the old wholesale suppression was a ratchet that
+    could hide real regressions behind permanent drift):
+      - drift > +15%: per-entry walls are NORMALIZED by the ratio
+        before the regression compare, so flags that survive
+        normalization are still emitted (they represent real
+        slowdowns beyond uniform host speed). The run is still parked
+        (not baseline-eligible) because its raw walls would skew the
+        next compare.
+      - after 3 CONSECUTIVE drift-parked runs the current run is
+        promoted to baseline anyway ("baseline_refresh":
+        "drift_streak") — the host has demonstrably changed speed and
+        the old reference is stale; the parked artifact carries the
+        streak counter.
+      - the gate stays one-sided: a faster-than-baseline host never
+        dirties the run or inflates flags (ratio is clamped >= 1 for
+        normalization).
+    Loadavg override (round 12, tightened round 13 per ADVICE #4): a
+    calibration at or under the baseline's overrides the loadavg
+    gate — but now BOTH the start and end probes must be at-or-under
+    (<= 1.05x), so load arriving mid-sweep can no longer slip past a
+    single quiet start sample.
+  * Baseline hygiene (ADVICE r12 #2): a previous artifact with
+    context_dirty must never silently serve as the trusted reference;
+    bench.py now warns on stderr and records "baseline_was_dirty" in
+    the output when that happens, and a clean current run overwrites
+    it (re-promotion happens naturally on the next quiet sweep).
   * Baseline lane (VERDICT r11 task #2): the two deliberately-kept
     recall-1.0 posting-join baselines (docs_dup_containment,
     docs_dup_ngram_pairs — superseded at scale by their signature
@@ -203,7 +224,20 @@ def main() -> None:
     # sweep (perf artifact + OOM exposure).
     BASELINE_ONLY = {"docs_dup_containment", "docs_dup_ngram_pairs"}
     baseline_lane = os.environ.get("SPARK_GRAFT_BASELINE_LANE") == "1"
-    runs_override = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    # Parse the run-count override ONCE, outside the per-entry guard
+    # (ADVICE r12 #3): a malformed value must degrade to the default
+    # counts with a warning, never kill the sweep mid-loop.
+    runs_override: int | None = None
+    _runs_raw = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    if _runs_raw:
+        try:
+            runs_override = max(1, int(_runs_raw))
+        except ValueError:
+            print(
+                f"WARNING: ignoring malformed SPARK_GRAFT_BENCH_RUNS="
+                f"{_runs_raw!r} (not an int); using default run counts",
+                file=sys.stderr,
+            )
     timings: dict[str, object] = {}
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -215,8 +249,8 @@ def main() -> None:
         # min-of-2 default; median-of-3 for the bimodal streaming
         # family; env override for lanes where the sweep is the cost.
         n_runs = 3 if "stream" in name else 2
-        if runs_override:
-            n_runs = max(1, int(runs_override))
+        if runs_override is not None:
+            n_runs = runs_override
         # Per-query guard: one broken entry must never take down the
         # whole bench (round 2 lost its number exactly that way) — the
         # failure is recorded and the sweep continues.
@@ -235,6 +269,14 @@ def main() -> None:
                 spreads[name] = round(samples[-1] - samples[0], 4)
         except Exception as exc:  # noqa: BLE001 — survey sweep, record + go on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    # End-of-sweep calibration probe (ADVICE r12 #4): load arriving
+    # MID-sweep escapes both the start loadavg gate and a single
+    # start-of-sweep probe; a second sample brackets the sweep so the
+    # drift gate and the loadavg override see the whole window.
+    try:
+        calibration_end_sec = round(min(_calibrate(), _calibrate()), 4)
+    except Exception:  # noqa: BLE001 — the probe must never kill the sweep
+        calibration_end_sec = None
     headline_complete = all(isinstance(timings.get(n), float) for n in HEADLINE)
     # Load-context marker (VERDICT r6 task #5): r6's committed headline
     # swung 2.48-4.0 s with identical plans depending on hours-of-JVM
@@ -260,6 +302,7 @@ def main() -> None:
         "loadavg_15m": la15,
         "cpus": os.cpu_count(),
         "calibration_sec": calibration_sec,
+        "calibration_end_sec": calibration_end_sec,
     }
     # A partial headline sum would silently compare apples to oranges
     # round-over-round (ADVICE r3); publish null instead when any
@@ -286,43 +329,98 @@ def main() -> None:
     context_dirty = la_dirty
     dirty_reason = "loadavg" if la_dirty else None
     regressions: dict[str, list[float]] = {}
+    cal_ratio: float | None = None
+    baseline_was_dirty = False
+    drift_streak = 0
+    baseline_refresh: str | None = None
     try:
         with open(full_path) as fh:
             prev_out = json.load(fh)
+        # Baseline hygiene (ADVICE r12 #2): a dirty artifact must not
+        # SILENTLY become the trusted reference. Warn + record; its
+        # timings/calibration are still the best available comparison
+        # until a clean run overwrites it (which a clean current run
+        # does at the write below).
+        if prev_out.get("context_dirty"):
+            baseline_was_dirty = True
+            print(
+                "WARNING: baseline artifact "
+                f"{os.path.basename(full_path)} is context_dirty "
+                f"(reason: {prev_out.get('dirty_reason')}); comparing "
+                "against it anyway — a clean run will re-promote",
+                file=sys.stderr,
+            )
         prev_cal = prev_out.get("context", {}).get("calibration_sec")
-        if isinstance(prev_cal, (int, float)) and isinstance(
-            calibration_sec, float
-        ):
+        cal_samples = [
+            c
+            for c in (calibration_sec, calibration_end_sec)
+            if isinstance(c, float)
+        ]
+        if isinstance(prev_cal, (int, float)) and cal_samples:
+            # Drift ratio uses the WORST (slowest) of the start/end
+            # probes so mid-sweep slowdowns are counted (ADVICE #4).
+            cal_ratio = round(max(cal_samples) / prev_cal, 4)
             # Calibration gate, ONE-SIDED (module docstring): a host
-            # SLOWER than the baseline's inflates every wall and makes
-            # flags meaningless; a FASTER host only makes surviving
-            # flags more credible, so it never dirties the run.
-            if calibration_sec / prev_cal - 1 > 0.15:
+            # SLOWER than the baseline's inflates every wall; a FASTER
+            # host only makes surviving flags more credible, so it
+            # never dirties the run.
+            if cal_ratio - 1 > 0.15:
                 context_dirty = True
                 dirty_reason = dirty_reason or "calibration_drift"
-            # ... and a measured-fast probe OVERRIDES the loadavg gate:
-            # the probe runs a minute into the sweep, after warm-ups,
-            # so concurrent load would inflate it — a calibration at or
-            # under the baseline's proves the 1-minute average was
-            # DECAY from a just-finished job, not live contention (the
-            # r12 close: la_start 2.97 from the prior sweep, cal 0.707
-            # = fastest of the day, zero would-be flags).
-            elif la_dirty and calibration_sec <= prev_cal * 1.05:
+            # ... and a measured-fast probe OVERRIDES the loadavg gate
+            # — but only when BOTH bracketing probes are at-or-under
+            # the baseline's (ADVICE #4): the start probe alone cannot
+            # testify about load that arrived mid-sweep.
+            elif la_dirty and all(c <= prev_cal * 1.05 for c in cal_samples):
                 context_dirty = False
                 dirty_reason = None
         # cross-SF timings are not comparable — gate only within one SF
         prev = prev_out.get("queries", {}) if prev_out.get("sf") == sf_val else {}
+        # Normalized compare (ADVICE r12 #1): on a uniformly-slower
+        # host, divide every wall by the calibration ratio BEFORE the
+        # 1.5x/0.3s test. Flags that survive normalization are real
+        # per-entry slowdowns beyond host speed and are EMITTED even on
+        # a drift-parked run; wholesale suppression remains only for
+        # loadavg-dirty runs (live contention is non-uniform, so no
+        # scalar normalization can rescue those flags).
+        norm = max(cal_ratio, 1.0) if isinstance(cal_ratio, float) else 1.0
         for name, dt in timings.items():
             p = prev.get(name)
-            if (
-                isinstance(p, (int, float))
-                and isinstance(dt, float)
-                and dt > 1.5 * p
-                and dt - p > 0.3
-            ):
-                regressions[name] = [p, dt]
+            if not (isinstance(p, (int, float)) and isinstance(dt, float)):
+                continue
+            dt_n = dt / norm
+            if dt_n > 1.5 * p and dt_n - p > 0.3:
+                regressions[name] = [p, dt] if norm == 1.0 else [
+                    p,
+                    dt,
+                    round(dt_n, 4),
+                ]
+        # Drift-streak baseline refresh (ADVICE r12 #1): the old gate
+        # was a ratchet — a baseline promoted from the day's fastest
+        # host state made every later run "drift-dirty" forever. After
+        # 3 consecutive calibration-drift parks the host has
+        # demonstrably changed speed: promote the current run.
+        if dirty_reason == "calibration_drift" and not la_dirty:
+            dirty_path = full_path.replace(".json", "_DIRTY.json")
+            try:
+                with open(dirty_path) as fh:
+                    prev_dirty = json.load(fh)
+                if prev_dirty.get("dirty_reason") == "calibration_drift":
+                    drift_streak = int(prev_dirty.get("drift_streak", 1))
+            except (OSError, ValueError):
+                pass
+            drift_streak += 1
+            if drift_streak >= 3:
+                context_dirty = False
+                dirty_reason = None
+                baseline_refresh = "drift_streak"
+                drift_streak = 0
     except (OSError, ValueError):
         pass  # first run / unreadable previous artifact: no baseline
+    # Flags are SUPPRESSED only on live-contention (loadavg) dirt;
+    # calibration-drift runs emit the normalization survivors — they
+    # represent real slowdowns beyond uniform host speed (ADVICE #1).
+    suppress_flags = context_dirty and dirty_reason == "loadavg"
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -333,12 +431,20 @@ def main() -> None:
         "headline_complete": headline_complete,
         "context": context,
         "context_dirty": context_dirty,
-        "regressions": {} if context_dirty else regressions,
+        "regressions": {} if suppress_flags else regressions,
     }
-    if context_dirty and regressions:
+    if suppress_flags and regressions:
         out["regressions_suppressed"] = regressions
     if dirty_reason:
         out["dirty_reason"] = dirty_reason
+    if isinstance(cal_ratio, float):
+        out["calibration_ratio"] = cal_ratio
+    if drift_streak:
+        out["drift_streak"] = drift_streak
+    if baseline_was_dirty:
+        out["baseline_was_dirty"] = True
+    if baseline_refresh:
+        out["baseline_refresh"] = baseline_refresh
     if skipped:
         out["baseline_lane_skipped"] = skipped
     if errors:
@@ -361,13 +467,15 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout still carries everything
     print(json.dumps(out))
-    if regressions and not context_dirty:
+    if regressions and not suppress_flags:
         # gate output (one line per offender, before the final summary
         # so the compact line stays LAST for the driver's tail window)
-        for name, (p, dt) in sorted(regressions.items()):
+        for name, vals in sorted(regressions.items()):
+            p, dt = vals[0], vals[1]
+            norm_note = f" (norm {vals[2]:.2f}s)" if len(vals) > 2 else ""
             print(
                 f"REGRESSION {name}: {p:.2f}s -> {dt:.2f}s "
-                f"({dt / p:.2f}x)",
+                f"({dt / p:.2f}x){norm_note}",
                 file=sys.stderr,
             )
     # The driver's artifact keeps only the LAST ~2000 chars of stdout;
@@ -382,7 +490,7 @@ def main() -> None:
         "headline_complete": headline_complete,
         "n_entries": len(timings),
         "n_errors": len(errors),
-        "n_regressions": 0 if context_dirty else len(regressions),
+        "n_regressions": 0 if suppress_flags else len(regressions),
         "context_dirty": context_dirty,
         "loadavg_1m": la1,
         "uptime_sec": uptime_sec,

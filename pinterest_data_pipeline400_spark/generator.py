@@ -43,7 +43,7 @@ SEED = 100  # mirrors the reference's random.seed(100), batch_emul.py:13
 BASE_ROWS = 11_000  # reference table size, batch_emul.py:100
 
 #: Bump when the generated content changes; stale fixture dirs regenerate.
-FIXTURE_VERSION = "14"
+FIXTURE_VERSION = "15"
 
 DIRTY_TOKENS = ["", "NA", "N/A"]
 
@@ -398,6 +398,19 @@ def write_fixtures(sf_name: str, root: str = FIXTURES_ROOT) -> str:
         os.path.join(out_dir, "docs_quality.parquet"), index=False
     )
 
+    # junk-augmented apply corpus with per-source planted quality
+    # (the trained gate's operating point — docs_quality_apply)
+    docs_apply_mix(sf_rows(sf_name) // 10).to_parquet(
+        os.path.join(out_dir, "docs_apply_mix.parquet"), index=False
+    )
+
+    # real baseline JPEG payloads, 4:2:0 and 4:4:4 (the full-pixel
+    # huffman+IDCT decode operator's test subject —
+    # multimodal_decode_jpeg)
+    media_jpeg(sf_rows(sf_name) // 10).to_parquet(
+        os.path.join(out_dir, "media_jpeg.parquet"), index=False
+    )
+
     # real RIFF/WAVE PCM16 audio payloads (the pure-Python decode
     # operator's test subject — multimodal_decode_wav)
     media_wav(sf_rows(sf_name) // 10).to_parquet(
@@ -686,6 +699,45 @@ def docs_quality(n: int) -> pd.DataFrame:
     )
 
 
+def docs_apply_mix(n: int) -> pd.DataFrame:
+    """Junk-augmented apply corpus (docs_quality_apply's operating
+    point — VERDICT r12 task #4): (doc_id, source, text) rows whose
+    per-source keep rates SPLIT under the trained quality gate, giving
+    the mixture-policy rollup a real decision boundary (on the
+    template-text `documents` corpus the gate keeps everything).
+
+      source = mix_clean  (mid % 3 == 0): varied tokens, the training
+               corpus's GOOD construction — kept by the gate;
+      source = mix_sloppy (mid % 3 == 1): alternates good/junk per doc
+               — keep rate lands mid-range;
+      source = mix_junk   (mid % 3 == 2): the training corpus's JUNK
+               construction (one token repeated, 1 + mid%3 distinct
+               replacements — repetition-heavy, low type-token ratio,
+               top-token share near 1) — dropped by the gate.
+
+    Constructions mirror :func:`docs_quality` exactly (minus its
+    deliberately-borderline slices) so a classifier that separates the
+    training corpus separates these; doc_ids offset by 10^9 so they
+    can never collide with the `documents` table at any sf."""
+    rows = []
+    for mid in range(n):
+        src = ("mix_clean", "mix_sloppy", "mix_junk")[mid % 3]
+        junky = src == "mix_junk" or (src == "mix_sloppy" and mid % 2 == 0)
+        if junky:
+            ntok = 10 + mid % 30
+            toks = [f"w{mid % 11}"] * ntok
+            extra = 1 + mid % 3
+            for j in range(min(extra, ntok)):
+                toks[(mid + 3 * j) % ntok] = f"w{(mid * 7 + j) % 97}"
+        else:
+            ntok = 12 + mid % 40
+            toks = [f"w{(mid * 13 + i * 7) % 97}" for i in range(ntok)]
+        rows.append((1_000_000_000 + mid, src, " ".join(toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "source", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+
+
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import struct
     import zlib
@@ -775,6 +827,221 @@ def media_png(n: int) -> pd.DataFrame:
         h = mid % 7 + 3
         px = ((mid * 31 + 7 * np.arange(3 * w * h)) % 256).astype(np.uint8)
         rows.append((mid, _png_encode_rgb8(mid, w, h, px)))
+    return pd.DataFrame(rows, columns=["media_id", "payload"]).astype(
+        {"media_id": "int64"}
+    )
+
+
+# -------------------------------------------------------------------------
+# baseline JPEG fixture (the full-pixel decoder's test subject —
+# multimodal_decode_jpeg, VERDICT r12 task #6)
+# -------------------------------------------------------------------------
+
+#: JPEG zigzag scan order: zigzag index k -> natural (row*8 + col)
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: DC huffman table (ITU T.81 Annex K luminance DC): BITS counts per
+#: code length 1..16, then the value list (categories 0..11)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+#: custom minimal AC table — the corpus only emits EOB (0x00) and the
+#: planted coefficient at zigzag 14 (13 leading zeros, size 1 or 2 →
+#: run/size symbols 0xD1/0xD2). A custom table also proves the decoder
+#: really builds its codes from the DHT segment instead of assuming
+#: the Annex K defaults.
+_JPEG_AC_BITS = [1, 2] + [0] * 14
+_JPEG_AC_VALS = [0x00, 0xD1, 0xD2]
+#: flat quantization table: 8 everywhere, so quantized DC = (y - 128)
+#: exactly (8t/8) and the planted AC dequantizes to 8*ac — both
+#: round-trip the float IDCT losslessly (DC-only + single exactly-
+#: representable basis function)
+JPEG_QUANT = 8
+#: planted AC coefficient position: zigzag 14 = natural (row 0, col 4)
+#: — the horizontal half-band basis whose IDCT is the exact pixel
+#: pattern ac * [+1,-1,-1,+1,+1,-1,-1,+1] per row
+JPEG_AC_ZZ = 14
+
+
+def _jpeg_huff_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) canonical huffman assignment (T.81
+    C.2): codes count up within a length, shift left at each length."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with the T.81 byte-stuffing rule (an 0xFF
+    data byte is followed by 0x00); the final partial byte pads with
+    1-bits."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_put_coef(wr: _JpegBitWriter, huff: dict, sym_size: int, v: int) -> None:
+    """Entropy-encode one magnitude-category value v of size sym_size
+    bits after its huffman symbol was already written (T.81 F.1.2.1:
+    negative values store v + 2^size - 1)."""
+    if sym_size:
+        wr.put(v if v >= 0 else v + (1 << sym_size) - 1, sym_size)
+
+
+def _jpeg_dc_size(diff: int) -> int:
+    return 0 if diff == 0 else abs(diff).bit_length()
+
+
+def _jpeg_segments(w: int, h: int, sub420: bool) -> bytes:
+    """All marker segments before the entropy-coded scan: DQT x2 (flat
+    8s), SOF0 (baseline, 3 components, 2x2/1x1/1x1 or all 1x1), DHT x4
+    (DC+AC for table ids 0 and 1), SOS."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qt = bytes([JPEG_QUANT] * 64)
+    dqt = seg(0xDB, bytes([0x00]) + qt) + seg(0xDB, bytes([0x01]) + qt)
+    ysamp = 0x22 if sub420 else 0x11
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = b"".join(
+        seg(0xC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+        for cls_id, bits, vals in [
+            (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+            (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+            (0x01, _JPEG_DC_BITS, _JPEG_DC_VALS),
+            (0x11, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        ]
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return dqt + sof + dht + sos
+
+
+def jpeg_luma(mid: int, bx: int, by: int) -> int:
+    """Closed-form constant luma of the 8x8 block at grid (bx, by) —
+    kept in [32, 223] so neither the planted AC pattern (|ac| <= 2)
+    nor the chroma shifts (|shift| <= 18) can clamp, which keeps the
+    oracle's pixel sums linear."""
+    return 32 + (mid * 31 + bx * 17 + by * 7) % 192
+
+
+def jpeg_ac(mid: int, bx: int, by: int) -> int:
+    """Closed-form planted AC coefficient (quantized value, -2..2) for
+    the luma block at (bx, by)."""
+    return (mid + bx + by) % 5 - 2
+
+
+def jpeg_dims(mid: int) -> tuple:
+    """(width, height, sub420): 4:2:0 images keep both dims multiples
+    of 16 (no partial-MCU padding ambiguity in the oracle); 4:4:4
+    images multiples of 8."""
+    if mid % 2 == 0:
+        return 16 * (1 + mid % 3), 16 * (1 + (mid // 3) % 2), True
+    return 8 * (1 + mid % 5), 8 * (1 + (mid // 5) % 3), False
+
+
+def jpeg_chroma(mid: int) -> tuple:
+    """(cb, cr) per-image constants, within +-10 of neutral so the
+    fixed-point color shifts stay small (see jpeg_luma)."""
+    return 118 + (mid * 5) % 21, 118 + (mid * 11) % 21
+
+
+def _jpeg_encode(mid: int) -> bytes:
+    """Spec-conformant baseline JFIF payload whose DECODED pixels are
+    closed-form: per-block constant luma (DC-only) plus a planted AC
+    at zigzag 14 with an all-8 quant table (both exactly recoverable
+    through the float IDCT), per-image constant chroma. The decoder
+    must still do everything real: DQT/DHT/SOF0/SOS marker walk,
+    canonical huffman from the (custom) DHT, DC prediction per
+    component, run-length AC with EOB, dequantize+IDCT, 4:2:0
+    upsampling, fixed-point YCbCr->RGB."""
+    w, h, sub420 = jpeg_dims(mid)
+    cb, cr = jpeg_chroma(mid)
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wr = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(comp: int, dc: int, ac: int) -> None:
+        diff = dc - pred[comp]
+        pred[comp] = dc
+        s = _jpeg_dc_size(diff)
+        wr.put(*dc_huff[s])
+        _jpeg_put_coef(wr, dc_huff, s, diff)
+        if ac:
+            sz = abs(ac).bit_length()
+            wr.put(*ac_huff[(13 << 4) | sz])
+            _jpeg_put_coef(wr, ac_huff, sz, ac)
+        wr.put(*ac_huff[0x00])  # EOB
+
+    if sub420:
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        bx, by = 2 * mx + dx, 2 * my + dy
+                        put_block(
+                            0,
+                            jpeg_luma(mid, bx, by) - 128,
+                            jpeg_ac(mid, bx, by),
+                        )
+                put_block(1, cb - 128, 0)
+                put_block(2, cr - 128, 0)
+    else:
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                put_block(0, jpeg_luma(mid, bx, by) - 128, jpeg_ac(mid, bx, by))
+                put_block(1, cb - 128, 0)
+                put_block(2, cr - 128, 0)
+    return (
+        b"\xff\xd8"
+        + _jpeg_segments(w, h, sub420)
+        + wr.flush()
+        + b"\xff\xd9"
+    )
+
+
+def media_jpeg(n: int) -> pd.DataFrame:
+    """Valid baseline JPEG payloads, one per media_id, alternating
+    4:2:0 (even ids) and 4:4:4 (odd ids) — see :func:`_jpeg_encode`
+    for the closed-form construction the decode oracle recomputes
+    without parsing bytes."""
+    rows = [(mid, _jpeg_encode(mid)) for mid in range(n)]
     return pd.DataFrame(rows, columns=["media_id", "payload"]).astype(
         {"media_id": "int64"}
     )

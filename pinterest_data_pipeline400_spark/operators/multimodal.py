@@ -501,6 +501,357 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, PNG_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG full-pixel decode (stdlib + numpy — VERDICT r12 task #6:
+# huffman + dequant + IDCT + 4:2:0 upsample + fixed-point YCbCr->RGB,
+# retiring the last pillow-only codec branch for baseline files)
+# ---------------------------------------------------------------------------
+
+#: zigzag index k -> natural (row*8 + col) position (T.81 Figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: fixed-point YCbCr->RGB factors, 16 fractional bits (round(c*65536)
+#: of the JFIF 1.402 / 0.344136 / 0.714136 / 1.772 constants). The
+#: conversion is defined in EXACT integer arithmetic with a positive
+#: bias before the shift (so floor == truncation == >>), because the
+#: decode oracle re-derives the same pixels in SQL — a float convert
+#: would hinge parity on libm rounding (T.81 leaves the precision
+#: implementation-defined, so pinning it is spec-legal).
+_JFIX_R_CR = 91881
+_JFIX_G_CB = 22554
+_JFIX_G_CR = 46802
+_JFIX_B_CB = 116131
+
+
+def _jpeg_huff_decode_table(bits: list, vals: list) -> dict:
+    """{(length, code): symbol} canonical huffman map (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with T.81
+    byte unstuffing (0xFF 0x00 -> data 0xFF; 0xFF D0-D7 restart markers
+    surface via ``at_marker``; any other 0xFF marker ends the scan)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf
+        if self.pos >= len(b):
+            raise ValueError("truncated JPEG: entropy data ran out")
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # a real marker: the scan is over (or corrupt)
+                raise ValueError(
+                    "truncated JPEG: hit marker "
+                    f"0xFF{nxt:02X} inside entropy data"
+                    if nxt is not None
+                    else "truncated JPEG: dangling 0xFF"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG: no huffman code within 16 bits")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s low-order bits back to a signed
+    coefficient value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+def parse_jpeg_baseline(payload: bytes):
+    """Full dependency-free baseline JPEG decode: (rgb uint8 array of
+    shape (h, w, 3), subsampling string). Implements the T.81 baseline
+    grammar end to end — DQT (multi-table segments), DHT (canonical
+    huffman from BITS/HUFFVAL, so custom tables work), SOF0 (rejects
+    progressive/arithmetic SOFs explicitly), DRI/RSTn (DC-prediction
+    reset + byte alignment), SOS, then per-MCU entropy decode with DC
+    prediction per component, run-length AC with ZRL/EOB, dequantize
+    through the zigzag, float separable IDCT, chroma upsampling by
+    replication, and the pinned fixed-point YCbCr->RGB (see
+    _JFIX_* above). Reference behavior target: the reference stack
+    delegates JPEG to managed-runtime codecs; re-derived here from the
+    public T.81 spec so the multimodal path has no native dependency."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qtabs: dict[int, list] = {}
+    htabs: dict[tuple, dict] = {}
+    sof = None
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while True:
+        if i + 3 >= n:
+            raise ValueError("truncated JPEG: no SOS marker")
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > n:
+            raise ValueError(f"corrupt JPEG segment length {seglen} at offset {i}")
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not baseline")
+                if j + 65 > len(body):
+                    raise ValueError("truncated DQT table")
+                qtabs[tq] = list(body[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                if j + 17 + nv > len(body):
+                    raise ValueError("truncated DHT table")
+                vals = list(body[j + 17 : j + 17 + nv])
+                htabs[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            sof = (w, h, comps)
+        elif marker in _JPEG_SOF_MARKERS:  # progressive/lossless/arith
+            raise ValueError(
+                f"unsupported JPEG SOF marker 0xFF{marker:02X} "
+                "(baseline DCT only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            i = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if sof is None:
+        raise ValueError("no SOF before SOS")
+    w, h, comps = sof
+    if w < 1 or h < 1:
+        raise ValueError(f"out-of-spec JPEG dimensions {w}x{h}")
+    if len(scan) != len(comps):
+        raise ValueError("SOS component count != SOF component count")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    idct = _jpeg_idct_matrix()
+    planes = []
+    meta = []  # (hi, vi, qtab, dctab, actab) per scan component
+    for (cid, hi, vi, tq), (scid, td, ta) in zip(comps, scan):
+        if scid != cid:
+            raise ValueError("SOS/SOF component id mismatch")
+        if tq not in qtabs:
+            raise ValueError(f"missing quantization table {tq}")
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError("missing huffman table referenced by SOS")
+        planes.append(np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.int64))
+        meta.append((hi, vi, qtabs[tq], htabs[(0, td)], htabs[(1, ta)]))
+    rd = _JpegBitReader(payload, i)
+    pred = [0] * len(comps)
+    zz = _JPEG_ZIGZAG
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                # byte-align and consume the RSTn marker, reset preds
+                rd.nbits = 0
+                rd.acc = 0
+                if not (
+                    rd.pos + 1 < n
+                    and payload[rd.pos] == 0xFF
+                    and 0xD0 <= payload[rd.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("missing JPEG restart marker")
+                rd.pos += 2
+                pred = [0] * len(comps)
+            for ci, (hi, vi, q, dct, act) in enumerate(meta):
+                for by in range(vi):
+                    for bx in range(hi):
+                        s = rd.huff(dct)
+                        diff = _jpeg_extend(rd.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[zz[0]] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(act)
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if rs == 0xF0:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC index > 63")
+                            coef[zz[k]] = _jpeg_extend(rd.bits(sz), sz) * q[k]
+                            k += 1
+                        block = idct.T @ coef.reshape(8, 8) @ idct
+                        px = np.clip(np.round(block) + 128, 0, 255)
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px.astype(
+                            np.int64
+                        )
+            mcu_count += 1
+    if len(comps) == 1:
+        ych = planes[0][:h, :w]
+        rgb = np.stack([ych, ych, ych], axis=-1).astype(np.uint8)
+        return rgb, "gray"
+    if len(comps) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    full = []
+    for ci, (hi, vi, *_rest) in enumerate(meta):
+        p = planes[ci]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = (f.astype(np.int64) for f in full)
+    r = y + ((_JFIX_R_CR * (cr - 128) + 32768 + (1 << 24)) >> 16) - 256
+    g = (
+        y
+        - (
+            (
+                _JFIX_G_CB * (cb - 128)
+                + _JFIX_G_CR * (cr - 128)
+                + 32768
+                + (1 << 25)
+            )
+            >> 16
+        )
+        + 512
+    )
+    b = y + ((_JFIX_B_CB * (cb - 128) + 32768 + (1 << 25)) >> 16) - 512
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    samp = {(2, 2): "4:2:0", (1, 1): "4:4:4", (2, 1): "4:2:2"}.get(
+        (comps[0][1], comps[0][2]), f"{comps[0][1]}x{comps[0][2]}"
+    )
+    return rgb, samp
+
+
+JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("subsampling", T.StringType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("pixel_sq_sum", T.LongType(), False),
+        T.StructField("pixel_mean", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL baseline-JPEG decode: every payload runs the
+    full huffman+IDCT path (:func:`parse_jpeg_baseline`) and reduces to
+    width/height/subsampling/pixel-sum/pixel-square-sum. The square sum
+    is what makes the planted AC coefficients visible to the oracle —
+    the fixture's ±ac pattern cancels in a plain sum but not in the
+    squares, so a decoder that ignores AC coefficients (or the DHT)
+    cannot match. Same mapInPandas shape as
+    :func:`decode_png_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    raise ValueError(f"media_id {mid}: NULL payload")
+                rgb, samp = parse_jpeg_baseline(bytes(p))
+                h, w = rgb.shape[:2]
+                flat = rgb.astype("int64")
+                s = int(flat.sum())
+                sq = int((flat * flat).sum())
+                rows.append((mid, w, h, samp, s, sq, s / (3.0 * w * h)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "subsampling",
+                    "pixel_sum", "pixel_sq_sum", "pixel_mean",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, JPEG_SCHEMA)
+
+
 def parse_flac_streaminfo(payload: bytes) -> dict:
     """Sample rate / channels / bits / total samples from a FLAC
     STREAMINFO block — the spec requires it as the first metadata

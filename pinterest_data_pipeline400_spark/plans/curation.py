@@ -3668,7 +3668,10 @@ def docs_quality_classifier_gauge(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="WITH "
     + ",".join(_clf_cte_parts(CLF_ROUNDS))
     + f""",
-    dsrc AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents),
+    dsrc AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents
+             UNION ALL
+             SELECT doc_id, source, {_NORM_SQL} AS norm
+             FROM read_parquet('{_ORACLE_FX}/docs_apply_mix.parquet')),
     dtok AS (SELECT doc_id, source, unnest(string_split(norm, ' ')) AS token
              FROM dsrc),
     dcnt AS (SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS c
@@ -3712,11 +3715,17 @@ def docs_quality_classifier_gauge(spark: SparkSession, sf_dir: str) -> DataFrame
     "has uniformly high type-token ratio, an honest finding the score "
     "columns make visible (mean p saturates, min p shows the margin); "
     "on a real crawl the same rollup is the mixture-policy input: "
-    "which sources the gate would thin and by how much. Scale shape: ONE "
-    "tokenize of the corpus, map-side-combinable per-doc aggregates, "
-    "all model state broadcast 1-row/tiny, output bounded by source "
-    "cardinality. Oracle composes the training unroll verbatim with "
-    "the corpus scoring CTEs.",
+    "which sources the gate would thin and by how much. Round 13 "
+    "(VERDICT r12 task #4): the scored corpus is now documents UNION "
+    "the planted docs_apply_mix fixture — three sources built to "
+    "SPLIT under the trained gate (mix_clean kept, mix_junk's "
+    "repetition-heavy docs dropped, mix_sloppy mid-range), so the "
+    "rollup has a real operating point instead of keep_rate = 1 "
+    "everywhere; pytest pins the split and junk recovery. Scale "
+    "shape: ONE tokenize of the corpus, map-side-combinable per-doc "
+    "aggregates, all model state broadcast 1-row/tiny, output bounded "
+    "by source cardinality. Oracle composes the training unroll "
+    "verbatim with the corpus scoring CTEs.",
 )
 def docs_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrow = (
@@ -3767,8 +3776,15 @@ def docs_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("xt")).cast("long").alias("mt"),
         F.round(F.avg("xp")).cast("long").alias("mp"),
     )
-    # one scoring pass over the REAL corpus on the training scale
-    docs = _docs(spark, sf_dir, spread=True)
+    # one scoring pass over the REAL corpus — augmented with the
+    # planted per-source quality mix (VERDICT r12 task #4) so the
+    # gate has a measurable operating point — on the training scale
+    mix = spark.read.parquet(
+        os.path.join(fx, "docs_apply_mix.parquet")
+    ).select("doc_id", "source", "text")
+    docs = _docs(spark, sf_dir, spread=True).select(
+        "doc_id", "source", "text"
+    ).unionByName(mix)
     dtok = docs.select(
         "doc_id",
         "source",

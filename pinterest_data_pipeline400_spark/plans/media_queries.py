@@ -215,7 +215,15 @@ def _image_neardup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(fx, "media_ppm_dup.parquet")
 
     def build() -> DataFrame:
-        return dhash_near_dup_pairs(spark.read.parquet(src))
+        # single-file fixture → few input splits; spread payloads
+        # across all cores before the decode so the mapInPandas stage
+        # isn't starved (VERDICT r12 task #5 — the decode_png
+        # round-robin-rebalance lesson applied to the cold lane, which
+        # runs exactly this build with the cache bypassed)
+        media = spark.read.parquet(src).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return dhash_near_dup_pairs(media)
 
     return cached_frame(
         spark,
@@ -367,7 +375,12 @@ def _audio_neardup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(fx, "media_wav_dup.parquet")
 
     def build() -> DataFrame:
-        return ahash_near_dup_pairs(spark.read.parquet(src))
+        # spread payloads before the decode — see
+        # _image_neardup_pairs_cached (VERDICT r12 task #5)
+        media = spark.read.parquet(src).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return ahash_near_dup_pairs(media)
 
     return cached_frame(
         spark,

@@ -630,6 +630,298 @@ def test_decode_png_features_spark_roundtrip(spark):
     assert "Exchange" not in plan  # embarrassingly parallel: no shuffle
 
 
+def _jpeg_expected_rgb(mid):
+    """Test-local closed-form decode of a media_jpeg fixture payload —
+    the same arithmetic the DuckDB oracle runs (fixed-point color
+    shifts, ±ac pattern), implemented independently of both the
+    encoder and the decoder."""
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import (
+        jpeg_ac,
+        jpeg_chroma,
+        jpeg_dims,
+        jpeg_luma,
+    )
+
+    w, h, _sub = jpeg_dims(mid)
+    cb, cr = jpeg_chroma(mid)
+    d_r = ((91881 * (cr - 128) + 32768 + (1 << 24)) >> 16) - 256
+    d_g = ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768 + (1 << 25)) >> 16) - 512
+    d_b = ((116131 * (cb - 128) + 32768 + (1 << 25)) >> 16) - 512
+    pat = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    exp = np.zeros((h, w, 3), dtype=np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            ys = jpeg_luma(mid, bx, by) + jpeg_ac(mid, bx, by) * np.tile(
+                pat, (8, 1)
+            )
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] = ys + d_r
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 1] = ys - d_g
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 2] = ys + d_b
+    return exp
+
+
+def test_parse_jpeg_baseline_hand_vector():
+    """Decoder vs HAND-ASSEMBLED T.81 bitstream: one 8x8 4:4:4 MCU
+    whose entropy bits are written out (code, length) pair by pair from
+    the spec's canonical-huffman and EXTEND rules, with a NON-flat
+    quant table and two nonzero AC coefficients at different runs. The
+    expected pixels come from a test-local IDCT matrix and test-local
+    fixed-point color convert — independent of generator AND decoder,
+    so a shared encoder/decoder bug cannot cancel."""
+    import struct
+
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        parse_jpeg_baseline,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # quant table: q[k] = k + 1 in zigzag order (so dequant matters)
+    qt = bytes(range(1, 65))
+    dqt = seg(0xDB, bytes([0x00]) + qt)
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    # DC table = Annex K luminance; AC table: EOB=0x00 len1 '0',
+    # 0x02 (run0,size2) len2 '10', 0x32 (run3,size2) len2 '11'
+    dc_bits = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    dc_vals = bytes(range(12))
+    ac_bits = bytes([1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+    ac_vals = bytes([0x00, 0x02, 0x32])
+    dht = seg(0xC4, bytes([0x00]) + dc_bits + dc_vals) + seg(
+        0xC4, bytes([0x10]) + ac_bits + ac_vals
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    # hand-derived canonical codes (T.81 C.2):
+    #   DC: cat0='00', cat3='100', cat4='101', cat5='110'
+    #   AC: EOB='0', 0x02='10', 0x32='11'
+    # Y : DC diff +5 (cat3 '100' + bits '101'), AC zz1 = -3
+    #     (0x02 '10' + EXTEND bits '00'), AC zz5 = +2 after run 3
+    #     (0x32 '11' + bits '10'), EOB '0'
+    # Cb: DC diff +16 (cat5 '110' + '10000'), EOB '0'
+    # Cr: DC diff -8  (cat4 '101' + '0111'), EOB '0'
+    hand_bits = [
+        (0b100, 3), (0b101, 3), (0b10, 2), (0b00, 2), (0b11, 2),
+        (0b10, 2), (0b0, 1),
+        (0b110, 3), (0b10000, 5), (0b0, 1),
+        (0b101, 3), (0b0111, 4), (0b0, 1),
+    ]
+    acc, nbits = 0, 0
+    for code, ln in hand_bits:
+        acc = (acc << ln) | code
+        nbits += ln
+    pad = (8 - nbits % 8) % 8
+    acc = (acc << pad) | ((1 << pad) - 1)
+    nbits += pad
+    entropy = acc.to_bytes(nbits // 8, "big")
+    assert b"\xff" not in entropy  # no stuffing needed for this vector
+    payload = b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+    rgb, samp = parse_jpeg_baseline(payload)
+    assert samp == "4:4:4"
+
+    # independent recompute: dequantized coefficients -> IDCT -> color
+    q = list(range(1, 65))
+    fy = np.zeros(64)
+    fy[_JPEG_ZIGZAG[0]] = 5 * q[0]
+    fy[_JPEG_ZIGZAG[1]] = -3 * q[1]
+    fy[_JPEG_ZIGZAG[5]] = 2 * q[5]
+    fcb = np.zeros(64)
+    fcb[0] = 16 * q[0]
+    fcr = np.zeros(64)
+    fcr[0] = -8 * q[0]
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0, :] /= np.sqrt(2)
+    def decode_plane(f):
+        return np.clip(
+            np.round(a.T @ f.reshape(8, 8) @ a) + 128, 0, 255
+        ).astype(np.int64)
+    y, cb, cr = decode_plane(fy), decode_plane(fcb), decode_plane(fcr)
+    r = y + ((91881 * (cr - 128) + 32768 + (1 << 24)) >> 16) - 256
+    g = y - (
+        (22554 * (cb - 128) + 46802 * (cr - 128) + 32768 + (1 << 25)) >> 16
+    ) + 512
+    b = y + ((116131 * (cb - 128) + 32768 + (1 << 25)) >> 16) - 512
+    exp = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+    assert np.array_equal(rgb.astype(np.int64), exp)
+
+
+def test_media_jpeg_fixture_payloads_decode_exactly():
+    """Fixture↔decoder↔closed-form triangle (the media_png
+    discipline): every generated baseline JPEG — 4:2:0 and 4:4:4,
+    custom DHT, planted AC — must decode to the exact closed-form
+    pixel array the oracle SQL recomputes."""
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import jpeg_dims, media_jpeg
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_jpeg_baseline,
+    )
+
+    df = media_jpeg(24)
+    for mid, payload in zip(df.media_id, df.payload):
+        w, h, sub420 = jpeg_dims(mid)
+        rgb, samp = parse_jpeg_baseline(bytes(payload))
+        assert rgb.shape == (h, w, 3)
+        assert samp == ("4:2:0" if sub420 else "4:4:4")
+        assert np.array_equal(rgb.astype(np.int64), _jpeg_expected_rgb(mid))
+
+
+def test_parse_jpeg_baseline_restart_markers():
+    """DRI/RSTn: a hand-built two-MCU scan with restart interval 1
+    must byte-align at the marker, reset the DC prediction, and still
+    decode both blocks (T.81 F.2.1.3.1) — the second block's DC is
+    coded as a FULL value again, not a diff."""
+    import struct
+
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_huff_codes,
+        _JpegBitWriter,
+    )
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_jpeg_baseline,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qt = bytes([8] * 64)
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + qt)
+        + seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def block_bits(dc_diff):
+        wr = _JpegBitWriter()
+        s = abs(dc_diff).bit_length() if dc_diff else 0
+        wr.put(*dc_huff[s])
+        if s:
+            wr.put(dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1, s)
+        wr.put(*ac_huff[0x00])
+        return wr.flush()
+
+    # block 0: DC 40 (diff from 0); RST0; block 1: DC -20 coded as a
+    # full value (pred was reset) — a decoder that fails to reset
+    # predicts 40-20=20 instead
+    payload = (
+        head + block_bits(40) + b"\xff\xd0" + block_bits(-20) + b"\xff\xd9"
+    )
+    rgb, samp = parse_jpeg_baseline(payload)
+    assert samp == "gray"
+    assert rgb.shape == (8, 16, 3)
+    assert np.all(rgb[:, :8] == 40 + 128)
+    assert np.all(rgb[:, 8:] == -20 + 128)
+
+
+def test_parse_jpeg_baseline_rejects_bad_payloads():
+    """Loud ValueError per malformed-input class: missing SOI,
+    progressive SOF, missing huffman tables, truncated entropy data,
+    corrupt segment length."""
+    from pinterest_data_pipeline400_spark.generator import media_jpeg
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_jpeg_baseline,
+    )
+
+    good = bytearray(bytes(media_jpeg(2).payload[1]))
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_baseline(b"\x89PNG" + bytes(good))
+    prog = bytearray(good)
+    prog[good.index(b"\xff\xc0") + 1] = 0xC2  # baseline -> progressive
+    with pytest.raises(ValueError, match="baseline"):
+        parse_jpeg_baseline(bytes(prog))
+    nodht = bytearray(good)
+    # surgically remove every DHT segment -> SOS references missing tables
+    while True:
+        j = nodht.find(b"\xff\xc4")
+        if j < 0:
+            break
+        seglen = int.from_bytes(nodht[j + 2 : j + 4], "big")
+        del nodht[j : j + 2 + seglen]
+    with pytest.raises(ValueError, match="huffman"):
+        parse_jpeg_baseline(bytes(nodht))
+    with pytest.raises(ValueError, match="truncated|marker"):
+        # drop the EOI plus the tail of the entropy data
+        parse_jpeg_baseline(bytes(good[:-4]))
+    badlen = bytearray(good)
+    j = badlen.index(b"\xff\xdb")
+    badlen[j + 2 : j + 4] = (1).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="segment length"):
+        parse_jpeg_baseline(bytes(badlen))
+
+
+def test_parse_jpeg_baseline_agrees_with_pillow():
+    """Wherever pillow exists, libjpeg's decode of our fixture files
+    must agree with ours within a small tolerance (T.81 leaves IDCT
+    and color-convert precision implementation-defined, so exact
+    equality is not required — but real structural agreement is)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from pinterest_data_pipeline400_spark.generator import media_jpeg
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        parse_jpeg_baseline,
+    )
+
+    df = media_jpeg(6)
+    for mid, payload in zip(df.media_id, df.payload):
+        with Image.open(io.BytesIO(bytes(payload))) as img:
+            theirs = np.asarray(img.convert("RGB")).astype(np.int64)
+        ours, _ = parse_jpeg_baseline(bytes(payload))
+        assert theirs.shape == ours.shape
+        assert np.abs(theirs - ours.astype(np.int64)).max() <= 3
+
+
+def test_decode_jpeg_features_spark_roundtrip(spark):
+    """Arrow-batched JPEG decode through the registered operator
+    shape: per-image features equal the closed form (sum AND square
+    sum), and the mapInPandas stage itself is shuffle-free."""
+    import numpy as np
+
+    from pinterest_data_pipeline400_spark.generator import media_jpeg
+    from pinterest_data_pipeline400_spark.operators.multimodal import (
+        decode_jpeg_features,
+    )
+
+    pdf = media_jpeg(14)
+    media = spark.createDataFrame(pdf)
+    out = decode_jpeg_features(media).orderBy("media_id").collect()
+    assert len(out) == 14
+    for row in out:
+        exp = _jpeg_expected_rgb(row.media_id)
+        assert (row.height, row.width) == exp.shape[:2]
+        assert row.pixel_sum == int(exp.sum())
+        assert row.pixel_sq_sum == int((exp * exp).sum())
+        assert row.pixel_mean == row.pixel_sum / (3.0 * row.width * row.height)
+    plan = decode_jpeg_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_parse_flac_streaminfo_bitfields():
     """FLAC STREAMINFO bit-shifting: a hand-built header with known
     rate/channels/bits/total must round-trip exactly."""

@@ -2514,24 +2514,48 @@ def test_ivfadc_refine_recall_beats_both_baselines(spark):
 
 
 def test_quality_apply_accounts_for_whole_corpus(spark):
-    """Apply-side contracts: per-source doc counts sum to the corpus,
-    keep counts are bounded by doc counts, rates are consistent with
-    the counts, and the gate is neither degenerate-keep-all nor
-    drop-all on the real corpus (the trained gate must actually
-    separate at apply time)."""
+    """Apply-side contracts: per-source doc counts sum to the corpus
+    (documents UNION the planted docs_apply_mix fixture), keep counts
+    are bounded by doc counts, and rates are consistent with the
+    counts."""
     from pinterest_data_pipeline400_spark.plans import curation as cu
 
     out = cu.docs_quality_apply(spark, TEST_SF_DIR).toPandas()
     docs = td._docs(spark, TEST_SF_DIR).toPandas()
-    assert out.n_docs.sum() == len(docs)
-    assert set(out.source) == set(docs.source)
+    fx = ensure_fixtures(TEST_SF_NAME)
+    mix = pd.read_parquet(os.path.join(fx, "docs_apply_mix.parquet"))
+    assert out.n_docs.sum() == len(docs) + len(mix)
+    assert set(out.source) == set(docs.source) | set(mix.source)
     assert (out.n_keep <= out.n_docs).all()
     for row in out.itertuples():
         assert row.keep_rate_micro == round(row.n_keep / row.n_docs * 1e6)
         assert 0 <= row.min_p_micro <= row.mean_p_micro <= 1_000_000
-    # On THIS synthetic corpus the gate keeps everything (template
-    # text = uniformly high TTR — an honest finding the entry's score
-    # columns document); the scores must still show real margin
-    # variation, or the scoring pass degenerated to a constant.
     assert out.n_keep.sum() > 0
     assert out.min_p_micro.min() < out.mean_p_micro.max()
+
+
+def test_quality_apply_operating_point(spark):
+    """The trained gate has a REAL decision boundary at apply time
+    (VERDICT r12 task #4): the planted mix sources must split —
+    mix_clean kept nearly whole, mix_junk's repetition-heavy docs
+    overwhelmingly dropped, mix_sloppy strictly between them — and
+    the overall keep rate must be < 1 (no degenerate keep-all)."""
+    from pinterest_data_pipeline400_spark.plans import curation as cu
+
+    out = (
+        cu.docs_quality_apply(spark, TEST_SF_DIR)
+        .toPandas()
+        .set_index("source")
+    )
+    rate = {
+        s: out.loc[s, "n_keep"] / out.loc[s, "n_docs"]
+        for s in ("mix_clean", "mix_sloppy", "mix_junk")
+    }
+    # junk recovered: the gate drops the large majority of planted junk
+    assert rate["mix_junk"] <= 0.2, rate
+    # clean survives the gate nearly untouched
+    assert rate["mix_clean"] >= 0.9, rate
+    # the half-and-half source lands strictly between
+    assert rate["mix_junk"] < rate["mix_sloppy"] < rate["mix_clean"], rate
+    # and the corpus-wide keep rate is a real operating point now
+    assert out.n_keep.sum() < out.n_docs.sum()
