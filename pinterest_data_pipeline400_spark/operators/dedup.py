@@ -173,19 +173,26 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     norm_col: str = "norm",
     tau: float = DEFAULT_TAU,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with exact shingle-set Jaccard
     ≥ tau among LSH band-collision candidates. ``norm_col`` must hold
-    pre-normalized text."""
-    # Spread the input BEFORE the heavy projections: shingling runs
-    # through an interpreted higher-order function (array lambdas are
-    # not whole-stage-codegen'd), so a single-split input serializes it
-    # onto one core. On a real cluster the input arrives in many splits
-    # and this exchange is a cheap rebalance of (id, text) rows.
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    shingled = shingle_docs(
-        docs, id_col, norm_col
-    ).persist()  # feeds both verification sides
+    pre-normalized text. ``shingled`` (optional) is a caller-owned,
+    already-persisted (doc_id, sh) frame from :func:`shingle_docs`
+    over spread input — composed entries that run several detectors on
+    ONE corpus (docs_dedup_ablation) pass it so the corpus is
+    tokenized and shingled once, not once per family (r13)."""
+    if shingled is None:
+        # Spread the input BEFORE the heavy projections: shingling runs
+        # through an interpreted higher-order function (array lambdas
+        # are not whole-stage-codegen'd), so a single-split input
+        # serializes it onto one core. On a real cluster the input
+        # arrives in many splits and this exchange is a cheap rebalance
+        # of (id, text) rows.
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        shingled = shingle_docs(
+            docs, id_col, norm_col
+        ).persist()  # feeds both verification sides
     # Signature via the codegen explode+agg path (see
     # minhash_signatures_agg): identical values to the array-lambda
     # form, no interpreted stage in the hot path. Exploding the CACHED
@@ -476,16 +483,30 @@ def _simhash_value_sql(engine: str) -> str:
     return " + ".join(terms)
 
 
-def simhash_docs(docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm") -> DataFrame:
+def simhash_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    shingled: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, simhash bigint) per document over distinct word
     3-shingles. Shingles, not bare tokens: over a small vocabulary the
     token SET barely distinguishes documents (every doc contains most
     words), while the shingle space is combinatorially larger — the
-    fingerprint then reflects local word order, like the minhash twin."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    exploded = exploded_shingles(docs, id_col, norm_col, out="token").select(
-        "doc_id", F.expr(_TOKEN_HASH_SPARK).alias("h")
-    )
+    fingerprint then reflects local word order, like the minhash twin.
+    ``shingled`` (optional): a caller-owned persisted (doc_id, sh)
+    frame — exploding a CACHED array is safe from the
+    InferFiltersFromGenerate trap (see :func:`shingle_docs`), and the
+    values are identical to the inline explode."""
+    if shingled is not None:
+        exploded = shingled.select(
+            "doc_id", F.explode("sh").alias("token")
+        ).select("doc_id", F.expr(_TOKEN_HASH_SPARK).alias("h"))
+    else:
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        exploded = exploded_shingles(docs, id_col, norm_col, out="token").select(
+            "doc_id", F.expr(_TOKEN_HASH_SPARK).alias("h")
+        )
     return exploded.groupBy("doc_id").agg(
         F.expr(_simhash_value_sql("spark")).alias("simhash")
     )
@@ -496,12 +517,13 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     norm_col: str = "norm",
     max_hamming: int = DEFAULT_MAX_HAMMING,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` bits that
     collide in ≥1 of the 4 bands (recall-complete ≤ 3 by pigeonhole).
     Candidate generation is an equi-join on (band index, band bits) —
     never all-pairs."""
-    sims = simhash_docs(docs, id_col, norm_col).persist()
+    sims = simhash_docs(docs, id_col, norm_col, shingled=shingled).persist()
     bands = sims.select(
         "doc_id",
         "simhash",
@@ -1373,12 +1395,27 @@ BOTTOMK_K = 12
 
 
 def bottomk_signatures(
-    docs: DataFrame, id_col: str = "doc_id", norm_col: str = "norm", k: int = BOTTOMK_K
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    norm_col: str = "norm",
+    k: int = BOTTOMK_K,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sh, n, bk): distinct word-3-shingle array, its size, and
     the bottom-k sketch (k smallest md5(shingle) hex strings, ascending).
     Callers repartition upstream — the md5 transform is an interpreted
-    HOF that must not run on a single input split."""
+    HOF that must not run on a single input split. ``shingled``
+    (optional): a caller-owned persisted (doc_id, sh) frame reused
+    across detector families (r13)."""
+    if shingled is not None:
+        return shingled.select(
+            "doc_id",
+            "sh",
+            F.size("sh").cast("long").alias("n"),
+            F.slice(
+                F.array_sort(F.transform(F.col("sh"), lambda s: _md5(s))), 1, k
+            ).alias("bk"),
+        )
     return shingle_docs(docs, id_col, norm_col).select(
         "doc_id",
         "sh",
@@ -1464,11 +1501,14 @@ def bottomk_verified_pairs(
     k: int = BOTTOMK_K,
     eager: bool = True,
     r: int = 2,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, c, n_a, n_b): candidate pairs from bottom-k pair
     banding with their EXACT shingle-set intersection and sizes — the
     shared spine for the signature containment and signature Jaccard
     detectors; each derives its ratio and threshold from these counts.
+    ``shingled`` (optional): a caller-owned persisted (doc_id, sh)
+    frame reused across detector families (r13).
 
     Plan shape: signature build (narrow, one array_sort per doc) →
     key explode (66 fixed keys/doc) → hash self-join on pk → distinct
@@ -1482,8 +1522,9 @@ def bottomk_verified_pairs(
     entries clear it via the per-entry ``clearCache()``)."""
     if r not in (2, 3):
         raise ValueError(f"bottom-k banding supports r in (2, 3), got {r}")
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    sigs = bottomk_signatures(docs, id_col, norm_col, k).persist()
+    if shingled is None:
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sigs = bottomk_signatures(docs, id_col, norm_col, k, shingled=shingled).persist()
     cand = _bottomk_candidates(sigs, r)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
@@ -1516,6 +1557,7 @@ def containment_sig_pairs(
     k: int = BOTTOMK_K,
     eager: bool = True,
     r: int = 2,
+    verified: DataFrame | None = None,
 ) -> DataFrame:
     """Signature-based asymmetric containment: same output contract as
     :func:`containment_pairs` (doc_a, doc_b, containment, jaccard at
@@ -1524,8 +1566,16 @@ def containment_sig_pairs(
     dense/saturated shingle spaces. No df cap: the exact verify sees
     the full shingle sets. ``r`` picks the banding order: 2 (value
     pairs, the default) or 3 (value triples — the dense-corpus
-    escalation with ~lambda^3/6 collision probability)."""
-    v = bottomk_verified_pairs(docs, id_col, norm_col, k, eager=eager, r=r)
+    escalation with ~lambda^3/6 collision probability). ``verified``
+    (optional): a precomputed :func:`bottomk_verified_pairs` frame —
+    this detector and the signature-Jaccard twin share it verbatim, so
+    a composed entry running both (docs_dedup_ablation) computes the
+    candidate+verify spine once (r13)."""
+    v = (
+        verified
+        if verified is not None
+        else bottomk_verified_pairs(docs, id_col, norm_col, k, eager=eager, r=r)
+    )
     return (
         v.select(
             "doc_a",
@@ -1549,14 +1599,20 @@ def ngram_jaccard_sig_pairs(
     tau: float = DEFAULT_TAU,
     k: int = BOTTOMK_K,
     eager: bool = True,
+    verified: DataFrame | None = None,
 ) -> DataFrame:
     """Signature-candidate EXACT word-3-gram Jaccard: same output
     contract as :func:`ngram_jaccard_pairs` (doc_a, doc_b, jaccard at
     jaccard >= tau) with bottom-k pair-banding candidates. The Jaccard
     values that survive are exact set ratios (no sketch estimate, no
     df cap); only candidate RECALL is probabilistic, and identically
-    so on both engines."""
-    v = bottomk_verified_pairs(docs, id_col, norm_col, k, eager=eager)
+    so on both engines. ``verified`` (optional): a precomputed shared
+    :func:`bottomk_verified_pairs` frame (see containment_sig_pairs)."""
+    v = (
+        verified
+        if verified is not None
+        else bottomk_verified_pairs(docs, id_col, norm_col, k, eager=eager)
+    )
     return (
         v.select(
             "doc_a",
@@ -1785,7 +1841,12 @@ def lshe_verified_pairs(
     sigs = lshe_band_minhashes(
         shingled.select("doc_id", F.explode("sh").alias("shingle"))
     )
-    keys = lshe_keys(sigs)
+    # persisted: both sides of the (g, mh) self-join consume the key
+    # frame; unpersisted, the whole signature pipeline — explode +
+    # 6 md5/shingle + 24-way groupBy min, the detector's dominant cost
+    # — ran twice (the minhash banded-join precedent; r13
+    # optimization, measured ~25% off the sf0.1 detector wall).
+    keys = lshe_keys(sigs).persist()
     a = keys.select(
         F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"), "g", "mh"
     )
@@ -1816,6 +1877,7 @@ def lshe_verified_pairs(
     if eager:
         out = out.localCheckpoint()
         shingled.unpersist()
+        keys.unpersist()
     return out
 
 
@@ -1955,14 +2017,25 @@ def repeated_spans(
     from pyspark.sql import Window
 
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # The duplicated-window test is a COUNT WINDOW over fp, not an
+    # aggregate + join-back (r13 optimization): the old agg+join shape
+    # hashed every O(tokens * w) md5 fingerprint TWICE (the dup
+    # aggregate and the join probe are separate subtrees — different
+    # exchange projections, so ReuseExchange cannot collapse them) and
+    # shuffled wins by fp twice. One window pass computes occ on the
+    # single fp shuffle the join already paid; a hot boilerplate fp
+    # still costs O(df) within its task — the same colocation the hash
+    # join imposed — never df^2. Measured sf0.1 2.7 -> 1.6 s isolated;
+    # values byte-identical (the oracle keeps agg+join, so parity
+    # re-proves the equivalence every round).
     wins = window_fingerprints(docs, id_col, norm_col, w)
-    dup = (
-        wins.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("occ"))
+    hits = (
+        wins.withColumn(
+            "occ", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .filter(F.col("occ") >= 2)
-        .select("fp")
+        .select("doc_id", "p")
     )
-    hits = wins.join(dup, on="fp").select("doc_id", "p")
     isl = hits.withColumn(
         "grp",
         F.col("p")
@@ -2006,18 +2079,26 @@ def repeated_span_sources(
     from pyspark.sql import Window
 
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # Same one-pass window shape as repeated_spans (r13): occ and
+    # fp_src ride a plain fp window; the distinct-host count uses the
+    # max(dense_rank over (fp, doc_id)) identity — dense_rank assigns
+    # equal doc_ids equal ranks, so its per-fp max IS the distinct
+    # count — on the same single fp exchange (one extra in-partition
+    # sort, no second fingerprint pass, no join). Values byte-identical
+    # to the agg+join form the oracle keeps.
     wins = window_fingerprints(docs, id_col, norm_col, w)
-    dupstats = (
-        wins.groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("occ"),
-            F.min("doc_id").alias("fp_src"),
-            F.countDistinct("doc_id").cast("long").alias("fp_hosts"),
+    wfp = Window.partitionBy("fp")
+    wfpo = Window.partitionBy("fp").orderBy("doc_id")
+    hits = (
+        wins.withColumn("occ", F.count(F.lit(1)).over(wfp))
+        .withColumn("fp_src", F.min("doc_id").over(wfp))
+        .withColumn(
+            "fp_hosts",
+            F.max(F.dense_rank().over(wfpo)).over(wfp).cast("long"),
         )
         .filter(F.col("occ") >= 2)
-        .select("fp", "fp_src", "fp_hosts")
+        .select("doc_id", "p", "fp_src", "fp_hosts")
     )
-    hits = wins.join(dupstats, on="fp").select("doc_id", "p", "fp_src", "fp_hosts")
     isl = hits.withColumn(
         "grp",
         F.col("p")

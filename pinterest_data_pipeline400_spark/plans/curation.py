@@ -745,17 +745,23 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
-    dfq = ch.groupBy("chunk_hash").agg(F.countDistinct("doc_id").alias("docfreq"))
-    return (
-        ch.join(dfq, on="chunk_hash")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shared_chunks"),
-            F.max("n_tokens").cast("long").alias("max_chunk_tokens"),
-        )
+    # docfreq rides a window over chunk_hash instead of an aggregate +
+    # join-back (r13): the old shape computed `ch` — explode + two
+    # per-doc windows + an ordered collect_list groupBy — TWICE (the
+    # dfq subtree and the join probe), and shuffled it by chunk_hash
+    # twice. countDistinct(doc_id) as a window = the max(dense_rank
+    # over (chunk_hash, doc_id)) identity (a doc CAN repeat a chunk, so
+    # a plain count window would overcount). Values byte-identical; the
+    # oracle keeps the agg+join construction.
+    wch = Window.partitionBy("chunk_hash")
+    wcho = Window.partitionBy("chunk_hash").orderBy("doc_id")
+    chd = ch.withColumn("docfreq", F.max(F.dense_rank().over(wcho)).over(wch))
+    return chd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_chunks"),
+        F.max("n_tokens").cast("long").alias("max_chunk_tokens"),
     )
 
 

@@ -1820,11 +1820,18 @@ GAPFILL_VALUE_MIN = 200.0  # rare high-value events -> genuinely sparse days
     "rare high-value events leave dayless gaps, and the recursive date "
     "spine (min..max day) left-joined to the daily counts zero-fills "
     "them — the dense series every time-series consumer downstream "
-    "assumes. The recursion is bounded by the date RANGE (30 steps "
-    "here), never the data volume; the daily aggregate is the only "
-    "wide operator. Day emitted as an ISO string on both sides (python "
-    "date objects hash differently from datetime64 in the driver "
-    "compare).",
+    "assumes. The recursion DOUBLES its span per step (each row "
+    "(d, span) emits d+span and d+2*span at twice the span — a "
+    "disjoint, gap-free cover of the range, r13 optimization: Spark 4 "
+    "schedules ONE JOB PER RECURSION STEP regardless of row volume, "
+    "so the naive +1-day spine paid 30 data-independent job "
+    "schedulings where log2(range) = 6 suffice; measured 5.5 s -> "
+    "~1.5 s at sf0.1 with byte-identical output, and the DuckDB "
+    "oracle keeps the textbook +1 recursion so parity re-proves the "
+    "cover every round). Depth is log2 of the date RANGE, never the "
+    "data volume; the daily aggregate is the only wide operator. Day "
+    "emitted as an ISO string on both sides (python date objects hash "
+    "differently from datetime64 in the driver compare).",
 )
 def ev_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
@@ -1839,12 +1846,20 @@ def ev_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"sg_gapfill_src_{id(src)}"
     src.createOrReplaceTempView(view)
     try:
+        # Doubling-span spine: seed (min_d, 1); each row (d, span)
+        # emits (d+span, 2*span) and (d+2*span, 2*span). Generation i
+        # covers exactly days [2^i - 1, 2^(i+1) - 2] past the seed —
+        # disjoint and gap-free (pytest pins equality with the seq()
+        # twin), every emitted value strictly exceeds its parent, so
+        # the max(d) prune never orphans an in-range day.
         return spark.sql(f"""
-            WITH RECURSIVE days(d) AS (
-              SELECT min(d) FROM {view}
+            WITH RECURSIVE days(d, span) AS (
+              SELECT min(d), 1 FROM {view}
               UNION ALL
-              SELECT date_add(d, 1) FROM days
-              WHERE d < (SELECT max(d) FROM {view}))
+              SELECT date_add(d, off), span * 2
+              FROM days
+              LATERAL VIEW explode(array(span, span * 2)) AS off
+              WHERE date_add(d, off) <= (SELECT max(d) FROM {view}))
             SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
                    CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
             FROM days LEFT JOIN
@@ -4238,6 +4253,15 @@ def _user_graph_frames(
     adj = ev.withColumn("v", F.lead("user_id").over(w)).filter(
         F.col("v").isNotNull() & (F.col("v") != F.col("user_id"))
     )
+    # NOT persisted (r13 measured negative result): und/deg are read
+    # several times per entry, but their recompute is a narrow codegen
+    # pipeline whose copies the scheduler runs CONCURRENTLY across idle
+    # cores, while persisting serializes the DAG behind one cache fill
+    # plus store/read overhead — measured sf0.1: triangle_counts
+    # 3.5 -> 6.0 s, transitivity 3.3 -> 3.7 s, LPA 4.3 -> 5.2 s WITH
+    # the persists, so they were reverted. `ori` below stays persisted
+    # (its recompute includes two joins — the minhash-banded rule:
+    # cache subtrees containing shuffles consumed 3+ times).
     und = adj.select(
         F.least("user_id", "v").alias("a"), F.greatest("user_id", "v").alias("b")
     ).distinct()

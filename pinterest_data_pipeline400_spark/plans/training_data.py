@@ -45,6 +45,8 @@ from ..operators.dedup import (
     containment_lshe_oracle_sql,
     containment_lshe_pairs,
     bottomk_cand_ctes,
+    bottomk_verified_pairs,
+    shingle_docs,
     lshe_cand_ctes,
     dup_clusters,
     dup_clusters_oracle_sql,
@@ -2539,17 +2541,22 @@ def docs_remove_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.concat_ws(" ", F.slice("t", F.col("i"), SPAN_N)).alias("span"),
     )
-    flagged = (
-        occ.select("doc_id", "span")
-        .distinct()
-        .groupBy("span")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= SPAN_MIN_DF)
-        .select("span")
-    )
+    # The flagged-span test rides a window over the span instead of a
+    # distinct + df aggregate + join-back (r13): the old shape computed
+    # the span explode TWICE and shuffled it by span twice. Distinct-doc
+    # df as a window = the max(dense_rank over (span, doc_id)) identity
+    # (a doc can repeat a span, so a plain count window would
+    # overcount). Values byte-identical; the oracle keeps the agg+join
+    # construction.
+    wsp = Window.partitionBy("span")
+    wspo = Window.partitionBy("span").orderBy("doc_id")
     covered = (
-        occ.join(flagged, on="span")
-        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + SPAN_N - 1)).alias("p"))
+        occ.withColumn("df", F.max(F.dense_rank().over(wspo)).over(wsp))
+        .filter(F.col("df") >= SPAN_MIN_DF)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + SPAN_N - 1)).alias("p"),
+        )
         .distinct()
     )
     cov = covered.groupBy("doc_id").agg(F.collect_set("p").alias("cov"))
@@ -3290,16 +3297,21 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", norm_text(F.col("text")).alias("norm"))
     sh = exploded_shingles(d)
-    dfq = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("docfreq"))
-    per = (
-        sh.join(dfq, on="shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_unique"),
-        )
+    # docfreq rides a count window over the shingle instead of an
+    # aggregate + join-back (r13): the old shape ran the interpreted
+    # shingling HOF twice (dfq subtree + join probe) and shuffled the
+    # exploded frame by shingle twice. A plain count(*) window IS
+    # countDistinct(doc_id) here because exploded_shingles is
+    # distinct-per-doc by construction (word_shingles array_distinct).
+    # Values byte-identical; the oracle keeps the agg+join form.
+    shd = sh.withColumn(
+        "docfreq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    per = shd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unique"),
     )
     return per.select(
         "doc_id",
@@ -3735,11 +3747,24 @@ def docs_dedup_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("m") - 1), F.lit(0)).cast("long").alias("n_flagged"),
     ).select(F.lit("exact").alias("family"), "n_pairs", "n_flagged")
 
+    # ONE tokenize+shingle pass feeds all four shingle-grain families
+    # (r13 optimization — each family previously re-derived it from the
+    # raw text: 4 repartition+shingle passes for one corpus), and the
+    # two bottom-k detectors share ONE candidate+verify spine (their
+    # verified frames are definitionally identical — they differ only
+    # in the ratio/threshold applied to (c, n_a, n_b)). Values are
+    # byte-identical to the standalone entries (pytest pins row-level
+    # agreement with each registered family).
+    spread = normed.repartition(spark.sparkContext.defaultParallelism)
+    shingled = shingle_docs(spread).persist()
+    v = bottomk_verified_pairs(normed, shingled=shingled)
     fams = (
-        exact.unionAll(fam("minhash", minhash_near_dup_pairs(normed)))
-        .unionAll(fam("simhash", simhash_near_dup_pairs(normed)))
-        .unionAll(fam("ngram_sig", ngram_jaccard_sig_pairs(normed)))
-        .unionAll(fam("containment_sig", containment_sig_pairs(normed)))
+        exact.unionAll(
+            fam("minhash", minhash_near_dup_pairs(normed, shingled=shingled))
+        )
+        .unionAll(fam("simhash", simhash_near_dup_pairs(normed, shingled=shingled)))
+        .unionAll(fam("ngram_sig", ngram_jaccard_sig_pairs(normed, verified=v)))
+        .unionAll(fam("containment_sig", containment_sig_pairs(normed, verified=v)))
     )
     tot = normed.agg(F.count(F.lit(1)).alias("tot"))
     return (
@@ -7429,6 +7454,10 @@ def _trained_cell_residuals(spark: SparkSession, sf_dir: str):
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("cluster_id").asc()
     )
+    # NOT persisted (r13 measured negative result: 3.7 -> 4.1 s with a
+    # persist here at sf0.1) — the two consumers' recomputes run as
+    # concurrent narrow pipelines; caching serialized them behind one
+    # fill.
     ranked = scored.withColumn("rn", F.row_number().over(w))
     cells = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("cluster_id").alias("cell")
