@@ -54,19 +54,35 @@ GRADE_WINDOW = [
     # plan-changed re-grades (VERDICT r12 "What's wrong" #3)
     "stream_neardup_dedup",
     "multimodal_decode_png",
-    # plan-changed this round: verified-pair frame now disk-cached
-    # (VERDICT r12 task #2)
+    # plan-changed in the r13 build: verified-pair frame now
+    # disk-cached (VERDICT r12 task #2)
     "docs_containment_lshe_recall",
-    # plan-changed this round: scored corpus now documents UNION the
-    # planted docs_apply_mix fixture (VERDICT r12 task #4)
+    # plan-changed in the r13 build: scored corpus now documents UNION
+    # the planted docs_apply_mix fixture (VERDICT r12 task #4)
     "docs_quality_apply",
     # round-13 additions, appended as built.
     # dependency-free baseline JPEG pixel decode (VERDICT r12 task #6)
     "multimodal_decode_jpeg",
-    # plan-changed this round: r=3 candidates now enumerate over the
-    # r=2 pair-key frame with a count>=3 aggregate (VERDICT r12 #7)
+    # plan-changed in the r13 build: r=3 candidates now enumerate over
+    # the r=2 pair-key frame with a count>=3 aggregate (VERDICT r12 #7)
     "docs_dup_containment_sig3",
     "docs_containment_sig3_recall",
+    # plan-changed in the r13 OPTIMIZATION phase (OPTIMIZATION_r13.md;
+    # every rewrite keeps its oracle verbatim, so these re-grades prove
+    # the rewrites' equivalence under the driver's own compare):
+    "ev_daily_gapfill",          # doubling-span recursion
+    "docs_dedup_ablation",       # shared shingle + verify spine
+    "docs_dup_containment_lshe", # persisted band-key frame
+    "docs_dup_substring_spans",  # docfreq window instead of agg+join
+    "docs_substring_dup_rate",
+    "docs_substring_scrub",
+    "docs_substring_scrub_keep_source",
+    "docs_substring_span_sources",
+    "docs_cdc_chunks",
+    "docs_ngram_novelty",
+    "docs_remove_common_spans",
+    "docs_unigram_logprob",      # persisted scored frame
+    "docs_quality_buckets",
 ]
 
 

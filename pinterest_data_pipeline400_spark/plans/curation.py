@@ -135,8 +135,13 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored-only helper, NOT the full entry: the entry's keep-threshold
-    # subtree is an extra corpus aggregation this caller would discard
-    scored = unigram_scored(spark, sf_dir).select("doc_id", "avg_logprob")
+    # subtree is an extra corpus aggregation this caller would discard.
+    # persisted (r13): the quartile aggregate AND the bucketing pass
+    # both consume it, and its recompute contains the per-doc groupBy
+    # shuffle (the docs_unigram_logprob measurement, 3.0 -> 2.1 s).
+    scored = (
+        unigram_scored(spark, sf_dir).select("doc_id", "avg_logprob").persist()
+    )
     thr = scored.agg(
         *[
             F.round(F.expr(f"percentile(avg_logprob, {p})"), 6).alias(q)
