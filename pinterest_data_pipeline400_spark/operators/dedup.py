@@ -1819,6 +1819,7 @@ def lshe_verified_pairs(
     id_col: str = "doc_id",
     norm_col: str = "norm",
     eager: bool = True,
+    min_containment: float | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, c, n_a, n_b): candidate pairs from size-stratified
     band-masked minhash LSH with their EXACT shingle intersection and
@@ -1828,14 +1829,31 @@ def lshe_verified_pairs(
     md5 columns + groupBy min (map-side combine, whole-stage codegen) →
     band explode (LSHE_BANDS fixed rows/doc) → hash self-join on
     (g, mh) with the stratum-distance band mask → distinct pair ids →
-    two id-joins to the persisted shingle arrays → JVM array_intersect.
+    [optional sound upper-bound prefilter, below] → two id-joins to the
+    persisted shingle arrays → JVM array_intersect.
     Never all-pairs, never a posting list. With ``eager`` (default) the
-    shingle cache is released after the verified frame materializes;
-    ``eager=False`` keeps the lazy plan for shape assertions and the
-    CALLER owns the persisted shingle cache (the returned lazy plan
-    still references it; registry entries clear it via the per-entry
-    ``clearCache()``) — the bottomk_verified_pairs discipline
-    (ADVICE r11)."""
+    shingle AND band-key caches are released after the verified frame
+    materializes; ``eager=False`` keeps the lazy plan for shape
+    assertions and the CALLER owns BOTH persisted caches (the returned
+    lazy plan still references them; registry entries clear them via
+    the per-entry ``clearCache()``) — the bottomk_verified_pairs
+    discipline (ADVICE r11/r13).
+
+    ``min_containment`` (r14, guide §2.3/§3.2): when set, pairs whose
+    exact containment round(c / least(n_a, n_b), 6) is below the
+    threshold are OMITTED from the output, and — the point — most of
+    them are dropped *before* the expensive exact verify by a SOUND
+    upper bound: per doc, ``ih`` = sorted distinct crc32 of each
+    shingle (4-byte ints, ~6x narrower than the shingle strings).
+    Whenever crc32 is injective on either side's shingle set (checked
+    exactly per doc via size(ih) = n; a violation falls back to exact
+    verify for every pair of that doc), distinct shared shingles map to
+    distinct shared hashes, so c <= ub = |ih_a ∩ ih_b| and
+    round(ub/least, 6) < tau proves round(c/least, 6) < tau. No false
+    negatives by construction; false positives (cross-doc collisions)
+    only cost a redundant exact verify. Measured sf1 (template-heavy
+    corpus, 39.0M band candidates): survivors 14.9k (2600x), the
+    string-array attach + array_intersect now runs on survivors only."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     shingled = shingle_docs(docs, id_col, norm_col).persist()
     sigs = lshe_band_minhashes(
@@ -1861,6 +1879,58 @@ def lshe_verified_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if min_containment is not None:
+        # Upper-bound prefilter (docstring): ship 4-byte int sketches
+        # through the two pair-keyed attach joins instead of the full
+        # shingle-string arrays; the heavy exchange carries ~6x fewer
+        # bytes and the per-pair intersect hashes ints, not strings.
+        ih_df = shingled.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.col("sh"),
+                        # crc32 is a 32-bit value carried in a BIGINT;
+                        # recenter by 2^31 so the 4-byte cast is
+                        # bijective and ANSI-safe (a bare cast overflows
+                        # for hashes >= 2^31).
+                        lambda s: (
+                            F.crc32(F.encode(s, "UTF-8")) - F.lit(2147483648)
+                        ).cast("int"),
+                    )
+                )
+            ).alias("ih"),
+            F.size("sh").alias("n"),
+        )
+        ia = ih_df.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("ih").alias("ih_a"),
+            F.col("n").alias("n_a"),
+        )
+        ib = ih_df.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("ih").alias("ih_b"),
+            F.col("n").alias("n_b"),
+        )
+        ub = F.size(F.array_intersect("ih_a", "ih_b"))
+        keep = (
+            (
+                F.round(ub / F.least("n_a", "n_b"), 6)
+                >= F.lit(float(min_containment))
+            )
+            # soundness guard: crc32 collided INSIDE a doc's shingle
+            # set (size(ih) < n) — the bound does not apply, verify
+            # exactly. Checked per doc, so the prefilter is exact-safe
+            # on any input, not just collision-free fixtures.
+            | (F.size("ih_a") < F.col("n_a"))
+            | (F.size("ih_b") < F.col("n_b"))
+        )
+        cand = (
+            cand.join(ia, on="doc_a")
+            .join(ib, on="doc_b")
+            .filter(keep)
+            .select("doc_a", "doc_b")
+        )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -1874,6 +1944,11 @@ def lshe_verified_pairs(
             F.size("sh_b").cast("long").alias("n_b"),
         )
     )
+    if min_containment is not None:
+        out = out.filter(
+            F.round(F.col("c") / F.least("n_a", "n_b"), 6)
+            >= F.lit(float(min_containment))
+        )
     if eager:
         out = out.localCheckpoint()
         shingled.unpersist()
@@ -1893,8 +1968,15 @@ def containment_lshe_pairs(
     :func:`containment_sig_pairs` (doc_a, doc_b, containment, jaccard
     at containment >= tau) with candidates that keep deep-ratio recall
     — the scale-safe detector for small-doc-inside-huge-doc pairs the
-    bottom-k spine's measured curve loses past ratio ~4."""
-    v = lshe_verified_pairs(docs, id_col, norm_col, eager=eager)
+    bottom-k spine's measured curve loses past ratio ~4.
+
+    ``min_containment=tau`` pushes the threshold into the verify spine
+    (r14): the sound crc32 upper-bound prefilter drops sub-tau pairs
+    before the exact array_intersect, and the containment filter below
+    is then a no-op re-assertion on the already-thresholded frame."""
+    v = lshe_verified_pairs(
+        docs, id_col, norm_col, eager=eager, min_containment=tau
+    )
     return v.select(
         "doc_a",
         "doc_b",

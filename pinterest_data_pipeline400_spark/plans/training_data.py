@@ -3576,8 +3576,17 @@ def _lshe_verified_contain_cached(spark: SparkSession, sf_dir: str) -> DataFrame
     dedup verdict set is an artifact you materialize once per corpus
     generation and let every gauge/report consume. The version token
     carries the sketch geometry so a constant change misses the cache
-    instead of serving stale pairs."""
+    instead of serving stale pairs.
+
+    r14: built with ``min_containment=DEFAULT_TAU_CONTAINMENT`` — the
+    frame now holds only the pairs at or above the gauge's own
+    threshold (the sub-tau candidates were dead rows here: the gauge
+    filters at the same tau before use), and the build skips the exact
+    verify for the ~99.96% of band candidates the sound crc32 upper
+    bound excludes. Version token bumped to v2+tau so pre-r14 caches
+    (full candidate frames) miss instead of being re-served."""
     from ..operators.dedup import (
+        DEFAULT_TAU_CONTAINMENT,
         LSHE_BANDS,
         SHINGLE_WORDS,
         lshe_verified_pairs,
@@ -3588,7 +3597,9 @@ def _lshe_verified_contain_cached(spark: SparkSession, sf_dir: str) -> DataFrame
     def build() -> DataFrame:
         con = spark.read.parquet(src)
         normed = con.select("doc_id", norm_text(F.col("text")).alias("norm"))
-        return lshe_verified_pairs(normed)
+        return lshe_verified_pairs(
+            normed, min_containment=DEFAULT_TAU_CONTAINMENT
+        )
 
     return cached_frame(
         spark,
@@ -3596,7 +3607,7 @@ def _lshe_verified_contain_cached(spark: SparkSession, sf_dir: str) -> DataFrame
         "dedup",
         "lshe_verified_contain",
         src,
-        f"v1-{LSHE_BANDS}-{SHINGLE_WORDS}",
+        f"v2-{LSHE_BANDS}-{SHINGLE_WORDS}-{DEFAULT_TAU_CONTAINMENT}",
         build,
     )
 
